@@ -1,0 +1,123 @@
+"""Shared machinery for sharded, mergeable sketches.
+
+Every sketch in this library is represented as a DataFrame of shard rows:
+
+    (sketch string, shard_id int, state binary,
+     n_keys long, input_rows long, build_ns long)
+
+``n_keys``/``input_rows``/``build_ns`` are the per-partition lineage +
+metrics required by the north rule (distinct keys retained, raw rows
+seen, build wall time). Merging two shard rows with the same shard_id is
+associative + commutative (sketch-specific combine); merging rows with
+different shard_ids is disjoint union. That makes the whole filter a
+mergeable aggregate: build partials anywhere, tree-merge in any order.
+
+Equivalent of the reference's FilterAPI construct/add path
+(``/root/reference/Tests/wrappers.hpp:50-52,675-720``) re-expressed as a
+grouped vectorized build: one applyInPandas call builds a whole shard
+from its key batch instead of 25M single-key Add() calls.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.hashing import as_u64
+from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col
+
+SHARD_SCHEMA = (
+    "sketch string, shard_id int, state binary, "
+    "n_keys long, input_rows long, build_ns long"
+)
+
+# state_fn(shard_id, unique_sorted_u64_hashes) -> bytes
+StateFn = Callable[[int, np.ndarray], bytes]
+
+
+def build_sharded(
+    df: DataFrame,
+    key_col,
+    *,
+    sketch_name: str,
+    seed: int,
+    num_shards: int,
+    state_fn: StateFn,
+    dedupe: bool = True,
+) -> DataFrame:
+    """Hash keys JVM-side, shuffle once by shard, build each shard in one
+    vectorized pandas call.
+
+    The only shuffle is the groupBy(shard_id); routing, hashing and
+    column pruning all stay in Catalyst. Keys are deduped *inside* the
+    shard build (same key always routes to the same shard), avoiding a
+    second shuffle for distinct().
+    """
+    h = hashed_key_col(key_col, seed)
+    keyed = df.select(h.alias("h"), shard_col(h, num_shards).alias("shard_id"))
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter_ns()
+        shard_id = int(pdf["shard_id"].iloc[0])
+        hashes = as_u64(pdf["h"].to_numpy())
+        input_rows = len(hashes)
+        if dedupe:
+            hashes = np.unique(hashes)  # sorted + distinct
+        else:
+            hashes = np.sort(hashes)
+        state = state_fn(shard_id, hashes)
+        return pd.DataFrame(
+            {
+                "sketch": [sketch_name],
+                "shard_id": [shard_id],
+                "state": [state],
+                "n_keys": [len(hashes)],
+                "input_rows": [input_rows],
+                "build_ns": [time.perf_counter_ns() - t0],
+            }
+        )
+
+    return keyed.groupBy("shard_id").applyInPandas(build_group, schema=SHARD_SCHEMA)
+
+
+def merge_shard_states(df: DataFrame, merge_fn: Callable[[list[bytes]], bytes]) -> DataFrame:
+    """Combine same-shard partial states (associative + commutative).
+
+    Used for incremental / streaming builds where several batches each
+    produced partial states for the same shard. Merge order inside a
+    group is fixed by sorting on (n_keys, state) only for determinism of
+    the *reduction order*; the result is order-independent by the
+    sketches' associativity (pytest-verified by shuffling orders).
+    """
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        states = list(pdf["state"])
+        merged = merge_fn(states) if len(states) > 1 else states[0]
+        return pd.DataFrame(
+            {
+                "sketch": [pdf["sketch"].iloc[0]],
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "state": [merged],
+                "n_keys": [int(pdf["n_keys"].sum())],  # upper bound across batches
+                "input_rows": [int(pdf["input_rows"].sum())],
+                "build_ns": [int(pdf["build_ns"].sum())],
+            }
+        )
+
+    return df.groupBy("shard_id").applyInPandas(merge_group, schema=SHARD_SCHEMA)
+
+
+def collect_states(shards_df: DataFrame) -> dict[int, bytes]:
+    """Collect shard states to the driver (for broadcast-probe).
+
+    Shard states are sized to stay small (<= ~100MB total, SURVEY.md §4);
+    for probe workloads too large to broadcast, join probes to shard rows
+    by shard_id instead (see sketches/probe.py).
+    """
+    rows = shards_df.select("shard_id", "state").collect()
+    return {r["shard_id"]: bytes(r["state"]) for r in rows}
