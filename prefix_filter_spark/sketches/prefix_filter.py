@@ -1,0 +1,266 @@
+"""Distributed Prefix Filter — L1 pocket dictionaries + Bloom spare.
+
+The reference's ``Prefix_Filter<spareType>`` (``/root/reference/Tests/
+wrappers.hpp:596-828``): keys hash to a pocket dictionary (L1); each PD
+keeps the 25 smallest (quot, rem) pairs it has seen and overflows the
+rest, re-keyed as ``(pd_index << 13) | qr`` (wrappers.hpp:661-673), into
+a pluggable incremental spare filter (example.cpp:4-5 — any incremental
+filter works; we plug the sharded Bloom in v1, the reference's TC
+two-choice spare is a v2 item).
+
+Distributed form (SURVEY.md §7): the global PD array is split across S
+shards — shard = fastrange(hi32(xxhash64(key, seed)), S) JVM-side, PD
+within shard from a splitmix64 remix NumPy-side — so the shard
+concatenation *is* the reference's single PD array, generalized. Each
+shard row carries its PD block plus its own spare-Bloom segment. Merge
+of same-shard partial states is bit-identical to a one-pass build
+(keep-25-smallest is decomposable; evicted(union) = spareA ∪ spareB ∪
+merge-evictions — verified by shuffled-merge-order tests).
+
+Sizing mirrors ConstructFromAddCount (wrappers.hpp:784-789,609-612):
+num_pd = ceil(cap / (25 * load)), load = 0.95; spare sized for the
+expected ~6.8% overflow at that load (wrappers.hpp:548-562 derives
+1.08 * 0.0586 / 0.935 for the TC spare).
+
+State layout (little-endian):
+  'PFSP' | u8 ver | u8 pad | u16 pad | u32 num_pd | u32 spare_bytes_len
+  | headers u64[num_pd] | body u8[num_pd * 25] | spare bloom state
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from prefix_filter_spark.hashing import (
+    as_u64,
+    fastrange32,
+    fixed_reduce,
+    mix_with_seed,
+    shard_of,
+)
+from prefix_filter_spark.sketches import base, bloom, pd_kernel
+
+_MAGIC = b"PFSP"
+_VERSION = 1
+_HDR = struct.Struct("<4sBBHII")
+
+
+@dataclass(frozen=True)
+class PrefixFilterConfig:
+    n_capacity: int
+    num_shards: int = 32
+    seed: int = 42
+    l1_load: float = 0.95
+    spare_bits_per_key: int = 10
+    spare_ratio: float = 0.08  # expected evictions ~6.8% (wrappers.hpp:548-562) + margin
+
+    @property
+    def shard_capacity(self) -> int:
+        return max(1, math.ceil(self.n_capacity / self.num_shards))
+
+    @property
+    def num_pd_per_shard(self) -> int:
+        # ConstructFromAddCount: ceil(n / (MAX_CAP0 * load)), wrappers.hpp:784-789
+        return max(1, math.ceil(self.shard_capacity / (pd_kernel.MAX_CAP * self.l1_load)))
+
+    @property
+    def spare_capacity_per_shard(self) -> int:
+        return max(64, math.ceil(self.shard_capacity * self.spare_ratio))
+
+    def spare_bloom_config(self) -> bloom.BloomConfig:
+        return bloom.BloomConfig(
+            n_capacity=self.spare_capacity_per_shard,
+            bits_per_key=self.spare_bits_per_key,
+            num_shards=1,
+            seed=self.seed ^ 0x5A5A5A5A,
+        )
+
+
+def _derive_pd_qr(hashes_u64: np.ndarray, cfg: PrefixFilterConfig):
+    """h -> (pd within shard, qr) via a splitmix64 remix.
+
+    The remix makes PD/quot/rem placement independent of the shard bits
+    (the reference splits one 64-bit hash at wrappers.hpp:648-654; we
+    burn the top bits on shard routing, so the inner placement draws
+    fresh bits).
+    """
+    g = mix_with_seed(hashes_u64, cfg.seed + 0xF17E)
+    pd_idx = fastrange32(g >> np.uint64(32), cfg.num_pd_per_shard).astype(np.int64)
+    qr = fixed_reduce(g).astype(np.int64)  # wrappers.hpp:642-645
+    return pd_idx, qr
+
+
+def _spare_keys(shard_id: int, cfg: PrefixFilterConfig, pd_idx: np.ndarray, qr: np.ndarray) -> np.ndarray:
+    """Re-key evictions with the *global* PD index (wrappers.hpp:661-673)."""
+    global_pd = as_u64(pd_idx) + np.uint64(shard_id * cfg.num_pd_per_shard)
+    return (global_pd << np.uint64(13)) | as_u64(qr)
+
+
+def _build_state(cfg: PrefixFilterConfig, shard_id: int, hashes_u64: np.ndarray) -> bytes:
+    pd_idx, qr = _derive_pd_qr(hashes_u64, cfg)
+    num_pd = cfg.num_pd_per_shard
+    headers, body, ev_pd, ev_qr, _n_l1 = pd_kernel.build_pds(pd_idx, qr, num_pd)
+    spare_state = bloom._build_state(
+        cfg.spare_bloom_config(), np.unique(_spare_keys(shard_id, cfg, ev_pd, ev_qr))
+    )
+    return (
+        _HDR.pack(_MAGIC, _VERSION, 0, 0, num_pd, len(spare_state))
+        + headers.tobytes()
+        + body.tobytes()
+        + spare_state
+    )
+
+
+def _parse_state(state: bytes):
+    magic, version, _, _, num_pd, spare_len = _HDR.unpack_from(state, 0)
+    if magic != _MAGIC or version != _VERSION:
+        raise ValueError("bad prefix-filter state header")
+    off = _HDR.size
+    headers = np.frombuffer(state, dtype=np.uint64, count=num_pd, offset=off)
+    off += num_pd * 8
+    body = np.frombuffer(
+        state, dtype=np.uint8, count=num_pd * pd_kernel.MAX_CAP, offset=off
+    ).reshape(num_pd, pd_kernel.MAX_CAP)
+    off += num_pd * pd_kernel.MAX_CAP
+    spare = state[off : off + spare_len]
+    return headers, body, spare
+
+
+def _items_of_state(headers: np.ndarray, body: np.ndarray):
+    """Decode (pd, qr) retained pairs from a shard's L1 (for merge)."""
+    counts_incl, overflowed, last_quot = pd_kernel.decode_headers(headers)
+    caps = counts_incl[:, -1]
+    num_pd = len(headers)
+    pd_rep = np.repeat(np.arange(num_pd), caps)
+    # column index within each pd row (vectorized arange-per-group)
+    starts = np.concatenate(([0], caps.cumsum()))[:-1]
+    col = np.arange(int(caps.sum())) - np.repeat(starts, caps)
+    rem = body[pd_rep, col].astype(np.int64)
+    # quot per slot: slot j of pd p belongs to quot q where counts_incl[p,q-1] <= j < counts_incl[p,q]
+    quot = (counts_incl[pd_rep] <= col[:, None]).sum(axis=1)
+    return pd_rep, (quot << 8) | rem, overflowed
+
+
+def merge_states(states: list[bytes], cfg: PrefixFilterConfig, shard_id: int) -> bytes:
+    """Combine same-shard partials: union retained pairs, rebuild PDs,
+    route merge-time evictions into the OR of the spare Blooms.
+
+    Produces exactly the single-pass state: top25(A ∪ B) =
+    top25(top25(A) ∪ top25(B)) and evicted(A ∪ B) = spareA ∪ spareB ∪
+    evictions(merge) for set semantics.
+    """
+    num_pd = cfg.num_pd_per_shard
+    all_pd, all_qr = [], []
+    spares = []
+    any_overflow = np.zeros(num_pd, dtype=bool)
+    for s in states:
+        headers, body, spare = _parse_state(s)
+        pd_i, qr_i, overflow_i = _items_of_state(headers, body)
+        all_pd.append(pd_i)
+        all_qr.append(qr_i)
+        any_overflow |= overflow_i
+        spares.append(spare)
+    pd_cat = np.concatenate(all_pd)
+    qr_cat = np.concatenate(all_qr)
+    headers, body, ev_pd, ev_qr, _ = pd_kernel.build_pds(pd_cat, qr_cat, num_pd)
+    # a PD that overflowed in any partial stays overflowed even if the
+    # merged retained set is its full content
+    counts_incl, overflowed, last_quot = pd_kernel.decode_headers(headers)
+    need_fix = any_overflow & ~overflowed
+    if need_fix.any():
+        caps = counts_incl[:, -1]
+        lq = last_quot.copy()
+        # overflowed flag with last_quot = quot of current max retained
+        fix_idx = np.flatnonzero(need_fix)
+        for p in fix_idx:
+            c = caps[p]
+            lq[p] = int(
+                (counts_incl[p] <= c - 1).sum()
+            )  # quot of last slot
+        counts_q = np.diff(
+            np.concatenate([np.zeros((num_pd, 1), dtype=np.int64), counts_incl], axis=1),
+            axis=1,
+        )
+        headers = pd_kernel.encode_headers(counts_q, overflowed | need_fix, lq)
+    spare_states = [s for s in spares]
+    ev_state = bloom._build_state(
+        cfg.spare_bloom_config(), np.unique(_spare_keys(shard_id, cfg, ev_pd, ev_qr))
+    )
+    spare = bloom.merge_states(spare_states + [ev_state])
+    return (
+        _HDR.pack(_MAGIC, _VERSION, 0, 0, num_pd, len(spare))
+        + headers.tobytes()
+        + body.tobytes()
+        + spare
+    )
+
+
+def build_prefix_filter(df: DataFrame, key_col, cfg: PrefixFilterConfig) -> DataFrame:
+    return base.build_sharded(
+        df,
+        key_col,
+        sketch_name="prefix_filter",
+        seed=cfg.seed,
+        num_shards=cfg.num_shards,
+        state_fn=lambda shard_id, hashes: _build_state(cfg, shard_id, hashes),
+    )
+
+
+class ShardedPrefixFilter:
+    """Probe handle; decodes each shard's headers once and probes whole
+    Arrow batches as matrix ops (amortized select64, SURVEY.md §4)."""
+
+    def __init__(self, cfg: PrefixFilterConfig, states: dict[int, bytes]):
+        self.cfg = cfg
+        self.states = states
+        self._decoded: dict[int, tuple] = {}
+
+    @classmethod
+    def from_df(cls, cfg: PrefixFilterConfig, shards_df: DataFrame) -> "ShardedPrefixFilter":
+        return cls(cfg, base.collect_states(shards_df))
+
+    def byte_size(self) -> int:
+        return sum(len(s) for s in self.states.values())
+
+    def _shard(self, sid: int):
+        dec = self._decoded.get(sid)
+        if dec is None:
+            headers, body, spare = _parse_state(self.states[sid])
+            counts_incl, overflowed, last_quot = pd_kernel.decode_headers(headers)
+            max_qr = pd_kernel.max_qr_of(body, counts_incl, overflowed, last_quot)
+            dec = (counts_incl, overflowed, max_qr, body, spare)
+            self._decoded[sid] = dec
+        return dec
+
+    def contains_h(self, h) -> np.ndarray:
+        h = as_u64(np.asarray(h))
+        out = np.zeros(len(h), dtype=bool)
+        if len(h) == 0:
+            return out
+        shards = shard_of(h, self.cfg.num_shards).astype(np.int64)
+        order = np.argsort(shards, kind="stable")
+        sorted_shards = shards[order]
+        bounds = np.searchsorted(sorted_shards, np.arange(self.cfg.num_shards + 1))
+        spare_cfg = self.cfg.spare_bloom_config()
+        for sid in np.unique(sorted_shards):
+            idx = order[bounds[sid] : bounds[sid + 1]]
+            if int(sid) not in self.states:
+                continue
+            counts_incl, overflowed, max_qr, body, spare = self._shard(int(sid))
+            pd_idx, qr = _derive_pd_qr(h[idx], self.cfg)
+            l1_hit, route_spare = pd_kernel.probe_pds(
+                counts_incl, overflowed, max_qr, body, pd_idx, qr
+            )
+            res = l1_hit
+            if route_spare.any():
+                sk = _spare_keys(int(sid), self.cfg, pd_idx[route_spare], qr[route_spare])
+                g = mix_with_seed(sk, spare_cfg.seed + 0x5EED)
+                res = res.copy()
+                res[route_spare] = bloom._contains_in_state(spare, g)
+            out[idx] = res
+        return out

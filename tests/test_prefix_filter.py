@@ -1,0 +1,99 @@
+"""Prefix filter end-to-end: zero FN (hard check, smart_tests.hpp:440-449),
+FPR within the published-ballpark bound, merge associativity bit-identical,
+SQL registration.
+"""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.hashing import as_u64
+from prefix_filter_spark.plans.sharding import hashed_key_col
+from prefix_filter_spark.sketches import prefix_filter as pf
+
+N_KEYS = 100_000
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    # capacity == inserted count -> PDs run at the design load 0.95
+    return pf.PrefixFilterConfig(n_capacity=N_KEYS, num_shards=16, seed=11)
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    return spark.range(N_KEYS).select(F.col("id").alias("key"))
+
+
+@pytest.fixture(scope="module")
+def built(spark, keys_df, cfg):
+    shards_df = pf.build_prefix_filter(keys_df, "key", cfg)
+    return pf.ShardedPrefixFilter.from_df(cfg, shards_df)
+
+
+def _hashes(spark, df, col, seed):
+    return df.select(hashed_key_col(col, seed).alias("h")).toPandas()["h"].to_numpy()
+
+
+def test_zero_false_negatives(spark, keys_df, cfg, built):
+    h = _hashes(spark, keys_df, "key", cfg.seed)
+    got = built.contains_h(h)
+    assert got.all(), f"{(~got).sum()} false negatives"
+
+
+def test_fpr_within_bound(spark, cfg, built):
+    probes = spark.range(50_000_000, 50_000_000 + 200_000).select(F.col("id").alias("key"))
+    h = _hashes(spark, probes, "key", cfg.seed)
+    fpr = built.contains_h(h).mean()
+    # L1 ~ 2^-8 * expected-run-length + spare path; paper-ballpark < 0.6%
+    assert fpr <= 0.006, fpr
+
+
+def test_bits_per_key(cfg, built):
+    bpk = built.byte_size() * 8 / N_KEYS
+    # 33B per PD / 23.75 keys-per-PD + ~0.8 spare bits ≈ 12; allow slack
+    assert bpk < 15, bpk
+
+
+def test_merge_associativity_bit_identical(cfg):
+    rng = np.random.default_rng(5)
+    keys = as_u64(rng.integers(0, 2**63, 30_000, dtype=np.int64))
+    shard_id = 3
+    full = pf._build_state(cfg, shard_id, np.unique(keys))
+    parts = np.array_split(keys, 6)
+    partials = [pf._build_state(cfg, shard_id, np.unique(p)) for p in parts]
+    for trial in range(4):
+        states = list(partials)
+        r = random.Random(trial)
+        r.shuffle(states)
+        while len(states) > 1:
+            i = r.randrange(len(states) - 1)
+            a, b = states.pop(i), states.pop(i)
+            states.insert(i, pf.merge_states([a, b], cfg, shard_id))
+        assert states[0] == full, f"merge order {trial} diverged"
+
+
+def test_merge_preserves_overflow_flag(cfg):
+    """A partial that overflowed keeps the PD overflowed after merging
+    with a subset partial, even if the merged retained set fits."""
+    rng = np.random.default_rng(9)
+    keys = as_u64(rng.integers(0, 2**63, 40_000, dtype=np.int64))
+    a = pf._build_state(cfg, 0, np.unique(keys))
+    sub = np.unique(keys[:100])
+    b = pf._build_state(cfg, 0, sub)
+    merged = pf.merge_states([a, b], cfg, 0)
+    assert merged == a  # b ⊆ a ⇒ merge is a no-op, incl. flags & spare
+
+
+def test_sql_and_yes_workload(spark, keys_df, cfg, built):
+    """'yes' lookup workload (fill_vec_by_samples analogue,
+    /root/reference/Tests/smart_tests.cpp:113-152): sample inserted keys
+    with replacement — all must be found."""
+    from prefix_filter_spark.functions import register_contains_udf
+
+    fn = register_contains_udf(spark, "pf_contains_h", built, cfg.seed)
+    yes = keys_df.sample(withReplacement=True, fraction=0.3, seed=7)
+    n = yes.count()
+    assert yes.where(fn("key")).count() == n
