@@ -112,6 +112,82 @@ def merge_shard_states(df: DataFrame, merge_fn: Callable[[list[bytes]], bytes]) 
     return df.groupBy("shard_id").applyInPandas(merge_group, schema=SHARD_SCHEMA)
 
 
+def build_partials(
+    df: DataFrame,
+    value_col,
+    *,
+    sketch_name: str,
+    acc_factory: Callable[[], "Accumulator"],
+) -> DataFrame:
+    """One partial sketch state per input partition, no shuffle at all.
+
+    For sketches whose state is small and global (HLL registers, CMS
+    counters, KLL compactors, t-digest centroids): each partition folds
+    its rows into an accumulator (vectorized update per Arrow batch),
+    emits one shard row keyed by the Spark partition id (per-partition
+    lineage), and ``tree_merge`` combines the partials. This is the
+    map-side-combine shape: at 1000 executors the shuffle moves only
+    num_partitions tiny states, never the data.
+    """
+    col = value_col if not isinstance(value_col, str) else F.col(value_col)
+    src = df.select(col.alias("v"), F.spark_partition_id().alias("pid"))
+
+    def run(batches):
+        acc = acc_factory()
+        rows = 0
+        pid = -1
+        t0 = time.perf_counter_ns()
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["pid"].iloc[0])
+                acc.update(pdf["v"].to_numpy())
+                rows += len(pdf)
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "sketch": [sketch_name],
+                    "shard_id": [pid],
+                    "state": [acc.to_bytes()],
+                    "n_keys": [rows],
+                    "input_rows": [rows],
+                    "build_ns": [time.perf_counter_ns() - t0],
+                }
+            )
+
+    return src.mapInPandas(run, schema=SHARD_SCHEMA)
+
+
+def tree_merge(
+    df: DataFrame, merge_fn: Callable[[list[bytes]], bytes], fanout: int = 8
+) -> DataFrame:
+    """Reduce partial states to one row via a fan-in tree of grouped
+    merges (the north rule's tree-merge): round r groups shard_id//fanout^r.
+
+    Each round is a tiny shuffle of (num_states / fanout^r) rows; the
+    result is independent of grouping because the combines are
+    associative + commutative (pytest-verified by shuffling orders).
+    """
+    n = df.count()
+    out = df
+    while n > 1:
+        out = out.withColumn(
+            "shard_id", (F.col("shard_id") / F.lit(fanout)).cast("int")
+        )
+        out = merge_shard_states(out, merge_fn)
+        n = out.count()
+    return out
+
+
+class Accumulator:
+    """Interface for build_partials accumulators."""
+
+    def update(self, values: np.ndarray) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def to_bytes(self) -> bytes:  # pragma: no cover
+        raise NotImplementedError
+
+
 def collect_states(shards_df: DataFrame) -> dict[int, bytes]:
     """Collect shard states to the driver (for broadcast-probe).
 
