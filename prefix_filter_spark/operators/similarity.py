@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  All JVM-side (zip_with + aggregate for the dot product); probes are
+  broadcast so the big side streams with no shuffle.
+- ``srp_ann_topk``: the scale path — signed-random-projection (SRP)
+  LSH bucketing + exact rerank inside candidate buckets. Hyperplanes
+  are deterministic (seeded NumPy), generated identically on every
+  executor; at 100TB the bucket join replaces the all-pairs cross
+  product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Exact cosine similarity of two float-array columns (Catalyst only).
+
+    Cast to double *before* any arithmetic so Spark and DuckDB (which
+    promotes FLOAT[] the same way) agree bit-for-bit on the sums.
+    """
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, vec_id, cosine, rank).
+
+    queries: (query_id, embedding). The query side is broadcast —
+    the corpus side never shuffles; ranking is a per-query window.
+    """
+    q = F.broadcast(queries).alias("q")
+    e = embeddings.alias("e")
+    scored = (
+        e.join(q, F.col("q.query_id") != F.col("e.vec_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("e.vec_id").alias("vec_id"),
+            cosine_expr(F.col("q.embedding"), F.col("e.embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_bits)).astype(np.float32)
+
+
+def srp_signature_udf(dim: int, n_bits: int = 64, seed: int = 13):
+    """Pandas UDF: embedding -> SRP signature (packed int64).
+
+    Deterministic hyperplanes from the seed, so signatures computed on
+    different executors (or different jobs) agree — required for
+    resumable / incremental indexing.
+    """
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    @F.pandas_udf(T.LongType())
+    def _sig(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())  # (n, dim), Arrow gives ndarray cells
+        bits = (mat @ planes) > 0
+        packed = np.packbits(bits, axis=1, bitorder="little")
+        return pd.Series(packed.copy().view(np.int64).ravel())
+
+    return _sig
+
+
+def srp_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 64,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """ANN top-k: SRP signature -> band buckets -> exact rerank.
+
+    Recall is tested against cosine_topk on the small SF; at scale the
+    candidate join touches only bucket-mates (bands x 8-bit chunks).
+    """
+    sig = srp_signature_udf(dim, n_bits, seed)
+    bits_per_band = n_bits // bands
+
+    def banded(df: DataFrame, id_col: str) -> DataFrame:
+        s = df.withColumn("_sig", sig(F.col("embedding")))
+        return s.select(
+            id_col,
+            "embedding",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col("_sig"), b * bits_per_band)
+                            .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                            .alias("v"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bv"),
+        ).select(id_col, "embedding", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+
+    eb = banded(embeddings, "vec_id").alias("e")
+    qb = F.broadcast(banded(queries, "query_id")).alias("q")
+    cand = (
+        eb.join(qb, (F.col("e.band") == F.col("q.band")) & (F.col("e.v") == F.col("q.v")))
+        .where(F.col("q.query_id") != F.col("e.vec_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("e.vec_id").alias("vec_id"),
+            F.col("q.embedding").alias("qe"),
+            F.col("e.embedding").alias("ee"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id", "vec_id", cosine_expr(F.col("qe"), F.col("ee")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

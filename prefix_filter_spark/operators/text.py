@@ -1,0 +1,176 @@
+"""Text-analysis operators for training-data pipelines (driver brief):
+token counting, quality scoring, language ID, document fingerprinting.
+
+Everything except language-ID is pure Catalyst expressions (exact,
+DuckDB-mirrorable for the correctness oracle). Language-ID is a
+character-trigram centroid classifier trained on the corpus's own
+labels — a self-contained pandas-UDF pipeline (no external models).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.sources.tokenizer import words_col
+
+# tiny function-word list used for the quality heuristic (public-domain
+# stopwords; the synthetic corpus vocabulary includes 'the' and 'a')
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token statistics — whitespace tokenization (exact)."""
+    ws = words_col("text")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(ws).alias("n_words"),
+        F.col("n_chars").alias("n_chars"),
+        (F.col("n_chars") / F.size(ws)).alias("chars_per_word"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics: length score, stopword ratio,
+    mean word length, combined score. Exact closed-form (oracle-able)."""
+    ws = words_col("text")
+    n_words = F.size(ws)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    stop_ratio = n_stop / n_words
+    mean_wlen = (
+        F.aggregate(ws, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w))
+        / n_words
+    )
+    length_score = F.least(F.lit(1.0), n_words / F.lit(64.0))
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * 5.0)
+        + F.lit(0.3) * F.least(F.lit(1.0), mean_wlen / 6.0)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Exact content fingerprint: md5 of the normalized word join.
+
+    The exact-dedup key (operators.dedup.exact_duplicates); md5 is
+    available in both Spark and DuckDB, so the oracle matches
+    bit-for-bit.
+    """
+    ws = words_col("text")
+    return docs.select(
+        "doc_id", F.md5(F.concat_ws(" ", ws)).alias("fingerprint")
+    )
+
+
+def simhash64(docs: DataFrame, seed: int = 42) -> DataFrame:
+    """64-bit SimHash over word hashes (Charikar 2002).
+
+    Word hashing stays JVM-side (transform + xxhash64 inside Catalyst);
+    the pandas UDF only does the vectorized bit-vote: unpack each
+    word-hash to 64 bits, sum the +-1 votes per doc, sign -> signature.
+    Near-duplicate docs differ in few signature bits.
+    """
+    from pyspark.sql import types as T
+
+    word_hashes = F.transform(words_col("text"), lambda w: F.xxhash64(w, F.lit(seed)))
+
+    @F.pandas_udf(T.LongType())
+    def _vote(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            u = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = np.unpackbits(u.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+            sig = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
+            out[i] = int.from_bytes(sig.tobytes(), "little", signed=True)
+        return pd.Series(out)
+
+    return docs.select("doc_id", _vote(word_hashes).alias("simhash"))
+
+
+# ---------------- language ID (self-trained trigram centroids) ---------
+def _trigram_profile(texts: pd.Series, dim: int = 4096, seed: int = 7) -> np.ndarray:
+    """(n, dim) L2-normalized hashed char-trigram count matrix."""
+    from prefix_filter_spark.hashing import mix_with_seed
+
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        b = t.encode("utf-8", "ignore")
+        if len(b) < 3:
+            continue
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        tri = a[:-2] * np.uint64(65536) + a[1:-1] * np.uint64(256) + a[2:]
+        idx = (mix_with_seed(tri, seed) % np.uint64(dim)).astype(np.int64)
+        counts = np.bincount(idx, minlength=dim).astype(np.float32)
+        norm = np.linalg.norm(counts)
+        if norm > 0:
+            out[i] = counts / norm
+    return out
+
+
+def train_lang_centroids(docs: DataFrame, dim: int = 4096) -> dict[str, np.ndarray]:
+    """Per-language mean trigram profile from the labeled corpus
+    (distributed partial sums per partition, driver-side normalize)."""
+    import pandas as pd
+
+    def partial(batches):
+        sums: dict[str, np.ndarray] = {}
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            profs = _trigram_profile(pdf["text"], dim)
+            for lang in pdf["lang"].unique():
+                m = (pdf["lang"] == lang).to_numpy()
+                sums[lang] = sums.get(lang, np.zeros(dim, np.float32)) + profs[m].sum(0)
+                counts[lang] = counts.get(lang, 0) + int(m.sum())
+        rows = [
+            {"lang": k, "vec": sums[k].tobytes(), "n": counts[k]} for k in sums
+        ]
+        if rows:
+            yield pd.DataFrame(rows)
+
+    parts = docs.select("lang", "text").mapInPandas(
+        partial, schema="lang string, vec binary, n long"
+    ).toPandas()
+    centroids: dict[str, np.ndarray] = {}
+    for lang, grp in parts.groupby("lang"):
+        total = np.sum(
+            [np.frombuffer(v, dtype=np.float32) for v in grp["vec"]], axis=0
+        )
+        norm = np.linalg.norm(total)
+        centroids[str(lang)] = total / norm if norm > 0 else total
+    return centroids
+
+
+def predict_lang(docs: DataFrame, centroids: dict[str, np.ndarray]) -> DataFrame:
+    """Nearest-centroid language prediction (vectorized pandas UDF)."""
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    langs = sorted(centroids)
+    mat = np.stack([centroids[x] for x in langs])  # (L, dim)
+    bc = spark.sparkContext.broadcast((langs, mat))
+
+    @F.pandas_udf(T.StringType())
+    def _pred(text: pd.Series) -> pd.Series:
+        langs_, mat_ = bc.value
+        profs = _trigram_profile(text, mat_.shape[1])
+        sims = profs @ mat_.T
+        return pd.Series([langs_[j] for j in sims.argmax(axis=1)])
+
+    return docs.select("doc_id", "lang", _pred(F.col("text")).alias("lang_pred"))

@@ -1,0 +1,141 @@
+"""Dedup / similarity / text operators vs exact oracles (DuckDB + brute force)."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.operators import dedup, similarity, text
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_ngram_jaccard_matches_duckdb(docs):
+    got = (
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        .orderBy("d1", "d2")
+        .toPandas()
+    )
+    want = duckdb.sql(
+        f"""
+        WITH w AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x->x<>'') ws
+                   FROM '{SF}/documents.parquet'),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS s
+               FROM w),
+        cnts AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id d1, b.doc_id d2, count(*) shared
+                  FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)
+        SELECT d1, d2, shared, ca.n n1, cb.n n2,
+               shared::double/(ca.n+cb.n-shared) jaccard
+        FROM pairs JOIN cnts ca ON ca.doc_id=d1 JOIN cnts cb ON cb.doc_id=d2
+        WHERE shared::double/(ca.n+cb.n-shared) >= 0.8 ORDER BY d1, d2
+        """
+    ).df()
+    assert len(got) == len(want) and len(got) > 0
+    assert got["d1"].tolist() == want["d1"].tolist()
+    assert got["shared"].tolist() == want["shared"].tolist()
+    assert np.allclose(got["jaccard"], want["jaccard"])
+
+
+def test_minhash_lsh_finds_all_high_jaccard_pairs(docs):
+    exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).toPandas()
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.8).toPandas()
+    e = set(zip(exact["d1"], exact["d2"]))
+    l = set(zip(lsh["d1"], lsh["d2"]))
+    assert l == e  # catch prob ~1-1e-7 at j>=0.8 with 32x4 banding
+
+
+def test_simhash_pairs_cover_near_dups(docs):
+    """SimHash catches near-dups among docs long enough for stable bit
+    votes (short docs flip ~half the bits on a one-word edit — that
+    regime belongs to MinHash, see dedup.simhash_pairs docstring)."""
+    long_docs = docs.where(F.size(F.split(F.col("text"), " ")) >= 48)
+    exact = dedup.ngram_jaccard_pairs(long_docs, n=3, threshold=0.9).toPandas()
+    sim = dedup.simhash_pairs(long_docs, max_hamming=8).toPandas()
+    s = set(zip(sim["d1"], sim["d2"]))
+    missed = [p for p in zip(exact["d1"], exact["d2"]) if p not in s]
+    assert len(exact) > 0
+    assert len(missed) <= max(1, len(exact) // 5), missed
+    # and no wild false positives: every reported pair is within distance
+    assert (sim["hamming"] <= 8).all()
+
+
+def test_exact_duplicates_empty_on_unique_corpus(docs):
+    assert dedup.exact_duplicates(docs).count() == 0
+    dup = docs.union(docs.limit(5))
+    got = dedup.exact_duplicates(dup).orderBy("keep_doc_id").toPandas()
+    assert len(got) == 5 and (got["group_size"] == 2).all()
+
+
+def test_cosine_topk_matches_numpy(emb, spark):
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    ep = emb.toPandas()
+    mat = np.vstack(ep["embedding"].to_numpy()).astype(np.float64)
+    ids = ep["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    qp = queries.toPandas()
+    for _, qrow in qp.iterrows():
+        qv = np.asarray(qrow["embedding"], dtype=np.float64)
+        cos = (mat @ qv) / (norms * np.linalg.norm(qv))
+        cos[ids == qrow["query_id"]] = -np.inf
+        top = got[got["query_id"] == qrow["query_id"]].sort_values("rank")
+        # sort by (-cos, vec_id) to mirror the tie-break
+        order = np.lexsort((ids, -cos))[:5]
+        assert top["vec_id"].tolist() == ids[order].tolist()
+        assert np.allclose(top["cosine"].to_numpy(), cos[order], atol=1e-9)
+
+
+def test_srp_ann_recall(emb):
+    """Band width sets the recall/pruning point: this corpus's nearest
+    neighbors are only cos~0.4 (no planted clusters), so use 16x4-bit
+    bands (theoretical recall ~0.93 at that angle). Production tuning:
+    wider bands for genuinely-close duplicates, finer for loose ANN."""
+    queries = emb.limit(16).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    ann = similarity.srp_ann_topk(emb, queries, k=5, bands=16).toPandas()
+    hits = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(ann[ann["query_id"] == qid]["vec_id"])
+        hits += len(e & a)
+    recall = hits / len(exact)
+    assert recall >= 0.6, recall
+    # reported cosines are exact (rerank is exact) — spot-check one value
+    merged = ann.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    assert np.allclose(merged["cosine_a"], merged["cosine_e"])
+
+
+def test_quality_and_fingerprint_deterministic(docs):
+    q1 = text.quality_score(docs).orderBy("doc_id").toPandas()
+    q2 = text.quality_score(docs).orderBy("doc_id").toPandas()
+    assert q1.equals(q2)
+    fp = text.doc_fingerprint(docs).toPandas()
+    assert fp["fingerprint"].nunique() == len(fp)
+    # DuckDB agrees on the md5 fingerprint (exact cross-engine)
+    want = duckdb.sql(
+        f"""SELECT doc_id, md5(array_to_string(list_filter(string_split(lower(text),' '), x->x<>''),' ')) f
+            FROM '{SF}/documents.parquet' ORDER BY doc_id"""
+    ).df()
+    got = fp.sort_values("doc_id").reset_index(drop=True)
+    assert got["fingerprint"].tolist() == want["f"].tolist()
+
+
+def test_lang_id_mechanics(spark, docs):
+    cents = text.train_lang_centroids(docs.limit(200))
+    assert set(cents) == {"en", "zh", "es", "de", "fr"}
+    pred = text.predict_lang(docs.limit(50), cents).toPandas()
+    assert len(pred) == 50 and pred["lang_pred"].isin(list(cents)).all()
