@@ -32,6 +32,9 @@ def register_contains_udf(
     ``sketch`` must expose ``contains_h(np.ndarray[u64]) -> bool array``
     (ShardedBloom, ShardedPrefixFilter, ...).
     """
+    predecode = getattr(sketch, "predecode", None)
+    if predecode is not None:
+        predecode()  # pay header decode once, ship decoded tables
     bc = spark.sparkContext.broadcast(sketch)
 
     @F.pandas_udf(T.BooleanType())

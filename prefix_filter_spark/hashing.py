@@ -39,13 +39,29 @@ def as_u64(a) -> np.ndarray:
 
 
 def splitmix64(x) -> np.ndarray:
-    """Vectorized splitmix64 finalizer: uint64 -> well-mixed uint64."""
+    """Vectorized splitmix64 finalizer: uint64 -> well-mixed uint64.
+
+    In-place ops on two buffers (one output, one shift temp): ~6 memory
+    passes instead of ~12 — this mixer sits on every build/probe hot
+    path, so allocation churn matters at Arrow-batch scale.
+    """
     old = np.seterr(over="ignore")
     try:
-        z = as_u64(x) + _SM_GAMMA
-        z = (z ^ (z >> np.uint64(30))) * _SM_M1
-        z = (z ^ (z >> np.uint64(27))) * _SM_M2
-        return z ^ (z >> np.uint64(31))
+        z = as_u64(x) + _SM_GAMMA  # one fresh output buffer
+        if z.ndim == 0:
+            z = (z ^ (z >> np.uint64(30))) * _SM_M1
+            z = (z ^ (z >> np.uint64(27))) * _SM_M2
+            return z ^ (z >> np.uint64(31))
+        t = np.empty_like(z)
+        np.right_shift(z, np.uint64(30), out=t)
+        z ^= t
+        z *= _SM_M1
+        np.right_shift(z, np.uint64(27), out=t)
+        z ^= t
+        z *= _SM_M2
+        np.right_shift(z, np.uint64(31), out=t)
+        z ^= t
+        return z
     finally:
         np.seterr(**old)
 

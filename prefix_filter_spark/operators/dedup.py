@@ -149,12 +149,39 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2"))
         .distinct()
     )
-    # exact verification of candidates only
-    exact = ngram_jaccard_pairs(docs, n=n, threshold=0.0).alias("e")
-    c = candidates.alias("c")
+    # exact verification of candidates ONLY: join the candidate pairs to
+    # the two shingle sets — never the all-pairs shingle self-join (that
+    # would defeat the LSH cut; at scale candidates << all pairs)
+    sh = shingles(docs, n).cache()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    c = F.broadcast(candidates).alias("c")
+    shared = (
+        c.join(sa, F.col("c.d1") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("c.d2") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("c.d1", "c.d2")
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
     return (
-        c.join(exact, (F.col("c.d1") == F.col("e.d1")) & (F.col("c.d2") == F.col("e.d2")))
-        .select("e.d1", "e.d2", "e.shared", "e.n1", "e.n2", "e.jaccard")
+        shared.join(ca, F.col("d1") == F.col("ca.doc_id"))
+        .join(cb, F.col("d2") == F.col("cb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            "shared",
+            F.col("ca.n_sh").alias("n1"),
+            F.col("cb.n_sh").alias("n2"),
+            (
+                F.col("shared")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("shared"))
+            ).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -67,9 +67,18 @@ class CmsAccumulator(base.Accumulator):
         if len(values) == 0:
             return
         g = mix_with_seed(as_u64(values), self.cfg.seed + 0xC035)
-        pos = _positions(g, self.cfg.depth, self.cfg.width)
-        for j in range(self.cfg.depth):  # d (=5) bincounts, each vectorized
-            self.counters[j] += np.bincount(pos[:, j], minlength=self.cfg.width)
+        old = np.seterr(over="ignore")
+        try:
+            a = g >> np.uint64(32)
+            b = g & np.uint64(0xFFFFFFFF)
+            w64 = np.uint64(self.cfg.width)
+            for j in range(self.cfg.depth):
+                # 1-D per row (no (n,d) temporaries): a + j*b fastranged
+                mix = (a + np.uint64(j) * b) & np.uint64(0xFFFFFFFF)
+                pos = ((mix * w64) >> np.uint64(32)).astype(np.int64)
+                self.counters[j] += np.bincount(pos, minlength=self.cfg.width)
+        finally:
+            np.seterr(**old)
         self.total += len(values)
 
     def to_bytes(self) -> bytes:

@@ -19,7 +19,7 @@ from functools import reduce
 import numpy as np
 from pyspark.sql import DataFrame
 
-from prefix_filter_spark.hashing import as_u64, bit_length_u64, mix_with_seed
+from prefix_filter_spark.hashing import as_u64, mix_with_seed
 from prefix_filter_spark.sketches import base
 
 _MAGIC = b"PFSH"
@@ -52,8 +52,11 @@ class HllAccumulator(base.Accumulator):
         p = self.cfg.p
         idx = (g & np.uint64(self.cfg.m - 1)).astype(np.int64)
         w = g >> np.uint64(p)
-        rho = (64 - p) - bit_length_u64(w) + 1  # w==0 -> 64-p+1 (bit_length 0)
-        np.maximum.at(self.registers, idx, rho.astype(np.uint8))
+        # w < 2^(64-p) <= 2^52: float64 is exact, frexp gives bit_length
+        # in one vectorized pass (vs 6-step shift loop)
+        _, exp = np.frexp(w.astype(np.float64))
+        rho = ((64 - p) - exp + 1).astype(np.uint8)  # w==0 -> exp 0 -> 64-p+1
+        np.maximum.at(self.registers, idx, rho)
 
     def to_bytes(self) -> bytes:
         return _HDR.pack(_MAGIC, _VERSION, self.cfg.p, 0) + self.registers.tobytes()

@@ -233,9 +233,25 @@ class ShardedPrefixFilter:
             headers, body, spare = _parse_state(self.states[sid])
             counts_incl, overflowed, last_quot = pd_kernel.decode_headers(headers)
             max_qr = pd_kernel.max_qr_of(body, counts_incl, overflowed, last_quot)
-            dec = (counts_incl, overflowed, max_qr, body, spare)
+            # compact dtypes: decoded tables ride the broadcast after
+            # predecode(), so keep them ~1 byte/slot
+            dec = (
+                counts_incl.astype(np.uint8),
+                overflowed,
+                max_qr.astype(np.int16),
+                body,
+                spare,
+            )
             self._decoded[sid] = dec
         return dec
+
+    def predecode(self) -> "ShardedPrefixFilter":
+        """Decode every shard's headers once (driver-side, before
+        broadcast) so executors probe immediately — the batch analogue
+        of the reference amortizing select64 across a probe loop."""
+        for sid in self.states:
+            self._shard(sid)
+        return self
 
     def contains_h(self, h) -> np.ndarray:
         h = as_u64(np.asarray(h))
