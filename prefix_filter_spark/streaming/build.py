@@ -1,0 +1,122 @@
+"""Structured-streaming sketch builds.
+
+The reference filters are incremental by design (`Add` one key at a
+time, wrappers.hpp:675-720); the streaming form recovers exactly that:
+each micro-batch builds partial shard states, which merge associatively
+into the running state (bit-identical to a batch build over the union —
+the property the merge tests pin down). Two shapes:
+
+- ``foreach_batch_build``: exactly-once accumulation into a parquet
+  state store via foreachBatch (the recommended custom-sink pattern);
+  works for every sketch in the library since they all expose
+  ``merge_states``.
+- ``streaming_distinct_by_source``: applyInPandasWithState showcase —
+  per-`source` running distinct-token estimate with HLL state kept in
+  the streaming state store.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from prefix_filter_spark.sketches import base
+
+
+def foreach_batch_build(
+    stream_df: DataFrame,
+    key_col: str,
+    *,
+    build_fn: Callable[[DataFrame, str], DataFrame],
+    merge_fn: Callable[[list[bytes]], bytes],
+    state_path: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """writeStream.foreachBatch: per-batch partial build + merge into the
+    parquet shard-state store. Returns the started StreamingQuery.
+
+    Merge associativity makes replay safe: re-merging an already-applied
+    batch after a failure is idempotent for OR/max-merge sketches and
+    harmless-by-dedupe for the prefix filter (set semantics).
+    """
+    spark = stream_df.sparkSession
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = build_fn(batch_df, key_col)
+        try:
+            existing = spark.read.parquet(state_path)
+        except Exception:  # noqa: BLE001 — first batch
+            existing = None
+        if existing is None:
+            merged = partial
+        else:
+            merged = base.merge_shard_states(existing.unionByName(partial), merge_fn)
+        # write-then-swap would need an atomic rename; parquet overwrite
+        # is transactional enough for the local store (driver-side)
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(state_path + f".epoch{epoch_id}")
+        spark.read.parquet(state_path + f".epoch{epoch_id}").write.mode(
+            "overwrite"
+        ).parquet(state_path)
+        merged.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_distinct_by_source(
+    events: DataFrame,
+    *,
+    p: int = 12,
+    seed: int = 42,
+    timeout: str = "NoTimeout",
+):
+    """Stateful streaming op: running HLL distinct-token estimate per
+    `source`, state = serialized registers (applyInPandasWithState).
+
+    Input stream schema: (source string, token long). Output per batch:
+    (source, n_distinct_est double, n_rows bigint).
+    """
+    from prefix_filter_spark.sketches import hll
+
+    cfg = hll.HllConfig(p=p, seed=seed)
+
+    def update(key, pdfs, state: GroupState):
+        acc = hll.HllAccumulator(cfg)
+        if state.exists:
+            (blob,) = state.get
+            merged_prev = blob
+        else:
+            merged_prev = None
+        rows = 0
+        for pdf in pdfs:
+            acc.update(pdf["token"].to_numpy())
+            rows += len(pdf)
+        new_state = acc.to_bytes()
+        if merged_prev is not None:
+            new_state = hll.merge_states([merged_prev, new_state])
+        state.update((new_state,))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_distinct_est": [hll.estimate(new_state)],
+                "n_rows": [rows],
+            }
+        )
+
+    return events.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType="source string, n_distinct_est double, n_rows long",
+        stateStructType="state binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,182 @@
+"""Checkpoint/resume, salted skew aggregation, synthetic source,
+streaming builds."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.plans import checkpoint, salting
+from prefix_filter_spark.sketches import bloom
+from prefix_filter_spark.sources import synthetic
+
+TMP = "/root/repo/.tmp/tests"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clean_tmp():
+    shutil.rmtree(TMP, ignore_errors=True)
+    yield
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_build_or_resume_full_cycle(spark):
+    cfg = bloom.BloomConfig(n_capacity=20_000, bits_per_key=10, num_shards=8, seed=3)
+    keys = spark.range(20_000).select(F.col("id").alias("key"))
+    path = f"{TMP}/bloom_ckpt"
+
+    built = checkpoint.build_or_resume(
+        spark, keys, "key",
+        seed=cfg.seed, num_shards=cfg.num_shards,
+        build_fn=lambda df, k: bloom.build_bloom(df, k, cfg),
+        checkpoint_path=path,
+    )
+    assert built.count() == 8
+    states1 = {r["shard_id"]: bytes(r["state"]) for r in built.collect()}
+
+    # resume with a complete checkpoint: nothing rebuilds, states identical
+    again = checkpoint.build_or_resume(
+        spark, keys, "key",
+        seed=cfg.seed, num_shards=cfg.num_shards,
+        build_fn=lambda df, k: (_ for _ in ()).throw(AssertionError("rebuilt!")),
+        checkpoint_path=path,
+    )
+    states2 = {r["shard_id"]: bytes(r["state"]) for r in again.collect()}
+    assert states1 == states2
+
+
+def test_build_or_resume_partial(spark):
+    """Simulate a crash that persisted only half the shards: resume
+    rebuilds exactly the missing ones and the union equals a clean build."""
+    cfg = bloom.BloomConfig(n_capacity=20_000, bits_per_key=10, num_shards=8, seed=4)
+    keys = spark.range(20_000).select(F.col("id").alias("key"))
+    full = bloom.build_bloom(keys, "key", cfg)
+    full_states = {r["shard_id"]: bytes(r["state"]) for r in full.collect()}
+
+    path = f"{TMP}/bloom_partial"
+    kept = full.where(F.col("shard_id") < 4)
+    checkpoint.save_shards(kept, path)
+
+    resumed = checkpoint.build_or_resume(
+        spark, keys, "key",
+        seed=cfg.seed, num_shards=cfg.num_shards,
+        build_fn=lambda df, k: bloom.build_bloom(df, k, cfg),
+        checkpoint_path=path,
+    )
+    got = {r["shard_id"]: bytes(r["state"]) for r in resumed.collect()}
+    assert got == full_states
+
+    rep = checkpoint.lineage_report(resumed).toPandas()
+    assert set(rep.columns) >= {"shard_id", "input_rows", "n_keys", "build_ns", "state_bytes"}
+    assert len(rep) == 8
+
+
+def test_salted_agg_matches_plain(spark):
+    docs = synthetic.synthetic_documents(spark, 5_000, seed=7)
+    plain = docs.groupBy("source").count().orderBy("source").toPandas()
+    salted = (
+        salting.salted_count(docs, ["source"], F.col("doc_id"), salt_buckets=16)
+        .orderBy("source")
+        .toPandas()
+    )
+    assert plain["source"].tolist() == salted["source"].tolist()
+    assert plain["count"].tolist() == salted["n"].tolist()
+    # the skew is real: 'web' holds ~half the corpus
+    frac = plain.set_index("source")["count"]["web"] / plain["count"].sum()
+    assert 0.4 < frac < 0.6
+
+
+def test_synthetic_documents_deterministic_and_shaped(spark):
+    a = synthetic.synthetic_documents(spark, 1_000, seed=42).toPandas()
+    b = synthetic.synthetic_documents(spark, 1_000, seed=42).toPandas()
+    assert a.equals(b)
+    assert a["doc_id"].is_unique
+    assert (a["n_tok"] == a["tokens"].map(len)).all()
+    # token-array round-trip invariant (input_hint per-row invariant)
+    docs = synthetic.synthetic_documents(spark, 500, seed=1)
+    path = f"{TMP}/tokens_roundtrip"
+    docs.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    rebuilt = (
+        back.select("doc_id", F.posexplode("tokens").alias("pos", "token"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "token"))).alias("pt"))
+        .select("doc_id", F.col("pt.token").alias("tokens"))
+    )
+    j = (
+        back.alias("o")
+        .join(rebuilt.alias("r"), "doc_id")
+        .where(F.col("o.tokens") != F.col("r.tokens"))
+        .count()
+    )
+    assert j == 0
+    # heavy hitters exist (log-uniform tokens)
+    tok = synthetic.exploded_token_stream(docs)
+    top = tok.groupBy("token").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    assert top["count"] > tok.count() / 1000
+
+
+def test_streaming_foreach_batch_equals_batch(spark):
+    """Stream the key range in 4 micro-batch files; final merged state
+    must equal the one-shot batch build (merge associativity live)."""
+    from prefix_filter_spark.streaming.build import foreach_batch_build
+
+    cfg = bloom.BloomConfig(n_capacity=20_000, bits_per_key=10, num_shards=4, seed=5)
+    keys = spark.range(20_000).select(F.col("id").alias("key"))
+    src_dir = f"{TMP}/stream_src"
+    for i in range(4):
+        keys.where(F.pmod("key", F.lit(4)) == i).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src_dir)
+
+    stream = spark.readStream.schema("key long").parquet(src_dir)
+    q = foreach_batch_build(
+        stream,
+        "key",
+        build_fn=lambda df, k: bloom.build_bloom(df, k, cfg),
+        merge_fn=bloom.merge_states,
+        state_path=f"{TMP}/stream_state",
+        checkpoint_dir=f"{TMP}/stream_ckpt",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["shard_id"]: bytes(r["state"])
+        for r in spark.read.parquet(f"{TMP}/stream_state").collect()
+    }
+    want = {
+        r["shard_id"]: bytes(r["state"])
+        for r in bloom.build_bloom(keys, "key", cfg).collect()
+    }
+    assert got == want
+
+
+def test_streaming_stateful_hll(spark):
+    from prefix_filter_spark.streaming.build import streaming_distinct_by_source
+
+    docs = synthetic.synthetic_documents(spark, 2_000, seed=9)
+    tok = synthetic.exploded_token_stream(docs).select(
+        "source", F.col("token").cast("long").alias("token")
+    )
+    src_dir = f"{TMP}/stateful_src"
+    tok.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema("source string, token long").parquet(src_dir)
+    out = streaming_distinct_by_source(stream, p=12, seed=42)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hll_by_source")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{TMP}/stateful_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT source, max(n_distinct_est) est FROM hll_by_source GROUP BY source"
+    ).toPandas()
+    exact = tok.groupBy("source").agg(F.countDistinct("token").alias("d")).toPandas()
+    m = got.merge(exact, on="source")
+    assert len(m) == 5
+    rel = (m["est"] - m["d"]).abs() / m["d"]
+    assert (rel < 0.1).all(), m
