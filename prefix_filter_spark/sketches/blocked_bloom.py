@@ -1,0 +1,186 @@
+"""Blocked Bloom filter (register-blocked) — the reference's BBF family.
+
+Semantics follow ``SimdBlockFilter`` (/root/reference/Bloom_Filter/
+simd-block.h:29-152): one cache-line-sized block per key, k=8 bits set,
+one bit per 32-bit lane, lane bit picked by an 8-constant multiply-shift
+(``simd-block.h:100-114`` MakeMask); and ``Impala512``
+(/root/reference/Bloom_Filter/Impala512.h) which is the same with
+64-byte blocks. ``SimdBlockFilterFixed`` (simd-block-fixed-fpp.h:46-213)
+= non-power-of-2 block count via fastrange — which is what we use.
+
+Vectorized: a key batch computes its (block, 8-lane-bit) matrix in
+NumPy; the block OR is np.bitwise_or.at on the uint32 lane view.
+Merge = elementwise OR (same-shard partials bit-identical, like bloom).
+
+Trade-off vs classic Bloom (same as the reference's): one memory line
+per op instead of k scattered lines -> much faster probes, ~2x higher
+FPR at the same bits/key (block-local collisions).
+
+State: 'PFBB' | u8 ver | u8 log2(block_bytes) | u16 pad | u64 num_blocks
+       | blocks (num_blocks * block_bytes).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+from functools import reduce
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from prefix_filter_spark.hashing import as_u64, mix_with_seed, shard_of
+from prefix_filter_spark.sketches import base
+
+_MAGIC = b"PFBB"
+_VERSION = 1
+_HDR = struct.Struct("<4sBBHQ")
+
+# the reference's 8 odd multiply constants (public, from the SIMD
+# blocked-bloom literature; simd-block.h:100-108)
+_SALTS = np.array(
+    [
+        0x47B6137B,
+        0x44974D91,
+        0x8824AD5B,
+        0xA2B7289D,
+        0x705495C7,
+        0x2DF1424B,
+        0x9EFC4947,
+        0x5C6BFB31,
+    ],
+    dtype=np.uint64,
+)
+
+
+@dataclass(frozen=True)
+class BlockedBloomConfig:
+    n_capacity: int
+    bits_per_key: int = 10
+    block_bytes: int = 32  # 32 = SimdBlockFilter, 64 = Impala512
+    num_shards: int = 32
+    seed: int = 42
+
+    @property
+    def num_blocks_per_shard(self) -> int:
+        per_shard_keys = math.ceil(self.n_capacity / self.num_shards)
+        m_bits = per_shard_keys * self.bits_per_key
+        return max(1, math.ceil(m_bits / (8 * self.block_bytes)))
+
+    @property
+    def lanes(self) -> int:
+        return self.block_bytes // 4  # 32-bit lanes per block
+
+
+def _block_and_masks(cfg: BlockedBloomConfig, g: np.ndarray):
+    """(block index, lane bit positions[8]) per key — MakeMask analogue."""
+    old = np.seterr(over="ignore")
+    try:
+        block = ((g >> np.uint64(32)) * np.uint64(cfg.num_blocks_per_shard)) >> np.uint64(32)
+        h32 = g & np.uint64(0xFFFFFFFF)
+        # 8 lane-bit picks: (h * salt_i) >> 27 gives a 5-bit bit index
+        prod = (h32[:, None] * _SALTS[None, :]) & np.uint64(0xFFFFFFFF)
+        bitpos = (prod >> np.uint64(27)).astype(np.uint32)  # [0, 32)
+        lane_count = cfg.lanes
+        if lane_count == 8:
+            # SimdBlockFilter: bit i goes to lane i (simd-block.h:130-138)
+            lanes = np.broadcast_to(
+                np.arange(8, dtype=np.int64)[None, :], bitpos.shape
+            )
+        else:
+            # 64B blocks (Impala512 shape): lane picked from product bits
+            # so all 16 lanes are used
+            lanes = ((prod >> np.uint64(22)) & np.uint64(lane_count - 1)).astype(
+                np.int64
+            )
+        return block.astype(np.int64), lanes, bitpos
+    finally:
+        np.seterr(**old)
+
+
+def _build_state(cfg: BlockedBloomConfig, hashes_u64: np.ndarray) -> bytes:
+    nblocks = cfg.num_blocks_per_shard
+    lanes_total = nblocks * cfg.lanes
+    lanes_arr = np.zeros(lanes_total, dtype=np.uint32)
+    if len(hashes_u64):
+        g = mix_with_seed(hashes_u64, cfg.seed + 0xBB0C)
+        block, lanes, bitpos = _block_and_masks(cfg, g)
+        lane_idx = block[:, None] * cfg.lanes + lanes
+        np.bitwise_or.at(
+            lanes_arr, lane_idx.ravel(), (np.uint32(1) << bitpos.ravel())
+        )
+    return (
+        _HDR.pack(_MAGIC, _VERSION, cfg.block_bytes.bit_length() - 1, 0, nblocks)
+        + lanes_arr.tobytes()
+    )
+
+
+def _parse_state(state: bytes):
+    magic, version, log2_bb, _, nblocks = _HDR.unpack_from(state, 0)
+    if magic != _MAGIC or version != _VERSION:
+        raise ValueError("bad blocked-bloom state")
+    block_bytes = 1 << log2_bb
+    lanes = np.frombuffer(state, dtype=np.uint32, offset=_HDR.size)
+    return block_bytes, nblocks, lanes
+
+
+def _contains_in_state(cfg: BlockedBloomConfig, state: bytes, g: np.ndarray) -> np.ndarray:
+    _, nblocks, lanes_arr = _parse_state(state)
+    if len(g) == 0:
+        return np.zeros(0, dtype=bool)
+    block, lanes, bitpos = _block_and_masks(cfg, g)
+    lane_idx = block[:, None] * cfg.lanes + lanes
+    want = np.uint32(1) << bitpos
+    got = lanes_arr[lane_idx]
+    return ((got & want) == want).all(axis=1)
+
+
+def merge_states(states: list[bytes]) -> bytes:
+    parsed = [_parse_state(s) for s in states]
+    bb, nb = parsed[0][0], parsed[0][1]
+    if any(p[0] != bb or p[1] != nb for p in parsed):
+        raise ValueError("config mismatch")
+    merged = reduce(np.bitwise_or, (p[2] for p in parsed[1:]), parsed[0][2])
+    return _HDR.pack(_MAGIC, _VERSION, bb.bit_length() - 1, 0, nb) + merged.tobytes()
+
+
+def build_blocked_bloom(df: DataFrame, key_col, cfg: BlockedBloomConfig) -> DataFrame:
+    return base.build_sharded(
+        df,
+        key_col,
+        sketch_name=f"bbf{cfg.block_bytes * 8}",
+        seed=cfg.seed,
+        num_shards=cfg.num_shards,
+        state_fn=lambda shard_id, hashes: _build_state(cfg, hashes),
+    )
+
+
+class ShardedBlockedBloom:
+    def __init__(self, cfg: BlockedBloomConfig, states: dict[int, bytes]):
+        self.cfg = cfg
+        self.states = states
+
+    @classmethod
+    def from_df(cls, cfg, shards_df) -> "ShardedBlockedBloom":
+        return cls(cfg, base.collect_states(shards_df))
+
+    def byte_size(self) -> int:
+        return sum(len(s) for s in self.states.values())
+
+    def contains_h(self, h) -> np.ndarray:
+        h = as_u64(np.asarray(h))
+        out = np.zeros(len(h), dtype=bool)
+        if len(h) == 0:
+            return out
+        shards = shard_of(h, self.cfg.num_shards).astype(np.int64)
+        g = mix_with_seed(h, self.cfg.seed + 0xBB0C)
+        order = np.argsort(shards, kind="stable")
+        ss = shards[order]
+        bounds = np.searchsorted(ss, np.arange(self.cfg.num_shards + 1))
+        for sid in np.unique(ss):
+            idx = order[bounds[sid] : bounds[sid + 1]]
+            st = self.states.get(int(sid))
+            if st is not None:
+                out[idx] = _contains_in_state(self.cfg, st, g[idx])
+        return out

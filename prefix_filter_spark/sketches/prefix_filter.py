@@ -58,6 +58,9 @@ class PrefixFilterConfig:
     l1_load: float = 0.95
     spare_bits_per_key: int = 10
     spare_ratio: float = 0.08  # expected evictions ~6.8% (wrappers.hpp:548-562) + margin
+    # pluggable spare, the reference's template parameter
+    # (Prefix_Filter<TC_shortcut> etc., example.cpp:4-5): "bloom" | "tc"
+    spare_kind: str = "bloom"
 
     @property
     def shard_capacity(self) -> int:
@@ -79,6 +82,40 @@ class PrefixFilterConfig:
             num_shards=1,
             seed=self.seed ^ 0x5A5A5A5A,
         )
+
+    def spare_tc_config(self):
+        from prefix_filter_spark.sketches import two_choice as tc
+
+        return tc.TwoChoiceConfig(
+            n_capacity=self.spare_capacity_per_shard,
+            num_shards=1,
+            seed=self.seed ^ 0x5A5A5A5A,
+        )
+
+
+def _spare_build(cfg: PrefixFilterConfig, keys_u64: np.ndarray) -> bytes:
+    if cfg.spare_kind == "tc":
+        from prefix_filter_spark.sketches import two_choice as tc
+
+        return tc._build_state(cfg.spare_tc_config(), keys_u64)
+    return bloom._build_state(cfg.spare_bloom_config(), keys_u64)
+
+
+def _spare_merge(cfg: PrefixFilterConfig, states: list[bytes]) -> bytes:
+    if cfg.spare_kind == "tc":
+        from prefix_filter_spark.sketches import two_choice as tc
+
+        return tc.merge_states(states, cfg.spare_tc_config())
+    return bloom.merge_states(states)
+
+
+def _spare_probe(cfg: PrefixFilterConfig, spare_state: bytes, keys_u64: np.ndarray) -> np.ndarray:
+    if cfg.spare_kind == "tc":
+        from prefix_filter_spark.sketches import two_choice as tc
+
+        return tc._contains_in_state(cfg.spare_tc_config(), spare_state, keys_u64)
+    g = mix_with_seed(keys_u64, cfg.spare_bloom_config().seed + 0x5EED)
+    return bloom._contains_in_state(spare_state, g)
 
 
 def _derive_pd_qr(hashes_u64: np.ndarray, cfg: PrefixFilterConfig):
@@ -105,8 +142,8 @@ def _build_state(cfg: PrefixFilterConfig, shard_id: int, hashes_u64: np.ndarray)
     pd_idx, qr = _derive_pd_qr(hashes_u64, cfg)
     num_pd = cfg.num_pd_per_shard
     headers, body, ev_pd, ev_qr, _n_l1 = pd_kernel.build_pds(pd_idx, qr, num_pd)
-    spare_state = bloom._build_state(
-        cfg.spare_bloom_config(), np.unique(_spare_keys(shard_id, cfg, ev_pd, ev_qr))
+    spare_state = _spare_build(
+        cfg, np.unique(_spare_keys(shard_id, cfg, ev_pd, ev_qr))
     )
     return (
         _HDR.pack(_MAGIC, _VERSION, 0, 0, num_pd, len(spare_state))
@@ -187,11 +224,10 @@ def merge_states(states: list[bytes], cfg: PrefixFilterConfig, shard_id: int) ->
             axis=1,
         )
         headers = pd_kernel.encode_headers(counts_q, overflowed | need_fix, lq)
-    spare_states = [s for s in spares]
-    ev_state = bloom._build_state(
-        cfg.spare_bloom_config(), np.unique(_spare_keys(shard_id, cfg, ev_pd, ev_qr))
+    ev_state = _spare_build(
+        cfg, np.unique(_spare_keys(shard_id, cfg, ev_pd, ev_qr))
     )
-    spare = bloom.merge_states(spare_states + [ev_state])
+    spare = _spare_merge(cfg, spares + [ev_state])
     return (
         _HDR.pack(_MAGIC, _VERSION, 0, 0, num_pd, len(spare))
         + headers.tobytes()
@@ -262,7 +298,6 @@ class ShardedPrefixFilter:
         order = np.argsort(shards, kind="stable")
         sorted_shards = shards[order]
         bounds = np.searchsorted(sorted_shards, np.arange(self.cfg.num_shards + 1))
-        spare_cfg = self.cfg.spare_bloom_config()
         for sid in np.unique(sorted_shards):
             idx = order[bounds[sid] : bounds[sid + 1]]
             if int(sid) not in self.states:
@@ -275,8 +310,7 @@ class ShardedPrefixFilter:
             res = l1_hit
             if route_spare.any():
                 sk = _spare_keys(int(sid), self.cfg, pd_idx[route_spare], qr[route_spare])
-                g = mix_with_seed(sk, spare_cfg.seed + 0x5EED)
                 res = res.copy()
-                res[route_spare] = bloom._contains_in_state(spare, g)
+                res[route_spare] = _spare_probe(self.cfg, spare, sk)
             out[idx] = res
         return out

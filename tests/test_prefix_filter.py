@@ -97,3 +97,22 @@ def test_sql_and_yes_workload(spark, keys_df, cfg, built):
     yes = keys_df.sample(withReplacement=True, fraction=0.3, seed=7)
     n = yes.count()
     assert yes.where(fn("key")).count() == n
+
+
+def test_tc_spare_variant(spark, keys_df):
+    """PF[TC] — the reference's flagship assembly (example.cpp:4-5):
+    prefix filter with a two-choice spare."""
+    cfg = pf.PrefixFilterConfig(n_capacity=N_KEYS, num_shards=16, seed=11, spare_kind="tc")
+    built = pf.ShardedPrefixFilter.from_df(cfg, pf.build_prefix_filter(keys_df, "key", cfg))
+    h = _hashes(spark, keys_df, "key", cfg.seed)
+    assert built.contains_h(h).all(), "PF[TC] false negatives"
+    probes = spark.range(80_000_000, 80_000_000 + 200_000).select(F.col("id").alias("key"))
+    fpr = built.contains_h(_hashes(spark, probes, "key", cfg.seed)).mean()
+    assert fpr <= 0.006, fpr
+    # merge associativity holds with the TC spare too
+    rng = np.random.default_rng(6)
+    keys = as_u64(rng.integers(0, 2**63, 20_000, dtype=np.int64))
+    full = pf._build_state(cfg, 2, np.unique(keys))
+    parts = [pf._build_state(cfg, 2, np.unique(p)) for p in np.array_split(keys, 4)]
+    merged = pf.merge_states(parts, cfg, 2)
+    assert merged == full

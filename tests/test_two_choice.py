@@ -1,0 +1,65 @@
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.hashing import as_u64
+from prefix_filter_spark.plans.sharding import hashed_key_col
+from prefix_filter_spark.sketches import two_choice as tc
+
+N = 80_000
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tc.TwoChoiceConfig(n_capacity=N, num_shards=16, seed=8)
+
+
+def test_zero_fn_and_fpr(spark, cfg):
+    keys = spark.range(N).select(F.col("id").alias("key"))
+    handle = tc.ShardedTwoChoice.from_df(cfg, tc.build_two_choice(keys, "key", cfg))
+    h = keys.select(hashed_key_col("key", cfg.seed).alias("h")).toPandas()["h"].to_numpy()
+    assert handle.contains_h(h).all(), "false negatives"
+    probes = (
+        spark.range(7 * 10**9, 7 * 10**9 + 200_000)
+        .select(hashed_key_col(F.col("id"), cfg.seed).alias("h"))
+        .toPandas()["h"]
+        .to_numpy()
+    )
+    fpr = handle.contains_h(probes).mean()
+    # ~2 buckets x 16 slots x 2^-12 x small const; assert a loose bound
+    assert fpr <= 0.02, fpr
+
+
+def test_little_overflow_at_design_load(cfg):
+    rng = np.random.default_rng(1)
+    keys = as_u64(rng.integers(0, 2**63, N // cfg.num_shards, dtype=np.int64))
+    state = tc._build_state(cfg, np.unique(keys))
+    _, _, _, _, overflow = tc._parse_state(state)
+    assert len(overflow) < len(keys) * 0.01  # two-choice keeps overflow tiny
+
+
+def test_merge_bit_identical_any_order(cfg):
+    rng = np.random.default_rng(2)
+    keys = as_u64(rng.integers(0, 2**63, 20_000, dtype=np.int64))
+    full = tc._build_state(cfg, np.unique(keys))
+    parts = np.array_split(keys, 6)
+    partials = [tc._build_state(cfg, np.unique(p)) for p in parts]
+    for t in range(4):
+        s = list(partials)
+        r = random.Random(t)
+        r.shuffle(s)
+        while len(s) > 1:
+            i = r.randrange(len(s) - 1)
+            a, b = s.pop(i), s.pop(i)
+            s.insert(i, tc.merge_states([a, b], cfg))
+        assert s[0] == full, t
+
+
+def test_arrival_order_free(cfg):
+    rng = np.random.default_rng(3)
+    keys = as_u64(rng.integers(0, 2**63, 10_000, dtype=np.int64))
+    a = tc._build_state(cfg, np.unique(keys))
+    b = tc._build_state(cfg, np.unique(rng.permutation(keys)))
+    assert a == b
