@@ -358,6 +358,113 @@ def q_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _membership_panel(spark, sf_dir, build, handle_cls, cfg, fpr_bound, prefix):
+    from prefix_filter_spark.functions import register_contains_udf
+
+    words = _word_stream(spark, sf_dir).distinct()
+    n = words.count()
+    handle = handle_cls.from_df(cfg, build(words, "word", cfg))
+    fn = register_contains_udf(spark, f"{prefix}_contains", handle, cfg.seed)
+    found = words.where(fn("word")).count()
+    probes = spark.range(30_000_000, 30_000_000 + 50_000).select(
+        F.concat(F.lit(f"{prefix}_"), F.col("id").cast("string")).alias("word")
+    )
+    fp = probes.where(fn("word")).count()
+    return spark.createDataFrame(
+        [(n, n - found, bool(fp / 50_000 <= fpr_bound))],
+        "n_probed bigint, false_negatives bigint, fpr_ok boolean",
+    )
+
+
+def q_blocked_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefix_filter_spark.sketches import blocked_bloom as bb
+
+    n = _word_stream(spark, sf_dir).distinct().count()
+    cfg = bb.BlockedBloomConfig(
+        n_capacity=max(n, 1024), bits_per_key=10, num_shards=8, seed=42
+    )
+    return _membership_panel(
+        spark, sf_dir, bb.build_blocked_bloom, bb.ShardedBlockedBloom, cfg, 0.05, "bbf"
+    )
+
+
+def q_two_choice_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefix_filter_spark.sketches import two_choice as tc
+
+    n = _word_stream(spark, sf_dir).distinct().count()
+    cfg = tc.TwoChoiceConfig(n_capacity=max(n, 1024), num_shards=8, seed=42)
+    return _membership_panel(
+        spark, sf_dir, tc.build_two_choice, tc.ShardedTwoChoice, cfg, 0.02, "tc"
+    )
+
+
+def q_pf_tc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix filter with the two-choice spare (PF[TC], example.cpp:4-5)."""
+    from prefix_filter_spark.sketches import prefix_filter as pfm
+
+    n = _word_stream(spark, sf_dir).distinct().count()
+    cfg = pfm.PrefixFilterConfig(
+        n_capacity=max(n, 1024), num_shards=8, seed=42, spare_kind="tc"
+    )
+    return _membership_panel(
+        spark, sf_dir, pfm.build_prefix_filter, pfm.ShardedPrefixFilter, cfg, 0.006, "pftc"
+    )
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), "rnk")
+        .orderBy("user_id", "rnk")
+    )
+
+
+def q_salted_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation — must equal a plain GROUP BY."""
+    from prefix_filter_spark.plans.salting import salted_count
+
+    docs = _docs(spark, sf_dir)
+    return salted_count(docs, ["source"], F.col("doc_id"), salt_buckets=16).orderBy(
+        "source"
+    )
+
+
+def q_lang_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained trigram language-ID — rows-only (pandas-UDF model)."""
+    from prefix_filter_spark.operators.text import predict_lang, train_lang_centroids
+
+    docs = _docs(spark, sf_dir)
+    cents = train_lang_centroids(docs)
+    return (
+        predict_lang(docs, cents)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (deterministic fake decode) — rows-only."""
+    from prefix_filter_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 256, seed=42)
+    out = extract_features(media)
+    return (
+        out.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("ok").cast("int")).alias("n_ok"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+        )
+        .orderBy("kind")
+    )
+
+
 def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-SQL-expressible (LSH bucketing) — rows-only driver check."""
     from prefix_filter_spark.operators.similarity import srp_ann_topk
@@ -402,6 +509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "bloom_membership": q_bloom_membership,
         "prefix_filter_membership": q_prefix_filter_membership,
+        "pf_tc_membership": q_pf_tc_membership,
+        "blocked_bloom_membership": q_blocked_bloom_membership,
+        "two_choice_membership": q_two_choice_membership,
+        "top_events_per_user": q_top_events_per_user,
+        "salted_source_counts": q_salted_source_counts,
+        "lang_predictions": q_lang_predictions,
+        "media_features": q_media_features,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "ntok_quantiles": q_ntok_quantiles,
@@ -536,6 +650,35 @@ def oracle_sql() -> dict[str, str]:
                    true AS fpr_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
         """,
+        "pf_tc_membership": f"""
+            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
+                   true AS fpr_ok
+            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+        """,
+        "blocked_bloom_membership": f"""
+            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
+                   true AS fpr_ok
+            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+        """,
+        "two_choice_membership": f"""
+            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
+                   true AS fpr_ok
+            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+        """,
+        "top_events_per_user": """
+            WITH r AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rnk
+              FROM events)
+            SELECT user_id, event_id, round(value, 6) AS value, rnk
+            FROM r WHERE rnk <= 3 ORDER BY user_id, rnk
+        """,
+        "salted_source_counts": """
+            SELECT source, count(*) AS n FROM documents
+            GROUP BY source ORDER BY source
+        """,
+        # lang_predictions, media_features: rows-only (pandas-UDF models)
         "hll_distinct": f"""
             SELECT count(DISTINCT w) AS exact_distinct, true AS hll_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
