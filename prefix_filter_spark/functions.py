@@ -24,6 +24,25 @@ from pyspark.sql import types as T
 from prefix_filter_spark.plans.sharding import hashed_key_col
 
 
+import functools
+
+
+# module-level (picklable by reference) cached state deserializers —
+# the SQL quantile UDFs see the same blob on every row of a join
+@functools.lru_cache(maxsize=64)
+def _kll_cached(state: bytes):
+    from prefix_filter_spark.sketches import kll
+
+    return kll.KllSketch.from_bytes(state)
+
+
+@functools.lru_cache(maxsize=64)
+def _td_cached(state: bytes):
+    from prefix_filter_spark.sketches import tdigest
+
+    return tdigest.TDigest.from_bytes(state)
+
+
 def register_contains_udf(
     spark: SparkSession, name: str, sketch, seed: int
 ) -> "ContainsFunction":
@@ -55,3 +74,60 @@ class ContainsFunction:
     def __call__(self, key: Column | str) -> Column:
         """contains(raw key column) — composes the JVM-side xxhash64."""
         return self.udf(hashed_key_col(key, self.seed))
+
+
+def register_sketch_sql(spark: SparkSession) -> None:
+    """Register the estimate surface over serialized sketch state, so a
+    shard-state table is queryable with plain SQL (SURVEY.md M3):
+
+        SELECT hll_estimate(state) FROM hll_shards
+        SELECT cms_point(state, token) FROM cms_shards, probe_tokens
+        SELECT kll_quantile(state, 0.5), tdigest_quantile(state, 0.99) ...
+
+    All pandas UDFs (Arrow-batched); states are small binary blobs, so
+    the per-row deserialize cost is amortized by an LRU cache keyed on
+    the blob prefix+len (states repeat across rows in a join).
+    """
+    from prefix_filter_spark.sketches import cms, hll
+
+    @F.pandas_udf(T.DoubleType())
+    def hll_estimate(state: pd.Series) -> pd.Series:
+        return state.map(lambda s: hll.estimate(bytes(s)) if s is not None else None)
+
+    @F.pandas_udf(T.LongType())
+    def cms_point(state: pd.Series, key: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(state), dtype=np.int64)
+        if len(state):
+            # group rows by identical state blob, probe each group batch
+            groups: dict[bytes, list[int]] = {}
+            for i, s in enumerate(state):
+                groups.setdefault(bytes(s), []).append(i)
+            for blob, idxs in groups.items():
+                ks = key.iloc[idxs].to_numpy()
+                out[idxs] = cms.point_estimates(blob, ks)  # seed from state
+        return pd.Series(out)
+
+    @F.pandas_udf(T.DoubleType())
+    def kll_quantile(state: pd.Series, q: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _kll_cached(bytes(s)).quantile(float(qq)) if s is not None else None
+                for s, qq in zip(state, q)
+            ]
+        )
+
+    @F.pandas_udf(T.DoubleType())
+    def tdigest_quantile(state: pd.Series, q: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _td_cached(bytes(s)).quantile(float(qq)) if s is not None else None
+                for s, qq in zip(state, q)
+            ]
+        )
+
+    spark.udf.register("hll_estimate", hll_estimate)
+    spark.udf.register("cms_point", cms_point)
+    spark.udf.register("kll_quantile", kll_quantile)
+    spark.udf.register("tdigest_quantile", tdigest_quantile)

@@ -6,7 +6,8 @@ Muthukrishnan 2005, same family as Spark SQL's ``count_min_sketch``
 <= true + eps*N with probability 1-delta, eps = e/w, delta = e^-d.
 
 State: 'PFSC' | u8 ver | u8 d | u16 pad | u32 w | u32 pad | i64 total
-       | counters i64[d*w].
+       | u64 seed | counters i64[d*w]  (self-describing: SQL probes
+       re-derive positions from the stored seed).
 Merge = elementwise add (associative, commutative).
 Row hash j uses double hashing on the key's splitmix64 remix — the
 same a + j*b scheme as the reference Bloom probes (bloom.hpp:140-154).
@@ -25,8 +26,8 @@ from prefix_filter_spark.hashing import as_u64, mix_with_seed
 from prefix_filter_spark.sketches import base
 
 _MAGIC = b"PFSC"
-_VERSION = 1
-_HDR = struct.Struct("<4sBBHIIq")
+_VERSION = 2
+_HDR = struct.Struct("<4sBBHIIqQ")
 
 
 @dataclass(frozen=True)
@@ -84,34 +85,41 @@ class CmsAccumulator(base.Accumulator):
     def to_bytes(self) -> bytes:
         return (
             _HDR.pack(
-                _MAGIC, _VERSION, self.cfg.depth, 0, self.cfg.width, 0, self.total
+                _MAGIC,
+                _VERSION,
+                self.cfg.depth,
+                0,
+                self.cfg.width,
+                0,
+                self.total,
+                self.cfg.seed & 0xFFFFFFFFFFFFFFFF,
             )
             + self.counters.tobytes()
         )
 
 
 def _parse_state(state: bytes):
-    magic, version, d, _, w, _, total = _HDR.unpack_from(state, 0)
+    magic, version, d, _, w, _, total, seed = _HDR.unpack_from(state, 0)
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad cms state")
     counters = np.frombuffer(state, dtype=np.int64, offset=_HDR.size).reshape(d, w)
-    return d, w, total, counters
+    return d, w, total, seed, counters
 
 
 def merge_states(states: list[bytes]) -> bytes:
     parsed = [_parse_state(s) for s in states]
-    d, w = parsed[0][0], parsed[0][1]
-    if any(p[0] != d or p[1] != w for p in parsed):
-        raise ValueError("cannot merge CMS with different dims")
+    d, w, seed = parsed[0][0], parsed[0][1], parsed[0][3]
+    if any(p[0] != d or p[1] != w or p[3] != seed for p in parsed):
+        raise ValueError("cannot merge CMS with different dims/seed")
     total = sum(p[2] for p in parsed)
-    counters = np.sum([p[3] for p in parsed], axis=0)
-    return _HDR.pack(_MAGIC, _VERSION, d, 0, w, 0, total) + counters.tobytes()
+    counters = np.sum([p[4] for p in parsed], axis=0)
+    return _HDR.pack(_MAGIC, _VERSION, d, 0, w, 0, total, seed) + counters.tobytes()
 
 
-def point_estimates(state: bytes, keys: np.ndarray, cfg: CmsConfig) -> np.ndarray:
-    """Vectorized min-over-rows point estimates for a key batch."""
-    d, w, _, counters = _parse_state(state)
-    g = mix_with_seed(as_u64(keys), cfg.seed + 0xC035)
+def point_estimates(state: bytes, keys: np.ndarray, cfg: CmsConfig | None = None) -> np.ndarray:
+    """Vectorized min-over-rows point estimates (seed read from state)."""
+    d, w, _, seed, counters = _parse_state(state)
+    g = mix_with_seed(as_u64(keys), seed + 0xC035)
     pos = _positions(g, d, w)
     ests = np.stack([counters[j][pos[:, j]] for j in range(d)], axis=1)
     return ests.min(axis=1)

@@ -247,6 +247,46 @@ def build_prefix_filter(df: DataFrame, key_col, cfg: PrefixFilterConfig) -> Data
     )
 
 
+def shard_diagnostics(cfg: PrefixFilterConfig, shards_df: DataFrame) -> DataFrame:
+    """Distribution diagnostics decoded from shard state — the
+    reference's count_overflowing_PDs / count_empty_PDs
+    (wrappers.hpp:743-764) and get_capacity header recount
+    (wrappers.hpp:728-735, min_pd256.hpp:103-131) as one grouped pass.
+
+    `l1_capacity_recount` is derived purely from the serialized unary
+    headers, so comparing it against the builder's `n_keys` metric is
+    the naive-vs-optimized cross-check of the reference's debug builds.
+    """
+    import pandas as pd
+
+    def diag(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            headers, body, spare = _parse_state(bytes(r["state"]))
+            counts_incl, overflowed, _lq = pd_kernel.decode_headers(headers)
+            caps = counts_incl[:, -1]
+            rows.append(
+                {
+                    "shard_id": int(r["shard_id"]),
+                    "num_pds": len(headers),
+                    "overflowing_pds": int(overflowed.sum()),
+                    "empty_pds": int((caps == 0).sum()),
+                    "l1_capacity_recount": int(caps.sum()),
+                    "mean_pd_load": float(caps.mean() / pd_kernel.MAX_CAP),
+                    "spare_bytes": len(spare),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    schema = (
+        "shard_id int, num_pds long, overflowing_pds long, empty_pds long, "
+        "l1_capacity_recount long, mean_pd_load double, spare_bytes long"
+    )
+    return shards_df.select("shard_id", "state").groupBy("shard_id").applyInPandas(
+        lambda pdf: diag(pdf), schema=schema
+    )
+
+
 class ShardedPrefixFilter:
     """Probe handle; decodes each shard's headers once and probes whole
     Arrow batches as matrix ops (amortized select64, SURVEY.md §4)."""

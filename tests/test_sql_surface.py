@@ -1,0 +1,49 @@
+"""SQL estimate surface over serialized state + PF diagnostics."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.functions import register_sketch_sql
+from prefix_filter_spark.sketches import cms, hll, kll, prefix_filter as pf, tdigest
+
+
+def test_sql_estimates(spark):
+    register_sketch_sql(spark)
+    df = spark.range(200_000).select((F.col("id") % 50_000).alias("v"))
+    hll.build_hll(df, "v", hll.HllConfig(p=14, seed=9)).createOrReplaceTempView("hll_t")
+    est = spark.sql("SELECT hll_estimate(state) e FROM hll_t").collect()[0]["e"]
+    assert abs(est - 50_000) / 50_000 < 0.03
+
+    cms.build_cms(df, "v", cms.CmsConfig(seed=9)).createOrReplaceTempView("cms_t")
+    got = spark.sql(
+        "SELECT k, cms_point(state, k) c FROM cms_t, (SELECT explode(array(0,1,2)) k)"
+    ).toPandas()
+    assert (got["c"] >= 4).all()  # every value appears exactly 4x
+
+    kll.build_kll(df, "v", kll.KllConfig(seed=9)).createOrReplaceTempView("kll_t")
+    q = spark.sql("SELECT kll_quantile(state, 0.5) q FROM kll_t").collect()[0]["q"]
+    assert abs(q - 25_000) < 2_000
+
+    tdigest.build_tdigest(df, "v", tdigest.TDigestConfig()).createOrReplaceTempView("td_t")
+    q = spark.sql("SELECT tdigest_quantile(state, 0.99) q FROM td_t").collect()[0]["q"]
+    assert abs(q - 49_500) < 1_500
+
+
+def test_pf_diagnostics(spark):
+    n = 60_000
+    cfg = pf.PrefixFilterConfig(n_capacity=n, num_shards=8, seed=12)
+    keys = spark.range(n).select(F.col("id").alias("key"))
+    shards = pf.build_prefix_filter(keys, "key", cfg).cache()
+    diag = pf.shard_diagnostics(cfg, shards).toPandas()
+    meta = shards.select("shard_id", "n_keys").toPandas()
+    j = diag.merge(meta, on="shard_id")
+    assert len(j) == 8
+    # header recount + spare contents == builder's distinct-key count is
+    # NOT exactly n_keys (evictions live in the spare), but L1 recount
+    # must be <= n_keys and close at load .95
+    assert (j["l1_capacity_recount"] <= j["n_keys"]).all()
+    assert (j["l1_capacity_recount"] >= j["n_keys"] * 0.9).all()
+    assert (j["mean_pd_load"] > 0.8).all()
+    # at design load ~0.95 some PDs overflow, few are empty
+    assert (j["overflowing_pds"] > 0).all()
+    assert (j["empty_pds"] < j["num_pds"] * 0.05).all()

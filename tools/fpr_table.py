@@ -1,0 +1,96 @@
+"""FPR / space harness — the reference's main-fpp.cpp re-expressed.
+
+For each filter: insert n uniform keys, hard-assert zero false
+negatives (exit non-zero like the reference's exit(-42),
+smart_tests.hpp:440-449), measure the yes-ratio on n disjoint uniform
+probes, and emit the FPR_parse_data_str_22 columns
+(smart_tests.hpp:486-515): name, byte size, fpr, bits/item,
+optimal BPI = -log2(fpr), BPI delta & ratio.
+
+Writes BENCH/fpr_table.md. Usage: python tools/fpr_table.py [n_keys]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+
+    from pyspark.sql import functions as F
+
+    from prefix_filter_spark.functions import register_contains_udf
+    from prefix_filter_spark.session import get_spark
+    from prefix_filter_spark.sketches import (
+        blocked_bloom as bb,
+        bloom,
+        prefix_filter as pfm,
+        two_choice as tc,
+    )
+
+    spark = get_spark(app_name="fpr-table")
+    keys = spark.range(n).select(F.col("id").alias("key")).cache()
+    keys.count()
+    probes = spark.range(10**10, 10**10 + n).select(F.col("id").alias("key")).cache()
+    n_probes = probes.count()
+
+    filters = [
+        ("PF[Bloom]", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+         pfm.PrefixFilterConfig(n_capacity=n, num_shards=32, seed=17)),
+        ("PF[TC]", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+         pfm.PrefixFilterConfig(n_capacity=n, num_shards=32, seed=17, spare_kind="tc")),
+        ("Bloom-8", bloom.build_bloom, bloom.ShardedBloom,
+         bloom.BloomConfig(n_capacity=n, bits_per_key=8, num_shards=32, seed=17)),
+        ("Bloom-12", bloom.build_bloom, bloom.ShardedBloom,
+         bloom.BloomConfig(n_capacity=n, bits_per_key=12, num_shards=32, seed=17)),
+        ("Bloom-16", bloom.build_bloom, bloom.ShardedBloom,
+         bloom.BloomConfig(n_capacity=n, bits_per_key=16, num_shards=32, seed=17)),
+        ("BBF-256", bb.build_blocked_bloom, bb.ShardedBlockedBloom,
+         bb.BlockedBloomConfig(n_capacity=n, bits_per_key=10, block_bytes=32, num_shards=32, seed=17)),
+        ("BBF-512", bb.build_blocked_bloom, bb.ShardedBlockedBloom,
+         bb.BlockedBloomConfig(n_capacity=n, bits_per_key=12, block_bytes=64, num_shards=32, seed=17)),
+        ("TC", tc.build_two_choice, tc.ShardedTwoChoice,
+         tc.TwoChoiceConfig(n_capacity=n, num_shards=32, seed=17)),
+    ]
+
+    rows = []
+    for name, build, handle_cls, cfg in filters:
+        handle = handle_cls.from_df(cfg, build(keys, "key", cfg))
+        fn = register_contains_udf(spark, f"fpr_{name.replace('[','_').replace(']','')}", handle, cfg.seed)
+        found = keys.where(fn("key")).count()
+        if found != n:
+            print(f"FATAL: {name}: {n - found} FALSE NEGATIVES")
+            return 42
+        fp = probes.where(fn("key")).count()
+        fpr = fp / n_probes
+        size = handle.byte_size()
+        bpi = size * 8 / n
+        opt = -math.log2(fpr) if fpr > 0 else float("inf")
+        rows.append((name, size, fpr, bpi, opt, bpi - opt, bpi / opt if opt else 0))
+        print(f"{name:10s} bytes={size:>12,} fpr={fpr:.5f} bpi={bpi:6.2f} opt={opt:6.2f}")
+
+    with open("BENCH/fpr_table.md", "w") as f:
+        f.write(
+            f"# FPR / space table — n = {n:,} keys, {n_probes:,} disjoint uniform probes\n\n"
+            "Reference protocol: main-fpp.cpp / FPR_test "
+            "(zero false negatives hard-checked; columns per "
+            "smart_tests.hpp:486-515).\n\n"
+            "| filter | bytes | FPR | bits/item | optimal BPI | BPI − opt | BPI / opt |\n"
+            "|---|---|---|---|---|---|---|\n"
+        )
+        for name, size, fpr, bpi, opt, diff, ratio in rows:
+            f.write(
+                f"| {name} | {size:,} | {fpr:.5f} | {bpi:.2f} | {opt:.2f} "
+                f"| {diff:.2f} | {ratio:.2f} |\n"
+            )
+    print("wrote BENCH/fpr_table.md")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
