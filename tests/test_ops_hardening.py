@@ -180,3 +180,17 @@ def test_streaming_stateful_hll(spark):
     assert len(m) == 5
     rel = (m["est"] - m["d"]).abs() / m["d"]
     assert (rel < 0.1).all(), m
+
+
+def test_iceberg_adapter_fallback(spark):
+    from prefix_filter_spark.sources import iceberg
+
+    # parquet path fallback works
+    df = iceberg.read_sequences(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert df.count() > 0
+    # catalog identifier without the runtime -> clear, actionable error
+    assert not iceberg.has_iceberg(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        iceberg.read_sequences(spark, "pfs.db.sequences")
