@@ -22,7 +22,6 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from prefix_filter_spark.hashing import as_u64
 from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col

@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from prefix_filter_spark.hashing import as_u64, mix_with_seed
+from prefix_filter_spark.hashing import as_u64
 from prefix_filter_spark.plans.sharding import hashed_key_col
 from prefix_filter_spark.sketches import bloom
 from prefix_filter_spark.sources import tokenizer

@@ -6,7 +6,7 @@ import random
 import numpy as np
 from pyspark.sql import functions as F
 
-from prefix_filter_spark.sketches import base, cms, hll
+from prefix_filter_spark.sketches import cms, hll
 
 
 # ---------------- HLL -------------------------------------------------

@@ -1,6 +1,5 @@
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from prefix_filter_spark.operators import multimodal as mm
 

@@ -3,7 +3,6 @@ streaming builds."""
 
 import shutil
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 

@@ -3,7 +3,6 @@ actually doing what the architecture claims: pushdown, pruning,
 broadcast, single-shuffle builds, whole-stage codegen on the relational
 path."""
 
-import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod

@@ -1,6 +1,5 @@
 """SQL estimate surface over serialized state + PF diagnostics."""
 
-import numpy as np
 from pyspark.sql import functions as F
 
 from prefix_filter_spark.functions import register_sketch_sql

@@ -27,7 +27,7 @@ def main() -> int:
 
     from prefix_filter_spark.functions import register_contains_udf
     from prefix_filter_spark.session import get_spark
-    from prefix_filter_spark.sketches import base, bloom, prefix_filter as pfm
+    from prefix_filter_spark.sketches import bloom, prefix_filter as pfm
 
     spark = get_spark(app_name="incremental-bench")
     if kind == "pf":

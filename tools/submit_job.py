@@ -23,7 +23,6 @@ def main() -> None:
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("pfs-submit-job").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
