@@ -465,6 +465,65 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pf_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership through the cogroup join-probe path (the no-broadcast
+    regime for filters too large to broadcast)."""
+    from prefix_filter_spark.sketches import prefix_filter as pfm, probe
+
+    words = _word_stream(spark, sf_dir).distinct()
+    n = words.count()
+    cfg = pfm.PrefixFilterConfig(n_capacity=max(n, 1024), num_shards=8, seed=42)
+    shards = pfm.build_prefix_filter(words, "word", cfg)
+    out = probe.probe_via_join(
+        words,
+        "word",
+        shards,
+        seed=cfg.seed,
+        num_shards=cfg.num_shards,
+        probe_fn=probe.pf_probe_fn(cfg),
+    )
+    return out.agg(
+        F.count("*").alias("n_probed"),
+        F.sum((~F.col("contains")).cast("bigint")).alias("false_negatives"),
+    ).select("n_probed", "false_negatives")
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.value quantiles through the registered SQL estimate
+    surface (kll_quantile / tdigest_quantile over serialized state)."""
+    from prefix_filter_spark.functions import register_sketch_sql
+    from prefix_filter_spark.sketches import kll, tdigest
+
+    register_sketch_sql(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kll.build_kll(ev, "value", kll.KllConfig(k=200, seed=42)).createOrReplaceTempView(
+        "q_kll_state"
+    )
+    tdigest.build_tdigest(
+        ev, "value", tdigest.TDigestConfig(delta=200)
+    ).createOrReplaceTempView("q_td_state")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    exact = ev.select(
+        F.expr(f"percentile(value, array({','.join(map(str, qs))}))").alias("p")
+    ).collect()[0]["p"]
+    import numpy as np
+
+    vals = np.sort(ev.select("value").toPandas()["value"].to_numpy())
+    n = len(vals)
+    rows = []
+    for q, ex in zip(qs, exact):
+        kq = spark.sql(f"SELECT kll_quantile(state, {q}) v FROM q_kll_state").collect()[0]["v"]
+        tq = spark.sql(f"SELECT tdigest_quantile(state, {q}) v FROM q_td_state").collect()[0]["v"]
+        r_k = float(np.searchsorted(vals, kq, side="right")) / n
+        r_t = float(np.searchsorted(vals, tq, side="right")) / n
+        rows.append(
+            (q, round(float(ex), 6), bool(abs(r_k - q) <= 0.025), bool(abs(r_t - q) <= 0.025))
+        )
+    return spark.createDataFrame(
+        rows, "q double, exact_quantile double, kll_ok boolean, tdigest_ok boolean"
+    )
+
+
 def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-SQL-expressible (LSH bucketing) — rows-only driver check."""
     from prefix_filter_spark.operators.similarity import srp_ann_topk
@@ -519,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "ntok_quantiles": q_ntok_quantiles,
+        "pf_join_probe": q_pf_join_probe,
+        "value_quantiles": q_value_quantiles,
         "srp_ann_topk": q_srp_ann_topk,
         "simhash_pairs": q_simhash_pairs,
     }
@@ -700,6 +761,20 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 0.75, quantile_cont(n_words, 0.75) FROM d
               UNION ALL SELECT 0.9, quantile_cont(n_words, 0.9) FROM d
               UNION ALL SELECT 0.99, quantile_cont(n_words, 0.99) FROM d
+            ) ORDER BY q
+        """,
+        "pf_join_probe": f"""
+            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives
+            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+        """,
+        "value_quantiles": """
+            SELECT q::double AS q, round(qv, 6) AS exact_quantile,
+                   true AS kll_ok, true AS tdigest_ok
+            FROM (
+              SELECT 0.1 AS q, quantile_cont(value, 0.1) AS qv FROM events
+              UNION ALL SELECT 0.5, quantile_cont(value, 0.5) FROM events
+              UNION ALL SELECT 0.9, quantile_cont(value, 0.9) FROM events
+              UNION ALL SELECT 0.99, quantile_cont(value, 0.99) FROM events
             ) ORDER BY q
         """,
         # srp_ann_topk, simhash_pairs: intentionally omitted -> rows-only
