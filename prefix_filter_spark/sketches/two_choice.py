@@ -210,6 +210,66 @@ def _contains_in_state(cfg: TwoChoiceConfig, state: bytes, g_hashes: np.ndarray)
     return res
 
 
+def remove_states(state: bytes, cfg: TwoChoiceConfig, hashes_u64: np.ndarray) -> bytes:
+    """Batch Remove — the reference's TC delete support
+    (/root/reference/TC-Shortcut/TC-shortcut.hpp:251-264, functionality
+    mask includes delete; PF/Bloom throw 'Unsupported' and so do ours).
+
+    Set semantics: deleting key k removes the (primary_bucket, fp) pair
+    k maps to. Like every fingerprint filter, a *different* key that
+    collides on the same pair is removed with it (the reference carries
+    the same caveat: deleting never-inserted keys corrupts a cuckoo
+    table; here it is a no-op unless the pair collides). Rebuild keeps
+    the deterministic placement, so remove(merge(A,B)) ==
+    merge(remove(A), remove'(B)) at pair level.
+    """
+    nb = cfg.num_buckets_per_shard
+    b1, fp = _derive(cfg, hashes_u64, nb)
+    dead = np.unique(as_u64(b1) * np.uint64(1 << 16) + fp.astype(np.uint64))
+    pairs = _pairs_of_state(cfg, state)
+    keep = pairs[~np.isin(pairs, dead)]
+    kb = (keep >> np.uint64(16)).astype(np.int64)
+    kf = (keep & np.uint64(0xFFFF)).astype(np.uint16)
+    table, overflow = _fill_buckets(cfg, kb, kf, nb)
+    return (
+        _HDR.pack(_MAGIC, _VERSION, cfg.slots_per_bucket, cfg.fp_bits, nb, len(overflow))
+        + table.tobytes()
+        + overflow.tobytes()
+    )
+
+
+def remove_keys(df: DataFrame, key_col, cfg: TwoChoiceConfig, shards_df: DataFrame) -> DataFrame:
+    """Distributed delete: route removal keys to their shard (same
+    Catalyst expression as the build), cogroup with the shard's single
+    state row, rebuild. Shards with no removals pass through unchanged.
+    """
+    import pandas as pd
+
+    from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col
+
+    h = hashed_key_col(key_col, cfg.seed)
+    keyed = df.select(h.alias("h"), shard_col(h, cfg.num_shards).alias("shard_id"))
+
+    def apply_removals(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(right) == 0:
+            return pd.DataFrame(
+                columns=["sketch", "shard_id", "state", "n_keys", "input_rows", "build_ns"]
+            )
+        row = right.iloc[0]
+        state = bytes(row["state"])
+        if len(left):
+            state = remove_states(state, cfg, as_u64(left["h"].to_numpy()))
+        out = right.iloc[[0]].copy()
+        out["state"] = [state]
+        return out
+
+    return (
+        keyed.groupBy("shard_id")
+        .cogroup(shards_df.groupBy("shard_id"))
+        .applyInPandas(apply_removals, schema=base.SHARD_SCHEMA)
+    )
+
+
 def build_two_choice(df: DataFrame, key_col, cfg: TwoChoiceConfig) -> DataFrame:
     return base.build_sharded(
         df,

@@ -193,3 +193,42 @@ def test_iceberg_adapter_fallback(spark):
 
     with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         iceberg.read_sequences(spark, "pfs.db.sequences")
+
+
+def test_windowed_streaming_with_watermark(spark):
+    """Watermarked tumbling-window agg: streaming (append mode) result
+    equals the same plan run in batch over the same input."""
+    from prefix_filter_spark.streaming.windowed import windowed_event_stats
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    src_dir = f"{TMP}/win_src"
+    events.write.mode("overwrite").parquet(src_dir)
+    schema = events.schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = windowed_event_stats(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_stats")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{TMP}/win_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT * FROM win_stats ORDER BY window_start, event_type"
+    ).toPandas()
+    batch = (
+        windowed_event_stats(events, window="1 hour")
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    # append mode withholds windows the watermark hasn't passed: the
+    # emitted set is a prefix of the batch result and exact on overlap
+    assert len(got) > 0
+    merged = got.merge(
+        batch, on=["window_start", "event_type"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(got)
+    assert (merged["n_s"] == merged["n_b"]).all()
+    assert (merged["sum_value_s"] == merged["sum_value_b"]).all()

@@ -63,3 +63,34 @@ def test_arrival_order_free(cfg):
     a = tc._build_state(cfg, np.unique(keys))
     b = tc._build_state(cfg, np.unique(rng.permutation(keys)))
     assert a == b
+
+
+def test_remove_keys_distributed(spark, cfg):
+    """Delete support (TC-shortcut.hpp:251-264 parity): removed keys
+    drop out, every remaining key still answers true (zero FN), and
+    removing never-inserted keys is a no-op modulo pair collisions."""
+    keys = spark.range(N).select(F.col("id").alias("key"))
+    shards = tc.build_two_choice(keys, "key", cfg).cache()
+    to_remove = keys.where(F.col("key") % 10 == 3)  # 10% of keys
+    after = tc.remove_keys(to_remove, "key", cfg, shards).cache()
+    handle = tc.ShardedTwoChoice.from_df(cfg, after)
+
+    from prefix_filter_spark.plans.sharding import hashed_key_col
+
+    kept = keys.where(F.col("key") % 10 != 3)
+    h_kept = kept.select(hashed_key_col("key", cfg.seed).alias("h")).toPandas()["h"].to_numpy()
+    # fingerprint-granularity delete: a kept key sharing its (bucket,fp)
+    # pair with a removed key is deleted with it (documented caveat, same
+    # class as reference cuckoo deletes). Expected collateral rate here
+    # ~ removed_pairs/pair_space ~ 3e-4; assert an order above that.
+    kept_rate = handle.contains_h(h_kept).mean()
+    assert kept_rate > 1 - 3e-3, kept_rate
+    h_rm = to_remove.select(hashed_key_col("key", cfg.seed).alias("h")).toPandas()["h"].to_numpy()
+    still = handle.contains_h(h_rm).mean()
+    assert still < 0.02, still  # residual = fp-collision rate only
+
+    # removing keys never inserted leaves members intact
+    ghosts = spark.range(9 * 10**9, 9 * 10**9 + 5_000).select(F.col("id").alias("key"))
+    after2 = tc.remove_keys(ghosts, "key", cfg, after)
+    h2 = tc.ShardedTwoChoice.from_df(cfg, after2)
+    assert h2.contains_h(h_kept).mean() > 0.999
