@@ -92,19 +92,31 @@ def build_sharded(
     return keyed.groupBy(group_key).applyInPandas(build_group, schema=SHARD_SCHEMA)
 
 
-def merge_shard_states(df: DataFrame, merge_fn: Callable[[list[bytes]], bytes]) -> DataFrame:
+def merge_shard_states(df: DataFrame, merge_fn) -> DataFrame:
     """Combine same-shard partial states (associative + commutative).
 
     Used for incremental / streaming builds where several batches each
-    produced partial states for the same shard. Merge order inside a
-    group is fixed by sorting on (n_keys, state) only for determinism of
-    the *reduction order*; the result is order-independent by the
-    sketches' associativity (pytest-verified by shuffling orders).
+    produced partial states for the same shard. ``merge_fn`` is either
+    ``f(states)`` (Bloom/BBF/HLL/CMS/...) or ``f(states, shard_id)``
+    (prefix filter / two-choice, whose spare re-keying depends on the
+    shard id). The result is order-independent by the sketches'
+    associativity (pytest-verified by shuffling orders).
+
+    NOTE: this merges rows of the SAME shard id. Do not use tree_merge
+    (which coarsens shard ids) for key-sharded filters — that is only
+    for global-state sketches where shard_id is mere lineage.
     """
+    import inspect
+
+    wants_shard = len(inspect.signature(merge_fn).parameters) >= 2
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        states = list(pdf["state"])
-        merged = merge_fn(states) if len(states) > 1 else states[0]
+        states = [bytes(s) for s in pdf["state"]]
+        sid = int(pdf["shard_id"].iloc[0])
+        if len(states) > 1:
+            merged = merge_fn(states, sid) if wants_shard else merge_fn(states)
+        else:
+            merged = states[0]
         return pd.DataFrame(
             {
                 "sketch": [pdf["sketch"].iloc[0]],

@@ -232,3 +232,38 @@ def test_windowed_streaming_with_watermark(spark):
     assert len(merged) == len(got)
     assert (merged["n_s"] == merged["n_b"]).all()
     assert (merged["sum_value_s"] == merged["sum_value_b"]).all()
+
+
+def test_streaming_prefix_filter_build(spark):
+    """PF through the streaming path: merge_fn takes (states, shard_id)
+    (the spare re-keys on global PD index) — final state must equal the
+    batch build bit-for-bit."""
+    from prefix_filter_spark.sketches import prefix_filter as pfm
+    from prefix_filter_spark.streaming.build import foreach_batch_build
+
+    cfg = pfm.PrefixFilterConfig(n_capacity=30_000, num_shards=4, seed=6)
+    keys = spark.range(30_000).select(F.col("id").alias("key"))
+    src_dir = f"{TMP}/pf_stream_src"
+    for i in range(3):
+        keys.where(F.pmod("key", F.lit(3)) == i).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src_dir)
+    stream = spark.readStream.schema("key long").parquet(src_dir)
+    q = foreach_batch_build(
+        stream,
+        "key",
+        build_fn=lambda df, k: pfm.build_prefix_filter(df, k, cfg),
+        merge_fn=lambda states, sid: pfm.merge_states(states, cfg, sid),
+        state_path=f"{TMP}/pf_stream_state",
+        checkpoint_dir=f"{TMP}/pf_stream_ckpt",
+    )
+    q.awaitTermination(120)
+    got = {
+        r["shard_id"]: bytes(r["state"])
+        for r in spark.read.parquet(f"{TMP}/pf_stream_state").collect()
+    }
+    want = {
+        r["shard_id"]: bytes(r["state"])
+        for r in pfm.build_prefix_filter(keys, "key", cfg).collect()
+    }
+    assert got == want
