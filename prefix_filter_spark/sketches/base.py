@@ -97,10 +97,13 @@ def merge_shard_states(df: DataFrame, merge_fn) -> DataFrame:
 
     Used for incremental / streaming builds where several batches each
     produced partial states for the same shard. ``merge_fn`` is either
-    ``f(states)`` (Bloom/BBF/HLL/CMS/...) or ``f(states, shard_id)``
-    (prefix filter / two-choice, whose spare re-keying depends on the
-    shard id). The result is order-independent by the sketches'
-    associativity (pytest-verified by shuffling orders).
+    ``f(states)`` (Bloom/BBF/HLL/CMS/KLL/t-digest, and two-choice with
+    the config curried: ``lambda states: tc.merge_states(states, cfg)``)
+    or ``f(states, shard_id)`` (the prefix filter, whose spare re-keying
+    depends on the shard id: ``lambda states, sid:
+    pf.merge_states(states, cfg, sid)``). The result is
+    order-independent by the sketches' associativity (pytest-verified
+    by shuffling orders).
 
     NOTE: this merges rows of the SAME shard id. Do not use tree_merge
     (which coarsens shard ids) for key-sharded filters — that is only
@@ -108,7 +111,17 @@ def merge_shard_states(df: DataFrame, merge_fn) -> DataFrame:
     """
     import inspect
 
-    wants_shard = len(inspect.signature(merge_fn).parameters) >= 2
+    # dispatch on REQUIRED positional arity only: a default-bound config
+    # (lambda states, cfg=cfg: ...) must not be mistaken for shard-aware,
+    # and *args wrappers count as shard-aware capable
+    params = list(inspect.signature(merge_fn).parameters.values())
+    required_positional = sum(
+        1
+        for p in params
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        and p.default is p.empty
+    )
+    wants_shard = required_positional >= 2
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         states = [bytes(s) for s in pdf["state"]]

@@ -31,7 +31,9 @@ def foreach_batch_build(
     key_col: str,
     *,
     build_fn: Callable[[DataFrame, str], DataFrame],
-    merge_fn: Callable[[list[bytes]], bytes],
+    merge_fn: Callable,  # f(states) or f(states, shard_id) — see
+    # base.merge_shard_states for the dual contract (prefix filter
+    # merges need the shard id for spare re-keying)
     state_path: str,
     checkpoint_dir: str,
     trigger_once: bool = True,

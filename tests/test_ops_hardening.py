@@ -129,7 +129,11 @@ def test_streaming_foreach_batch_equals_batch(spark):
             "overwrite" if i == 0 else "append"
         ).parquet(src_dir)
 
-    stream = spark.readStream.schema("key long").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)  # force multi-batch: the merge path must run
+        .parquet(src_dir)
+    )
     q = foreach_batch_build(
         stream,
         "key",
@@ -248,7 +252,11 @@ def test_streaming_prefix_filter_build(spark):
         keys.where(F.pmod("key", F.lit(3)) == i).write.mode(
             "overwrite" if i == 0 else "append"
         ).parquet(src_dir)
-    stream = spark.readStream.schema("key long").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)  # multi-batch: exercise (states, shard_id) dispatch
+        .parquet(src_dir)
+    )
     q = foreach_batch_build(
         stream,
         "key",
