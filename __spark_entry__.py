@@ -411,6 +411,63 @@ def q_pf_tc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_id_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-ID probes (north star: 'token-ID and doc-ID probes')."""
+    from prefix_filter_spark.functions import register_contains_udf
+    from prefix_filter_spark.sketches import prefix_filter as pfm
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    cfg = pfm.PrefixFilterConfig(n_capacity=max(n, 1024), num_shards=8, seed=42)
+    handle = pfm.ShardedPrefixFilter.from_df(
+        cfg, pfm.build_prefix_filter(docs, "doc_id", cfg)
+    )
+    fn = register_contains_udf(spark, "q_pf_doc", handle, cfg.seed)
+    found = docs.where(fn("doc_id")).count()
+    return spark.createDataFrame(
+        [(n, n - found)], "n_probed bigint, false_negatives bigint"
+    )
+
+
+def q_per_source_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct words: exact both engines + salted-HLL bound
+    check (the north star's 'salted repartitioning for skewed source
+    keys, then tree-merge' shape)."""
+    from prefix_filter_spark.operators.per_group import sketch_by_group
+    from prefix_filter_spark.sketches import hll
+    from prefix_filter_spark.sources.tokenizer import words_col
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", "doc_id", F.explode(words_col("text")).alias("word")
+    )
+    cfg = hll.HllConfig(p=13, seed=42)
+    sketched = sketch_by_group(
+        tok,
+        "source",
+        F.xxhash64("word", F.lit(5)),
+        acc_factory=lambda: hll.HllAccumulator(cfg),
+        merge_fn=hll.merge_states,
+        salt_on="doc_id",
+        salt_buckets=16,
+    ).toPandas()
+    exact = (
+        tok.groupBy("source")
+        .agg(F.countDistinct("word").alias("exact_distinct"))
+        .toPandas()
+    )
+    m = sketched.merge(exact, left_on="group", right_on="source")
+    m["hll_ok"] = (
+        (m["state"].map(hll.estimate) - m["exact_distinct"]).abs()
+        / m["exact_distinct"].clip(lower=1)
+        <= 3 * cfg.rel_error() * 1.5 + 1e-9
+    )
+    out = m[["source", "exact_distinct", "hll_ok"]].sort_values("source")
+    return spark.createDataFrame(
+        out, "source string, exact_distinct bigint, hll_ok boolean"
+    ).orderBy("source")
+
+
 def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -571,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf_tc_membership": q_pf_tc_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
         "two_choice_membership": q_two_choice_membership,
+        "doc_id_membership": q_doc_id_membership,
+        "per_source_distinct": q_per_source_distinct,
         "top_events_per_user": q_top_events_per_user,
         "salted_source_counts": q_salted_source_counts,
         "lang_predictions": q_lang_predictions,
@@ -725,6 +784,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
                    true AS fpr_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+        """,
+        "doc_id_membership": """
+            SELECT count(*) AS n_probed, 0::BIGINT AS false_negatives
+            FROM documents
+        """,
+        "per_source_distinct": f"""
+            SELECT source, count(DISTINCT w) AS exact_distinct, true AS hll_ok
+            FROM (SELECT source, unnest({_DUCK_WORDS}) AS w FROM documents)
+            GROUP BY source ORDER BY source
         """,
         "top_events_per_user": """
             WITH r AS (
