@@ -64,6 +64,15 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     from prefix_filter_spark.functions import register_contains_udf
     from prefix_filter_spark.sketches import bloom, prefix_filter as pfm
 
+    # AQE's size-based partition coalescing folds the build stage down to
+    # ~totalShuffleBytes/defaultParallelism-sized tasks, but a sketch
+    # build's cost is Python-kernel compute per GROUP, which AQE's byte
+    # heuristic cannot see — at 24M keys it leaves a ragged final task
+    # wave with most cores idle (measured 3.9 vs 7.4 Mkeys/s at 8
+    # cores). Keep shuffle.partitions-many build tasks instead; restored
+    # by bench_pipeline, where coalescing genuinely helps small stages.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
     times: dict[str, float] = {}
     keys = _keys_df(spark, N_KEYS).cache()
     keys.count()  # materialize input outside the timed region
@@ -154,6 +163,8 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
 def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
     times: dict[str, float] = {}
     for name in (
         "tpch_q1",
@@ -168,7 +179,7 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-N_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE_KEYS", 24_000_000))
+N_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE_KEYS", 48_000_000))
 
 
 def scaling_run(cores: int) -> float:
@@ -178,10 +189,20 @@ def scaling_run(cores: int) -> float:
     work units — only the executor count changes), and a large-enough key
     count that per-task compute dominates fixed job overheads, mirroring
     the 100TB regime where tasks are minutes, not milliseconds.
+    AQE size-based coalescing is off for the same reason as in
+    bench_filters (it throttles pandas-UDAF parallelism below the core
+    count — at 100TB the shuffle is far above the advisory size, so this
+    is purely a small-data measurement artifact).
     """
+    from prefix_filter_spark.session import get_spark
     from prefix_filter_spark.sketches import prefix_filter as pfm
 
-    spark = _session(cores)
+    spark = get_spark(
+        app_name=f"pfs-scale-{cores}",
+        cores=cores,
+        shuffle_partitions=cores * 4,
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    )
     keys = _keys_df(spark, N_SCALE).cache()
     keys.count()
     cfg = pfm.PrefixFilterConfig(n_capacity=N_SCALE, num_shards=128, seed=42)
@@ -195,6 +216,27 @@ def scaling_run(cores: int) -> float:
     )
     spark.stop()
     return N_SCALE / t
+
+
+def _scaling_run_subprocess(cores: int) -> float:
+    """scaling_run in a fresh process: two SparkContexts created back to
+    back in one JVM share heap/GC history and the second one measures the
+    first one's garbage, not the job (observed hi-run throughput swinging
+    2.3-5.4 Mkeys/s in-process vs stable in fresh processes). Separate
+    clusters are separate processes — this mirrors the real protocol."""
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, %r); import bench; "
+        "print('TPS', bench.scaling_run(%d))" % (os.path.dirname(os.path.abspath(__file__)), cores)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("TPS "):
+            return float(line.split()[1])
+    raise RuntimeError(f"scaling subprocess produced no TPS line: {out.stdout[-500:]}")
 
 
 def main() -> None:
@@ -235,8 +277,8 @@ def main() -> None:
         # not the job's scalability.
         lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", 2))
         hi_cores = lo_cores * 4
-        tp_lo = scaling_run(lo_cores)
-        tp_hi = scaling_run(hi_cores)
+        tp_lo = _scaling_run_subprocess(lo_cores)
+        tp_hi = _scaling_run_subprocess(hi_cores)
         eff = (tp_hi / tp_lo) / (hi_cores / lo_cores)
         result["scaling"] = {
             "cores_n": lo_cores,

@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 from prefix_filter_spark.sources.tokenizer import words_col
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, s string)."""
+def _shingles_raw(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Word n-gram shingles per doc, duplicates kept: (doc_id, s string)."""
     ws = words_col("text")
     # guard: sequence(0, k) descends when k < 0 (doc shorter than n)
     sh = F.when(
@@ -34,7 +34,12 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(sh).alias("s")).distinct()
+    return docs.select("doc_id", F.explode(sh).alias("s"))
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, s string)."""
+    return _shingles_raw(docs, n).distinct()
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -94,13 +99,20 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
 def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3, seed: int = 42) -> DataFrame:
     """(doc_id, mh0..mh{k-1}): k independent min-hashes of the shingle set.
 
-    All JVM-side: k min() aggregates over xxhash64(shingle, seed+i) —
-    one shuffle on doc_id, no Python. k=128 gives +-1/sqrt(128) ~ 9%
-    Jaccard estimation error; banding below does the candidate cut.
+    All JVM-side, one shuffle on doc_id, no Python. Each shingle string
+    is hashed ONCE (variable-width UTF8 walk); the k permutations are
+    k xxhash64 calls over that fixed-width 8-byte value — ~6x cheaper
+    than k string hashes at k=128 (measured on sf0.1). No distinct()
+    before the agg: min() is duplicate-insensitive, so minhash over the
+    shingle multiset == over the set, saving a whole shuffle. k=128
+    gives +-1/sqrt(128) ~ 9% Jaccard estimation error; banding below
+    does the candidate cut.
     """
-    sh = shingles(docs, n)
+    sh = _shingles_raw(docs, n).select(
+        "doc_id", F.xxhash64(F.col("s"), F.lit(seed)).alias("h")
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(seed + i))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.col("h"), F.lit(seed + i))).alias(f"mh{i}")
         for i in range(num_perm)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -122,7 +134,20 @@ def minhash_lsh_pairs(
     banding never escape).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, num_perm, n, seed)
+    # hash every shingle string ONCE to 8 bytes; both the signature agg
+    # and the exact-verification joins below run on this fixed-width
+    # column (a 64-bit-hash "exact" Jaccard: collision odds 2^-64 per
+    # shingle pair, and the long-key joins shuffle ~16B/row instead of
+    # ~25-char strings). Cached: it feeds two separate subtrees.
+    shd = _shingles_raw(docs, n).select(
+        "doc_id", F.xxhash64(F.col("s"), F.lit(seed)).alias("h")
+    )
+    shd.persist()
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(seed + i))).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    sig = shd.groupBy("doc_id").agg(*aggs)
     band_cols = [
         F.xxhash64(
             *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
@@ -150,9 +175,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification of candidates ONLY: join the candidate pairs to
-    # the two shingle sets — never the all-pairs shingle self-join (that
-    # would defeat the LSH cut; at scale candidates << all pairs)
-    sh = shingles(docs, n).cache()
+    # the two shingle-hash sets — never the all-pairs shingle self-join
+    # (that would defeat the LSH cut; at scale candidates << all pairs)
+    sh = shd.distinct()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.alias("sa")
     sb = sh.alias("sb")
@@ -161,7 +186,7 @@ def minhash_lsh_pairs(
         c.join(sa, F.col("c.d1") == F.col("sa.doc_id"))
         .join(
             sb,
-            (F.col("c.d2") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+            (F.col("c.d2") == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")),
         )
         .groupBy("c.d1", "c.d2")
         .agg(F.count("*").alias("shared"))
