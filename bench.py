@@ -210,25 +210,39 @@ def scaling_run(cores: int) -> float:
     # cluster never pays per job), then best-of-3 like the reference's
     # median-of-R protocol (/root/reference/Tests/smart_tests.hpp:20)
     pfm.build_prefix_filter(keys.limit(10_000), "key", cfg).count()
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", 4))
     t = min(
         _timed(lambda: pfm.build_prefix_filter(keys, "key", cfg).count())
-        for _ in range(3)
+        for _ in range(reps)
     )
     spark.stop()
     return N_SCALE / t
 
 
 def _scaling_run_subprocess(cores: int) -> float:
-    """scaling_run in a fresh process: two SparkContexts created back to
-    back in one JVM share heap/GC history and the second one measures the
-    first one's garbage, not the job (observed hi-run throughput swinging
-    2.3-5.4 Mkeys/s in-process vs stable in fresh processes). Separate
-    clusters are separate processes — this mirrors the real protocol."""
+    """scaling_run in a fresh process pinned to exactly `cores` CPUs.
+
+    Fresh process: two SparkContexts created back to back in one JVM
+    share heap/GC history and the second one measures the first one's
+    garbage, not the job (observed hi-run throughput swinging 2.3-5.4
+    Mkeys/s in-process vs stable in fresh processes).
+
+    CPU pinning (sched_setaffinity, inherited by the JVM and Python
+    workers): local[N] caps *task slots*, not cores — the JVM's GC/netty
+    threads and the pipelined Python workers otherwise spill onto idle
+    cores, which inflates small-N throughput and understates scaling
+    (measured local[1] at 2.1 Mkeys/s, faster per-core than local[2]).
+    Pinning makes each level a hard resource boundary, the same protocol
+    as the reference's pinned-core timing (RunAll.sh:19 `taskset -c 2`)
+    and the same boundary a real cluster's per-executor cgroups impose.
+    """
     import subprocess
 
     code = (
-        "import sys; sys.path.insert(0, %r); import bench; "
-        "print('TPS', bench.scaling_run(%d))" % (os.path.dirname(os.path.abspath(__file__)), cores)
+        "import sys, os; os.sched_setaffinity(0, set(range(%d))); "
+        "sys.path.insert(0, %r); import bench; "
+        "print('TPS', bench.scaling_run(%d))"
+        % (cores, os.path.dirname(os.path.abspath(__file__)), cores)
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
@@ -277,8 +291,20 @@ def main() -> None:
         # not the job's scalability.
         lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", 2))
         hi_cores = lo_cores * 4
-        tp_lo = _scaling_run_subprocess(lo_cores)
-        tp_hi = _scaling_run_subprocess(hi_cores)
+        # Alternating best-of-2 trials per level: a single trial can land
+        # on a transient (JVM of the main bench session still winding
+        # down, hypervisor steal burst) and then the ratio reports the
+        # disturbance, not the job — one contaminated lo run measured
+        # 0.53 Mkeys/s vs 2.4-2.6 in clean runs, flipping "efficiency"
+        # to 1.75. Alternation decorrelates the noise from the level;
+        # best-of matches the reference's median-of-9 intent.
+        time.sleep(5)  # let the stopped main session's JVM drain
+        tp_los, tp_his = [], []
+        for _ in range(2):
+            tp_los.append(_scaling_run_subprocess(lo_cores))
+            tp_his.append(_scaling_run_subprocess(hi_cores))
+        tp_lo = max(tp_los)
+        tp_hi = max(tp_his)
         eff = (tp_hi / tp_lo) / (hi_cores / lo_cores)
         result["scaling"] = {
             "cores_n": lo_cores,
@@ -287,6 +313,8 @@ def main() -> None:
             "tokens_per_sec_4n": round(tp_hi, 1),
             "efficiency": round(eff, 3),
             "n_keys": N_SCALE,
+            "trials_n": [round(t, 1) for t in tp_los],
+            "trials_4n": [round(t, 1) for t in tp_his],
         }
     print(json.dumps(result))
 
