@@ -398,6 +398,18 @@ def q_two_choice_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch cuckoo filter (reference CuckooFilterStable, 12-bit tags,
+    4-way buckets, delete-capable; cuckoofilter_stable.h:69-135)."""
+    from prefix_filter_spark.sketches import cuckoo as ckm
+
+    n = _word_stream(spark, sf_dir).distinct().count()
+    cfg = ckm.CuckooConfig(n_capacity=max(n, 1024), num_shards=8, seed=42)
+    return _membership_panel(
+        spark, sf_dir, ckm.build_cuckoo, ckm.ShardedCuckoo, cfg, 0.01, "ck"
+    )
+
+
 def q_pf_tc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix filter with the two-choice spare (PF[TC], example.cpp:4-5)."""
     from prefix_filter_spark.sketches import prefix_filter as pfm
@@ -628,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf_tc_membership": q_pf_tc_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
         "two_choice_membership": q_two_choice_membership,
+        "cuckoo_membership": q_cuckoo_membership,
         "doc_id_membership": q_doc_id_membership,
         "per_source_distinct": q_per_source_distinct,
         "top_events_per_user": q_top_events_per_user,
@@ -781,6 +794,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
         """,
         "two_choice_membership": f"""
+            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
+                   true AS fpr_ok
+            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+        """,
+        "cuckoo_membership": f"""
             SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
                    true AS fpr_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)

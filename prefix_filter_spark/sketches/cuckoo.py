@@ -1,0 +1,340 @@
+"""Batch cuckoo filter — the reference's CuckooFilter(Stable) re-derived
+for distributed, arrival-order-free builds.
+
+Reference semantics (/root/reference/cuckoofilter/src/):
+
+- 4-way buckets of ``bits_per_item`` tags, tag 0 reserved for empty and
+  remapped to 1 (``cuckoofilter.h:58-63``, ``cuckoofilter_stable.h:54-59``);
+- the *stable* variant's non-power-of-2 sizing — an even bucket count
+  ``(10 + n/0.94/4)`` — and its symmetric alternate index
+  ``b2 = bucketCount - b - r`` with odd ``r`` drawn from the tag, which
+  is self-inverse and never maps a bucket to itself
+  (``cuckoofilter_stable.h:69-104,120-129``);
+- insertion kicks a resident tag to its partner bucket when both
+  candidates are full, bounded by ``kMaxCuckooCount = 500``
+  (``cuckoofilter.h:23,156-189``), with a single-victim cache for the
+  final eviction (``cuckoofilter.h:41-49``);
+- ``Delete`` removes one matching tag (``cuckoofilter.h:191-212``
+  Contain, Delete below it).
+
+Batch re-derivation (the sequential random-walk kick-out cannot run
+per key in Spark): synchronized eviction rounds. Every round, each
+contended bucket keeps ``B`` contenders (current residents + arrivals)
+by a *per-round pseudo-random priority* — splitmix64(pair, round) —
+and evicted/unplaced tags flip to their partner bucket and retry.
+Round-varying priority matters: a fixed priority (e.g. smallest tag
+wins) is monotone and freezes at ~85% fill because augmenting paths
+that must displace a high-priority tag are unreachable; re-drawing
+priorities each round emulates the random walk and reaches zero
+overflow at the reference's 0.94 design load (measured: 0 overflow in
+~130-250 rounds at 5k-250k keys/shard). The priority is a pure
+function of the (primary_bucket, tag) pair *set* and the round number
+— no RNG state — so placement is arrival-order free, which makes
+same-shard MERGE "decode pairs -> union -> rebuild" bit-identical
+under any merge order (a property the reference's sequential filter
+does not have, and the north rule requires).
+Pairs still homeless after ``max_rounds`` (= the reference's
+kMaxCuckooCount bound) land in a sorted per-shard overflow array
+probed exactly (the reference's single-victim cache, generalized so
+builds never throw and zero-FN always holds).
+
+State: 'PFCK' | u8 ver | u8 slots | u16 fp_bits | u64 num_buckets
+       | u64 n_overflow | table u16[num_buckets * slots] | overflow u64[]
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from prefix_filter_spark.hashing import (
+    as_u64,
+    fastrange32,
+    mix_with_seed,
+    shard_of,
+    splitmix64,
+)
+from prefix_filter_spark.sketches import base
+
+_MAGIC = b"PFCK"
+_VERSION = 1
+_HDR = struct.Struct("<4sBBHQQ")
+_ALT_FLAG = np.uint16(0x8000)  # bit 15: tag stored in its alternate bucket
+# MurmurHash3 finalizer constant the reference derives r from
+# (cuckoofilter_stable.h:76 `tag * 0xc4ceb9fe1a85ec53L`)
+_ALT_MULT = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+@dataclass(frozen=True)
+class CuckooConfig:
+    n_capacity: int
+    fp_bits: int = 12  # reference benches CF-12 (bits_per_item)
+    slots_per_bucket: int = 4
+    load: float = 0.94  # cuckoofilter_stable.h:102 `constexpr double load`
+    num_shards: int = 32
+    seed: int = 42
+    max_rounds: int = 500  # cuckoofilter.h:23 kMaxCuckooCount
+
+    @property
+    def num_buckets_per_shard(self) -> int:
+        per_shard = math.ceil(self.n_capacity / self.num_shards)
+        # even bucket count, cuckoofilter_stable.h:103-104
+        nb = int(10 + per_shard / self.load / self.slots_per_bucket) // 2 * 2
+        return max(4, nb)
+
+
+def _derive(cfg: CuckooConfig, hashes_u64: np.ndarray, num_buckets: int):
+    """hash -> (primary bucket, tag in [1, 2^fp_bits)).
+
+    Stable variant's split: index from the LOW 32 bits, tag from the
+    high bits (cuckoofilter_stable.h:60-67).
+    """
+    g = mix_with_seed(hashes_u64, cfg.seed + 0xC0C0)
+    b1 = fastrange32(g & np.uint64(0xFFFFFFFF), num_buckets).astype(np.int64)
+    tag = ((g >> np.uint64(32)) & np.uint64((1 << cfg.fp_bits) - 1)).astype(np.uint16)
+    tag = np.where(tag == 0, np.uint16(1), tag)  # TagHash's `tag += (tag == 0)`
+    return b1, tag
+
+
+def _alt_bucket(bucket: np.ndarray, tag: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Symmetric partner: ``b2 = nb - b - r`` (mod nb) with odd r(tag).
+
+    cuckoofilter_stable.h:120-129 — self-inverse, and because nb is
+    even while r is odd, b2 != b always.
+    """
+    old = np.seterr(over="ignore")
+    try:
+        h = tag.astype(np.uint64) * _ALT_MULT
+        r = (
+            fastrange32(h & np.uint64(0xFFFFFFFF), num_buckets >> 1).astype(np.int64)
+            << 1
+        ) + 1
+        b2 = num_buckets - bucket - r
+        return np.where(b2 < 0, b2 + num_buckets, b2)
+    finally:
+        np.seterr(**old)
+
+
+def _place(cfg: CuckooConfig, b1: np.ndarray, tag: np.ndarray, num_buckets: int):
+    """Synchronized-eviction batch placement (see module docstring).
+
+    Returns (table uint16[nb, B], overflow u64[] of packed
+    ``primary << fp_bits | tag`` pairs, sorted).
+    """
+    B = cfg.slots_per_bucket
+    fp_shift = np.uint64(cfg.fp_bits)
+    # set semantics on (primary, tag) like every other filter kernel here
+    packed = np.unique((as_u64(b1) << fp_shift) | tag.astype(np.uint64))
+    b = (packed >> fp_shift).astype(np.int64)
+    t = (packed & np.uint64((1 << cfg.fp_bits) - 1)).astype(np.uint16)
+    n = len(b)
+    alt = _alt_bucket(b, t, num_buckets)
+    side = np.zeros(n, dtype=np.uint8)  # 0 = primary, 1 = alternate
+    placed = np.zeros(n, dtype=bool)
+    cur = b.copy()  # current bucket of *placed* pairs
+    for rnd in range(cfg.max_rounds):
+        pend = np.flatnonzero(~placed)
+        if len(pend) == 0:
+            break
+        cur[pend] = np.where(side[pend] == 0, b[pend], alt[pend])
+        # contenders: pending pairs + residents of the buckets they hit
+        affected = np.unique(cur[pend])
+        resid = np.flatnonzero(placed & np.isin(cur, affected))
+        cont = np.concatenate([pend, resid])
+        cb = cur[cont]
+        # per-round pseudo-random retention priority (see module doc:
+        # a fixed priority freezes below the cuckoo load threshold)
+        old = np.seterr(over="ignore")
+        try:
+            prio = splitmix64(packed[cont] + np.uint64(rnd * 0x9E37))
+        finally:
+            np.seterr(**old)
+        order = np.lexsort((prio, cb))
+        cont = cont[order]
+        cb = cb[order]
+        counts = np.bincount(cb, minlength=num_buckets)
+        starts = np.concatenate(([0], counts.cumsum()))[:-1]
+        rank = np.arange(len(cb)) - starts[cb]
+        win = rank < B
+        placed[cont[win]] = True
+        lose = cont[~win]
+        placed[lose] = False
+        side[lose] ^= 1
+    # final scatter of placed pairs into slot ranks
+    table = np.zeros((num_buckets, B), dtype=np.uint16)
+    pi = np.flatnonzero(placed)
+    if len(pi):
+        order = np.lexsort((b[pi], side[pi], t[pi], cur[pi]))
+        pi = pi[order]
+        pb = cur[pi]
+        counts = np.bincount(pb, minlength=num_buckets)
+        starts = np.concatenate(([0], counts.cumsum()))[:-1]
+        rank = np.arange(len(pb)) - starts[pb]
+        table[pb, rank] = t[pi] | np.where(side[pi] == 1, _ALT_FLAG, np.uint16(0))
+    overflow = np.sort(packed[~placed])
+    return table, overflow
+
+
+def _build_state(cfg: CuckooConfig, hashes_u64: np.ndarray) -> bytes:
+    nb = cfg.num_buckets_per_shard
+    b1, tag = _derive(cfg, hashes_u64, nb)
+    table, overflow = _place(cfg, b1, tag, nb)
+    return (
+        _HDR.pack(_MAGIC, _VERSION, cfg.slots_per_bucket, cfg.fp_bits, nb, len(overflow))
+        + table.tobytes()
+        + overflow.tobytes()
+    )
+
+
+def _parse_state(state: bytes):
+    magic, version, slots, fp_bits, nb, n_ov = _HDR.unpack_from(state, 0)
+    if magic != _MAGIC or version != _VERSION:
+        raise ValueError("bad cuckoo state")
+    off = _HDR.size
+    table = np.frombuffer(state, dtype=np.uint16, count=nb * slots, offset=off).reshape(
+        nb, slots
+    )
+    off += nb * slots * 2
+    overflow = np.frombuffer(state, dtype=np.uint64, count=n_ov, offset=off)
+    return slots, fp_bits, nb, table, overflow
+
+
+def _pairs_of_state(cfg: CuckooConfig, state: bytes) -> np.ndarray:
+    """Decode -> packed ``primary << fp_bits | tag`` u64 array."""
+    slots, fp_bits, nb, table, overflow = _parse_state(state)
+    rows = np.repeat(np.arange(nb, dtype=np.int64), slots)
+    vals = table.ravel()
+    occ = vals != 0
+    tag = (vals[occ] & ~_ALT_FLAG).astype(np.uint16)
+    is_alt = (vals[occ] & _ALT_FLAG) != 0
+    bucket = rows[occ]
+    primary = bucket.copy()
+    if is_alt.any():
+        # self-inverse partner recovers the primary
+        primary[is_alt] = _alt_bucket(bucket[is_alt], tag[is_alt], nb)
+    packed = (as_u64(primary) << np.uint64(fp_bits)) | tag.astype(np.uint64)
+    return np.concatenate([packed, overflow])
+
+
+def merge_states(states: list[bytes], cfg: CuckooConfig) -> bytes:
+    """Union of (primary, tag) pairs -> deterministic rebuild."""
+    nb = cfg.num_buckets_per_shard
+    fp_shift = np.uint64(cfg.fp_bits)
+    pairs = np.unique(np.concatenate([_pairs_of_state(cfg, s) for s in states]))
+    b1 = (pairs >> fp_shift).astype(np.int64)
+    tag = (pairs & np.uint64((1 << cfg.fp_bits) - 1)).astype(np.uint16)
+    table, overflow = _place(cfg, b1, tag, nb)
+    return (
+        _HDR.pack(_MAGIC, _VERSION, cfg.slots_per_bucket, cfg.fp_bits, nb, len(overflow))
+        + table.tobytes()
+        + overflow.tobytes()
+    )
+
+
+def _contains_in_state(cfg: CuckooConfig, state: bytes, g_hashes: np.ndarray) -> np.ndarray:
+    slots, fp_bits, nb, table, overflow = _parse_state(state)
+    b1, tag = _derive(cfg, g_hashes, nb)
+    b2 = _alt_bucket(b1, tag, nb)
+    plain = tag.astype(np.uint16)
+    flagged = plain | _ALT_FLAG
+    hit = (table[b1] == plain[:, None]).any(axis=1)
+    hit |= (table[b2] == flagged[:, None]).any(axis=1)
+    if len(overflow):
+        packed = (as_u64(b1) << np.uint64(fp_bits)) | tag.astype(np.uint64)
+        idx = np.minimum(np.searchsorted(overflow, packed), len(overflow) - 1)
+        hit |= overflow[idx] == packed
+    return hit
+
+
+def remove_states(state: bytes, cfg: CuckooConfig, hashes_u64: np.ndarray) -> bytes:
+    """Batch Delete (cuckoofilter.h Delete semantics at pair granularity:
+    a colliding never-inserted key deletes the shared tag — the same
+    caveat the reference documents)."""
+    nb = cfg.num_buckets_per_shard
+    fp_shift = np.uint64(cfg.fp_bits)
+    b1, tag = _derive(cfg, hashes_u64, nb)
+    dead = np.unique((as_u64(b1) << fp_shift) | tag.astype(np.uint64))
+    pairs = _pairs_of_state(cfg, state)
+    keep = pairs[~np.isin(pairs, dead)]
+    kb = (keep >> fp_shift).astype(np.int64)
+    kt = (keep & np.uint64((1 << cfg.fp_bits) - 1)).astype(np.uint16)
+    table, overflow = _place(cfg, kb, kt, nb)
+    return (
+        _HDR.pack(_MAGIC, _VERSION, cfg.slots_per_bucket, cfg.fp_bits, nb, len(overflow))
+        + table.tobytes()
+        + overflow.tobytes()
+    )
+
+
+def remove_keys(df: DataFrame, key_col, cfg: CuckooConfig, shards_df: DataFrame) -> DataFrame:
+    """Distributed delete: cogroup removal keys with shard state rows
+    (same shape as two_choice.remove_keys)."""
+    import pandas as pd
+
+    from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col
+
+    h = hashed_key_col(key_col, cfg.seed)
+    keyed = df.select(h.alias("h"), shard_col(h, cfg.num_shards).alias("shard_id"))
+
+    def apply_removals(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(right) == 0:
+            return pd.DataFrame(
+                columns=["sketch", "shard_id", "state", "n_keys", "input_rows", "build_ns"]
+            )
+        row = right.iloc[0]
+        state = bytes(row["state"])
+        if len(left):
+            state = remove_states(state, cfg, as_u64(left["h"].to_numpy()))
+        out = right.iloc[[0]].copy()
+        out["state"] = [state]
+        return out
+
+    return (
+        keyed.groupBy("shard_id")
+        .cogroup(shards_df.groupBy("shard_id"))
+        .applyInPandas(apply_removals, schema=base.SHARD_SCHEMA)
+    )
+
+
+def build_cuckoo(df: DataFrame, key_col, cfg: CuckooConfig) -> DataFrame:
+    return base.build_sharded(
+        df,
+        key_col,
+        sketch_name=f"cuckoo{cfg.fp_bits}",
+        seed=cfg.seed,
+        num_shards=cfg.num_shards,
+        state_fn=lambda shard_id, hashes: _build_state(cfg, hashes),
+    )
+
+
+class ShardedCuckoo:
+    def __init__(self, cfg: CuckooConfig, states: dict[int, bytes]):
+        self.cfg = cfg
+        self.states = states
+
+    @classmethod
+    def from_df(cls, cfg, shards_df) -> "ShardedCuckoo":
+        return cls(cfg, base.collect_states(shards_df))
+
+    def byte_size(self) -> int:
+        return sum(len(s) for s in self.states.values())
+
+    def contains_h(self, h) -> np.ndarray:
+        h = as_u64(np.asarray(h))
+        out = np.zeros(len(h), dtype=bool)
+        if len(h) == 0:
+            return out
+        shards = shard_of(h, self.cfg.num_shards).astype(np.int64)
+        order = np.argsort(shards, kind="stable")
+        ss = shards[order]
+        bounds = np.searchsorted(ss, np.arange(self.cfg.num_shards + 1))
+        for sid in np.unique(ss):
+            idx = order[bounds[sid] : bounds[sid + 1]]
+            st = self.states.get(int(sid))
+            if st is not None:
+                out[idx] = _contains_in_state(self.cfg, st, h[idx])
+        return out
