@@ -136,6 +136,12 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     times["tc_build"] = _timed_best(
         lambda: tcm.build_two_choice(keys, "key", tc_cfg).count()
     )
+    from prefix_filter_spark.sketches import cuckoo as ckm
+
+    ck_cfg = ckm.CuckooConfig(n_capacity=N_KEYS, num_shards=max(shards, 64), seed=42)
+    times["ck_build"] = _timed_best(
+        lambda: ckm.build_cuckoo(keys, "key", ck_cfg).count()
+    )
 
     # value sketches over the same stream
     from prefix_filter_spark.sketches import cms, hll, kll, tdigest

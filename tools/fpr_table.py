@@ -28,6 +28,7 @@ def main() -> int:
     from prefix_filter_spark.sketches import (
         blocked_bloom as bb,
         bloom,
+        cuckoo as ck,
         prefix_filter as pfm,
         two_choice as tc,
     )
@@ -55,6 +56,8 @@ def main() -> int:
          bb.BlockedBloomConfig(n_capacity=n, bits_per_key=12, block_bytes=64, num_shards=32, seed=17)),
         ("TC", tc.build_two_choice, tc.ShardedTwoChoice,
          tc.TwoChoiceConfig(n_capacity=n, num_shards=32, seed=17)),
+        ("CF-12", ck.build_cuckoo, ck.ShardedCuckoo,
+         ck.CuckooConfig(n_capacity=n, num_shards=32, seed=17)),
     ]
 
     rows = []
