@@ -29,7 +29,13 @@ def main() -> int:
     from prefix_filter_spark.session import get_spark
     from prefix_filter_spark.sketches import bloom, prefix_filter as pfm
 
-    spark = get_spark(app_name="incremental-bench")
+    # build stages keep full task parallelism (AQE's byte-based
+    # coalescing can't see per-group Python compute — bench.py has the
+    # measured story)
+    spark = get_spark(
+        app_name="incremental-bench",
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    )
     if kind == "pf":
         cfg = pfm.PrefixFilterConfig(n_capacity=n, num_shards=32, seed=23)
         build = lambda df: pfm.build_prefix_filter(df, "key", cfg)  # noqa: E731
@@ -52,6 +58,12 @@ def main() -> int:
         "Reference: benchmark_single_round_np_incremental "
         "(smart_tests.hpp:203-260). 'add' = partial build + associative "
         "merge of the slice; lookups timed at the resulting load.\n",
+        "NOTE: each 5% slice is a separate ~100k-key Spark job, so the "
+        "rates here measure the per-job latency floor (~1s scheduling + "
+        "Arrow round-trip), not kernel throughput — by design: this is "
+        "what trickle-ingest looks like. Saturated-throughput numbers "
+        "are in BENCH/BASELINE.md; load-independence of the rates (flat "
+        "rows 2-20) is the property the reference's protocol checks.\n",
         "| round | load | add Mkeys/s | uniform Mprobes/s | yes Mprobes/s | yes hits |",
         "|---|---|---|---|---|---|",
     ]
