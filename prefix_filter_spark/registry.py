@@ -1,0 +1,106 @@
+"""Sketch registry — the reference's FilterAPI introspection surface.
+
+``get_name`` / ``get_ID`` / ``get_functionality``
+(/root/reference/Tests/wrappers.hpp:107-116,195-199,802-812) re-expressed
+as a Python capability enum + a registry dict keyed by the ``sketch``
+column prefix every shard row carries. The functionality mask semantics
+match the reference exactly: 1 = lookup, 2 = add, 4 = delete, so the
+prefix filter and the Bloom family report 3 (lookups + adds,
+wrappers.hpp:806-808) while the two-choice and cuckoo tables report 7
+(wrappers.hpp:197-199,500-502: CF and TC support Remove).
+
+Estimate sketches (HLL / CMS / KLL / t-digest) have no reference
+counterpart in this enum; they report ADD|ESTIMATE — ESTIMATE is this
+engine's extension bit (8) for "answers aggregate queries, not
+membership".
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from enum import IntFlag
+
+
+class Capability(IntFlag):
+    """wrappers.hpp get_functionality mask, plus the ESTIMATE extension."""
+
+    NONE = 0
+    LOOKUP = 1
+    ADD = 2
+    DELETE = 4
+    ESTIMATE = 8
+
+
+@dataclass(frozen=True)
+class SketchInfo:
+    name: str  # get_name
+    sketch_id: int  # get_ID (stable in this engine, not the C++ enum order)
+    functionality: Capability  # get_functionality
+    module: str  # import path of the implementation
+    reference: str  # the reference wrapper this mirrors
+
+
+REGISTRY: dict[str, SketchInfo] = {
+    "prefix_filter": SketchInfo(
+        "prefix_filter", 1, Capability.LOOKUP | Capability.ADD,
+        "prefix_filter_spark.sketches.prefix_filter",
+        "wrappers.hpp:784-828 (Prefix-Filter, functionality 3)",
+    ),
+    "bloom": SketchInfo(
+        "bloom", 2, Capability.LOOKUP | Capability.ADD,
+        "prefix_filter_spark.sketches.bloom",
+        "wrappers.hpp:825-875 (bloomfilter, functionality 3)",
+    ),
+    "blocked_bloom": SketchInfo(
+        "blocked_bloom", 3, Capability.LOOKUP | Capability.ADD,
+        "prefix_filter_spark.sketches.blocked_bloom",
+        "wrappers.hpp:290-344 (SimdBlockFilter/Impala512, functionality 3)",
+    ),
+    "two_choice": SketchInfo(
+        "two_choice", 4, Capability.LOOKUP | Capability.ADD | Capability.DELETE,
+        "prefix_filter_spark.sketches.two_choice",
+        "wrappers.hpp:450-520 (TC_shortcut, functionality 7)",
+    ),
+    "cuckoo": SketchInfo(
+        "cuckoo", 5, Capability.LOOKUP | Capability.ADD | Capability.DELETE,
+        "prefix_filter_spark.sketches.cuckoo",
+        "wrappers.hpp:130-200 (CuckooFilter/Stable, functionality 7)",
+    ),
+    "hll": SketchInfo(
+        "hll", 6, Capability.ADD | Capability.ESTIMATE,
+        "prefix_filter_spark.sketches.hll", "north-rule extension (no reference wrapper)",
+    ),
+    "cms": SketchInfo(
+        "cms", 7, Capability.ADD | Capability.ESTIMATE,
+        "prefix_filter_spark.sketches.cms", "north-rule extension (no reference wrapper)",
+    ),
+    "kll": SketchInfo(
+        "kll", 8, Capability.ADD | Capability.ESTIMATE,
+        "prefix_filter_spark.sketches.kll", "north-rule extension (no reference wrapper)",
+    ),
+    "tdigest": SketchInfo(
+        "tdigest", 9, Capability.ADD | Capability.ESTIMATE,
+        "prefix_filter_spark.sketches.tdigest", "north-rule extension (no reference wrapper)",
+    ),
+}
+
+
+def info(sketch: str) -> SketchInfo:
+    """Look up by registry name OR by a shard row's ``sketch`` column
+    value, which carries config suffixes: ``cuckoo12``, ``hll14``,
+    ``tc12``, ``bbf256``, ``bloom12``, ``kll200``, ``cms5x8192``,
+    ``tdigest200``, ``prefix_filter``."""
+    if sketch in REGISTRY:
+        return REGISTRY[sketch]
+    m = re.match(r"^([a-z_]+?)[0-9x]*$", sketch)
+    stripped = m.group(1) if m else sketch
+    aliases = {"pf": "prefix_filter", "tc": "two_choice", "bbf": "blocked_bloom"}
+    stripped = aliases.get(stripped, stripped)
+    if stripped in REGISTRY:
+        return REGISTRY[stripped]
+    raise KeyError(f"unknown sketch: {sketch!r}")
+
+
+def supports(sketch: str, cap: Capability) -> bool:
+    return bool(info(sketch).functionality & cap)
