@@ -115,3 +115,12 @@ def bloom_probe_fn(cfg) -> ProbeFn:
         return bloom._contains_in_state(state, g)
 
     return fn
+
+
+def cuckoo_probe_fn(cfg) -> ProbeFn:
+    from prefix_filter_spark.sketches import cuckoo
+
+    def fn(state: bytes, shard_id: int, h: np.ndarray) -> np.ndarray:
+        return cuckoo._contains_in_state(cfg, state, h)
+
+    return fn

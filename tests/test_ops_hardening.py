@@ -303,3 +303,43 @@ def test_sketch_by_group_salted(spark):
     # the hot source actually fanned out (skew-safety is real, not nominal)
     web = out[out["group"] == "web"].iloc[0]
     assert web["n_partials"] == 16
+
+
+def test_streaming_foreach_batch_cuckoo(spark):
+    """Streamed cuckoo accumulation == one-shot batch build bit-for-bit
+    (deterministic rebuild merge under the curried-config contract)."""
+    from prefix_filter_spark.sketches import cuckoo as ck
+    from prefix_filter_spark.streaming.build import foreach_batch_build
+
+    cfg = ck.CuckooConfig(n_capacity=20_000, num_shards=4, seed=6)
+    keys = spark.range(20_000).select(F.col("id").alias("key"))
+    src_dir = f"{TMP}/ck_stream_src"
+    for i in range(3):
+        keys.where(F.pmod("key", F.lit(3)) == i).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = foreach_batch_build(
+        stream,
+        "key",
+        build_fn=lambda df, k: ck.build_cuckoo(df, k, cfg),
+        merge_fn=lambda states: ck.merge_states(states, cfg),
+        state_path=f"{TMP}/ck_stream_state",
+        checkpoint_dir=f"{TMP}/ck_stream_ckpt",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["shard_id"]: bytes(r["state"])
+        for r in spark.read.parquet(f"{TMP}/ck_stream_state").collect()
+    }
+    want = {
+        r["shard_id"]: bytes(r["state"])
+        for r in ck.build_cuckoo(keys, "key", cfg).collect()
+    }
+    assert got == want

@@ -53,3 +53,20 @@ def test_bloom_join_probe(spark):
     # the probe plan shuffles probes once and never replicates state rows
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_cuckoo_join_probe(spark):
+    from prefix_filter_spark.sketches import cuckoo as ck
+
+    cfg = ck.CuckooConfig(n_capacity=30_000, num_shards=8, seed=33)
+    keys = spark.range(30_000).select(F.col("id").alias("key"))
+    shards = ck.build_cuckoo(keys, "key", cfg)
+    out = probe.probe_via_join(
+        keys,
+        "key",
+        shards,
+        seed=cfg.seed,
+        num_shards=cfg.num_shards,
+        probe_fn=probe.cuckoo_probe_fn(cfg),
+    )
+    assert out.where("contains").count() == 30_000
