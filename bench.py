@@ -179,6 +179,7 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         "minhash_lsh_dedup",
         "embedding_topk",
         "srp_ann_topk",
+        "salted_source_counts",
     ):
         fn = entrymod.queries()[name]
         times[name] = _timed_best(lambda f=fn: f(spark, sf_dir).collect())
