@@ -94,3 +94,35 @@ def test_header_roundtrip_property(quot_lists):
     assert (counts_incl == counts_q.cumsum(axis=1)).all()
     assert (got_over == overflowed).all()
     assert (got_lq == last_quot).all()
+
+
+# ---- cuckoo placement invariants (adversarial pair sets) -------------
+
+cuckoo_keys_strategy = st.lists(
+    st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=400
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(cuckoo_keys_strategy, st.randoms())
+def test_cuckoo_state_invariants(keys, rnd):
+    """Every inserted key probes true (zero FN); placement is
+    arrival-order free; split-merge reproduces the one-shot state."""
+    from prefix_filter_spark.sketches import cuckoo as ck
+    from prefix_filter_spark.hashing import as_u64
+
+    cfg = ck.CuckooConfig(n_capacity=4_000, num_shards=16, seed=3)
+    arr = as_u64(np.array(sorted(set(keys)), dtype=np.uint64))
+    state = ck._build_state(cfg, arr)
+    if len(arr):
+        assert ck._contains_in_state(cfg, state, arr).all(), "false negative"
+    # arrival-order free
+    shuffled = list(arr)
+    rnd.shuffle(shuffled)
+    assert ck._build_state(cfg, np.unique(as_u64(np.array(shuffled, dtype=np.uint64)))) == state
+    # split anywhere, merge in shuffled order -> bit-identical
+    if len(arr) >= 2:
+        cut = rnd.randrange(1, len(arr))
+        parts = [ck._build_state(cfg, arr[:cut]), ck._build_state(cfg, arr[cut:])]
+        rnd.shuffle(parts)
+        assert ck.merge_states(parts, cfg) == state
