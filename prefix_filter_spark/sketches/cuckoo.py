@@ -150,7 +150,12 @@ def _place(cfg: CuckooConfig, b1: np.ndarray, tag: np.ndarray, num_buckets: int)
         # a fixed priority freezes below the cuckoo load threshold)
         old = np.seterr(over="ignore")
         try:
-            prio = splitmix64(packed[cont] + np.uint64(rnd * 0x9E37))
+            # top 32 bits are enough priority entropy; narrower sort
+            # keys make the per-round lexsort measurably cheaper
+            prio = (
+                splitmix64(packed[cont] + np.uint64(rnd * 0x9E37))
+                >> np.uint64(32)
+            ).astype(np.uint32)
         finally:
             np.seterr(**old)
         order = np.lexsort((prio, cb))
