@@ -358,11 +358,16 @@ def q_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _membership_panel(spark, sf_dir, build, handle_cls, cfg, fpr_bound, prefix):
+def _membership_panel(spark, sf_dir, build, handle_cls, cfg_factory, fpr_bound, prefix):
+    """cfg_factory: n_distinct_words -> config. The panel counts the
+    word stream ONCE and sizes the filter from that count (callers used
+    to run the identical distinct+count themselves just to build the
+    config — a doubled input scan, which at 100TB is the dominant cost)."""
     from prefix_filter_spark.functions import register_contains_udf
 
     words = _word_stream(spark, sf_dir).distinct()
     n = words.count()
+    cfg = cfg_factory(max(n, 1024))
     handle = handle_cls.from_df(cfg, build(words, "word", cfg))
     fn = register_contains_udf(spark, f"{prefix}_contains", handle, cfg.seed)
     found = words.where(fn("word")).count()
@@ -379,22 +384,20 @@ def _membership_panel(spark, sf_dir, build, handle_cls, cfg, fpr_bound, prefix):
 def q_blocked_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefix_filter_spark.sketches import blocked_bloom as bb
 
-    n = _word_stream(spark, sf_dir).distinct().count()
-    cfg = bb.BlockedBloomConfig(
-        n_capacity=max(n, 1024), bits_per_key=10, num_shards=8, seed=42
-    )
     return _membership_panel(
-        spark, sf_dir, bb.build_blocked_bloom, bb.ShardedBlockedBloom, cfg, 0.05, "bbf"
+        spark, sf_dir, bb.build_blocked_bloom, bb.ShardedBlockedBloom,
+        lambda n: bb.BlockedBloomConfig(n_capacity=n, bits_per_key=10, num_shards=8, seed=42),
+        0.05, "bbf",
     )
 
 
 def q_two_choice_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefix_filter_spark.sketches import two_choice as tc
 
-    n = _word_stream(spark, sf_dir).distinct().count()
-    cfg = tc.TwoChoiceConfig(n_capacity=max(n, 1024), num_shards=8, seed=42)
     return _membership_panel(
-        spark, sf_dir, tc.build_two_choice, tc.ShardedTwoChoice, cfg, 0.02, "tc"
+        spark, sf_dir, tc.build_two_choice, tc.ShardedTwoChoice,
+        lambda n: tc.TwoChoiceConfig(n_capacity=n, num_shards=8, seed=42),
+        0.02, "tc",
     )
 
 
@@ -403,10 +406,10 @@ def q_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-way buckets, delete-capable; cuckoofilter_stable.h:69-135)."""
     from prefix_filter_spark.sketches import cuckoo as ckm
 
-    n = _word_stream(spark, sf_dir).distinct().count()
-    cfg = ckm.CuckooConfig(n_capacity=max(n, 1024), num_shards=8, seed=42)
     return _membership_panel(
-        spark, sf_dir, ckm.build_cuckoo, ckm.ShardedCuckoo, cfg, 0.01, "ck"
+        spark, sf_dir, ckm.build_cuckoo, ckm.ShardedCuckoo,
+        lambda n: ckm.CuckooConfig(n_capacity=n, num_shards=8, seed=42),
+        0.01, "ck",
     )
 
 
@@ -414,12 +417,10 @@ def q_pf_tc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix filter with the two-choice spare (PF[TC], example.cpp:4-5)."""
     from prefix_filter_spark.sketches import prefix_filter as pfm
 
-    n = _word_stream(spark, sf_dir).distinct().count()
-    cfg = pfm.PrefixFilterConfig(
-        n_capacity=max(n, 1024), num_shards=8, seed=42, spare_kind="tc"
-    )
     return _membership_panel(
-        spark, sf_dir, pfm.build_prefix_filter, pfm.ShardedPrefixFilter, cfg, 0.006, "pftc"
+        spark, sf_dir, pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+        lambda n: pfm.PrefixFilterConfig(n_capacity=n, num_shards=8, seed=42, spare_kind="tc"),
+        0.006, "pftc",
     )
 
 

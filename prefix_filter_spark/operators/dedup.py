@@ -96,26 +96,39 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
     return out
 
 
-def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3, seed: int = 42) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}): k independent min-hashes of the shingle set.
-
-    All JVM-side, one shuffle on doc_id, no Python. Each shingle string
-    is hashed ONCE (variable-width UTF8 walk); the k permutations are
-    k xxhash64 calls over that fixed-width 8-byte value — ~6x cheaper
-    than k string hashes at k=128 (measured on sf0.1). No distinct()
-    before the agg: min() is duplicate-insensitive, so minhash over the
-    shingle multiset == over the set, saving a whole shuffle. k=128
-    gives +-1/sqrt(128) ~ 9% Jaccard estimation error; banding below
-    does the candidate cut.
-    """
+def _shingle_hashes(docs: DataFrame, n: int, seed: int, distinct: bool) -> DataFrame:
+    """(doc_id, h): each shingle string hashed ONCE to 8 bytes — the
+    single code path the public signatures and the LSH verification
+    share (so the two can never diverge on the base hash)."""
     sh = _shingles_raw(docs, n).select(
         "doc_id", F.xxhash64(F.col("s"), F.lit(seed)).alias("h")
     )
+    return sh.distinct() if distinct else sh
+
+
+def _signatures_from_hashes(sh: DataFrame, num_perm: int, seed: int) -> DataFrame:
+    """k min-aggregates over cheap fixed-width permutation hashes of the
+    base shingle hash (~6x cheaper than k string hashes at k=128).
+    min() is duplicate-insensitive, so the result is identical whether
+    `sh` is distinct or raw."""
     aggs = [
         F.min(F.xxhash64(F.col("h"), F.lit(seed + i))).alias(f"mh{i}")
         for i in range(num_perm)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3, seed: int = 42) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): k independent min-hashes of the shingle set.
+
+    All JVM-side, one shuffle on doc_id, no Python, no distinct()
+    (min over the multiset == min over the set, saving a shuffle).
+    k=128 gives +-1/sqrt(128) ~ 9% Jaccard estimation error; banding in
+    minhash_lsh_pairs does the candidate cut.
+    """
+    return _signatures_from_hashes(
+        _shingle_hashes(docs, n, seed, distinct=False), num_perm, seed
+    )
 
 
 def minhash_lsh_pairs(
@@ -138,16 +151,16 @@ def minhash_lsh_pairs(
     # and the exact-verification joins below run on this fixed-width
     # column (a 64-bit-hash "exact" Jaccard: collision odds 2^-64 per
     # shingle pair, and the long-key joins shuffle ~16B/row instead of
-    # ~25-char strings). Cached: it feeds two separate subtrees.
-    shd = _shingles_raw(docs, n).select(
-        "doc_id", F.xxhash64(F.col("s"), F.lit(seed)).alias("h")
-    )
-    shd.persist()
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(seed + i))).alias(f"mh{i}")
-        for i in range(num_perm)
-    ]
-    sig = shd.groupBy("doc_id").agg(*aggs)
+    # ~25-char strings). The DISTINCT set is persisted — it feeds the
+    # signature agg (duplicate-insensitive, see _signatures_from_hashes)
+    # plus three verification subtrees, and is the smallest common
+    # input. NOTE: the persist is intentionally not released — the
+    # returned DataFrame is lazy and every downstream action re-reads
+    # it; callers running many one-shot dedup jobs in one session can
+    # spark.catalog.clearCache() between them.
+    sh = _shingle_hashes(docs, n, seed, distinct=True)
+    sh.persist()
+    sig = _signatures_from_hashes(sh, num_perm, seed)
     band_cols = [
         F.xxhash64(
             *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
@@ -177,7 +190,6 @@ def minhash_lsh_pairs(
     # exact verification of candidates ONLY: join the candidate pairs to
     # the two shingle-hash sets — never the all-pairs shingle self-join
     # (that would defeat the LSH cut; at scale candidates << all pairs)
-    sh = shd.distinct()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.alias("sa")
     sb = sh.alias("sb")

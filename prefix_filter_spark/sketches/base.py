@@ -144,6 +144,56 @@ def merge_shard_states(df: DataFrame, merge_fn) -> DataFrame:
     return df.groupBy("shard_id").applyInPandas(merge_group, schema=SHARD_SCHEMA)
 
 
+def remove_keys_sharded(
+    df: DataFrame,
+    key_col,
+    *,
+    seed: int,
+    num_shards: int,
+    shards_df: DataFrame,
+    remove_state_fn: Callable[[bytes, np.ndarray], bytes],
+    merge_fn: Callable[[list[bytes]], bytes],
+) -> DataFrame:
+    """Distributed delete for delete-capable filters (two-choice,
+    cuckoo — wrappers.hpp functionality mask 7): route removal keys to
+    their shard with the same Catalyst expression as the build, cogroup
+    with the shard's state row(s), rebuild without the dead pairs.
+
+    Shards holding several un-compacted partial rows (the streaming
+    accumulation shape) are MERGED first — deleting from only one
+    partial would silently resurrect the key from the others.
+    Shards with no removal keys pass through (post-merge) unchanged.
+    """
+    from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col
+
+    h = hashed_key_col(key_col, seed)
+    keyed = df.select(h.alias("h"), shard_col(h, num_shards).alias("shard_id"))
+
+    def apply_removals(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(right) == 0:
+            return pd.DataFrame(
+                columns=["sketch", "shard_id", "state", "n_keys", "input_rows", "build_ns"]
+            )
+        states = [bytes(s) for s in right["state"]]
+        state = merge_fn(states) if len(states) > 1 else states[0]
+        if len(left):
+            state = remove_state_fn(state, as_u64(left["h"].to_numpy()))
+        out = right.iloc[[0]].copy()
+        out["state"] = [state]
+        # n_keys stays the pre-delete upper bound: fingerprint-granular
+        # deletes cannot recount exactly (documented caveat)
+        out["n_keys"] = [int(right["n_keys"].sum())]
+        out["input_rows"] = [int(right["input_rows"].sum())]
+        out["build_ns"] = [int(right["build_ns"].sum())]
+        return out
+
+    return (
+        keyed.groupBy("shard_id")
+        .cogroup(shards_df.groupBy("shard_id"))
+        .applyInPandas(apply_removals, schema=SHARD_SCHEMA)
+    )
+
+
 def build_partials(
     df: DataFrame,
     value_col,

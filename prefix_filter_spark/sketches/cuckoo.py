@@ -79,6 +79,15 @@ class CuckooConfig:
     seed: int = 42
     max_rounds: int = 500  # cuckoofilter.h:23 kMaxCuckooCount
 
+    def __post_init__(self):
+        # tag occupies bits [0, fp_bits); bit 15 of the uint16 slot is
+        # the alt flag — a 16-bit tag would silently corrupt on decode
+        if not 1 <= self.fp_bits <= 15:
+            raise ValueError(
+                f"fp_bits must be in [1, 15] (bit 15 is the alt flag; "
+                f"got {self.fp_bits}) — for wider tags widen the slot dtype"
+            )
+
     @property
     def num_buckets_per_shard(self) -> int:
         per_shard = math.ceil(self.n_capacity / self.num_shards)
@@ -225,10 +234,29 @@ def _pairs_of_state(cfg: CuckooConfig, state: bytes) -> np.ndarray:
     return np.concatenate([packed, overflow])
 
 
+def _check_geometry(cfg: CuckooConfig, state: bytes) -> None:
+    """Loudly reject a state built under a different geometry: decoding
+    bucket indices from one nb and rebuilding into another is either an
+    IndexError or — worse — silent false negatives."""
+    slots, fp_bits, nb, _, _ = _parse_state(state)
+    if (
+        nb != cfg.num_buckets_per_shard
+        or slots != cfg.slots_per_bucket
+        or fp_bits != cfg.fp_bits
+    ):
+        raise ValueError(
+            f"cuckoo state geometry (nb={nb}, slots={slots}, fp_bits={fp_bits}) "
+            f"does not match config (nb={cfg.num_buckets_per_shard}, "
+            f"slots={cfg.slots_per_bucket}, fp_bits={cfg.fp_bits})"
+        )
+
+
 def merge_states(states: list[bytes], cfg: CuckooConfig) -> bytes:
     """Union of (primary, tag) pairs -> deterministic rebuild."""
     nb = cfg.num_buckets_per_shard
     fp_shift = np.uint64(cfg.fp_bits)
+    for s in states:
+        _check_geometry(cfg, s)
     pairs = np.unique(np.concatenate([_pairs_of_state(cfg, s) for s in states]))
     b1 = (pairs >> fp_shift).astype(np.int64)
     tag = (pairs & np.uint64((1 << cfg.fp_bits) - 1)).astype(np.uint16)
@@ -259,6 +287,7 @@ def remove_states(state: bytes, cfg: CuckooConfig, hashes_u64: np.ndarray) -> by
     """Batch Delete (cuckoofilter.h Delete semantics at pair granularity:
     a colliding never-inserted key deletes the shared tag — the same
     caveat the reference documents)."""
+    _check_geometry(cfg, state)
     nb = cfg.num_buckets_per_shard
     fp_shift = np.uint64(cfg.fp_bits)
     b1, tag = _derive(cfg, hashes_u64, nb)
@@ -276,32 +305,16 @@ def remove_states(state: bytes, cfg: CuckooConfig, hashes_u64: np.ndarray) -> by
 
 
 def remove_keys(df: DataFrame, key_col, cfg: CuckooConfig, shards_df: DataFrame) -> DataFrame:
-    """Distributed delete: cogroup removal keys with shard state rows
-    (same shape as two_choice.remove_keys)."""
-    import pandas as pd
-
-    from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col
-
-    h = hashed_key_col(key_col, cfg.seed)
-    keyed = df.select(h.alias("h"), shard_col(h, cfg.num_shards).alias("shard_id"))
-
-    def apply_removals(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(right) == 0:
-            return pd.DataFrame(
-                columns=["sketch", "shard_id", "state", "n_keys", "input_rows", "build_ns"]
-            )
-        row = right.iloc[0]
-        state = bytes(row["state"])
-        if len(left):
-            state = remove_states(state, cfg, as_u64(left["h"].to_numpy()))
-        out = right.iloc[[0]].copy()
-        out["state"] = [state]
-        return out
-
-    return (
-        keyed.groupBy("shard_id")
-        .cogroup(shards_df.groupBy("shard_id"))
-        .applyInPandas(apply_removals, schema=base.SHARD_SCHEMA)
+    """Distributed delete (see base.remove_keys_sharded; un-compacted
+    partial rows per shard are merged before the delete applies)."""
+    return base.remove_keys_sharded(
+        df,
+        key_col,
+        seed=cfg.seed,
+        num_shards=cfg.num_shards,
+        shards_df=shards_df,
+        remove_state_fn=lambda state, h: remove_states(state, cfg, h),
+        merge_fn=lambda states: merge_states(states, cfg),
     )
 
 

@@ -53,6 +53,13 @@ class TwoChoiceConfig:
     num_shards: int = 32
     seed: int = 42
 
+    def __post_init__(self):
+        if not 1 <= self.fp_bits <= 14:
+            raise ValueError(
+                f"fp_bits must be in [1, 14] (bit 15 is the alt flag; "
+                f"got {self.fp_bits})"
+            )
+
     @property
     def num_buckets_per_shard(self) -> int:
         per_shard = math.ceil(self.n_capacity / self.num_shards)
@@ -177,9 +184,28 @@ def _pairs_of_state(cfg: TwoChoiceConfig, state: bytes) -> np.ndarray:
     return np.concatenate([packed, overflow.astype(np.uint64)])
 
 
+def _check_geometry(cfg: TwoChoiceConfig, state: bytes) -> None:
+    """Reject states built under a different geometry before a rebuild
+    silently mis-places every pair (or IndexErrors)."""
+    slots, fp_bits, nb, _, _ = _parse_state(state)
+    if (
+        nb != cfg.num_buckets_per_shard
+        or slots != cfg.slots_per_bucket
+        or fp_bits != cfg.fp_bits
+    ):
+        raise ValueError(
+            f"two-choice state geometry (nb={nb}, slots={slots}, "
+            f"fp_bits={fp_bits}) does not match config "
+            f"(nb={cfg.num_buckets_per_shard}, slots={cfg.slots_per_bucket}, "
+            f"fp_bits={cfg.fp_bits})"
+        )
+
+
 def merge_states(states: list[bytes], cfg: TwoChoiceConfig) -> bytes:
     """Union of (primary, fp) pairs -> deterministic rebuild."""
     nb = cfg.num_buckets_per_shard
+    for s in states:
+        _check_geometry(cfg, s)
     pairs = np.unique(np.concatenate([_pairs_of_state(cfg, s) for s in states]))
     b1 = (pairs >> np.uint64(16)).astype(np.int64)
     fp = (pairs & np.uint64(0xFFFF)).astype(np.uint16)
@@ -223,6 +249,7 @@ def remove_states(state: bytes, cfg: TwoChoiceConfig, hashes_u64: np.ndarray) ->
     the deterministic placement, so remove(merge(A,B)) ==
     merge(remove(A), remove'(B)) at pair level.
     """
+    _check_geometry(cfg, state)
     nb = cfg.num_buckets_per_shard
     b1, fp = _derive(cfg, hashes_u64, nb)
     dead = np.unique(as_u64(b1) * np.uint64(1 << 16) + fp.astype(np.uint64))
@@ -239,34 +266,16 @@ def remove_states(state: bytes, cfg: TwoChoiceConfig, hashes_u64: np.ndarray) ->
 
 
 def remove_keys(df: DataFrame, key_col, cfg: TwoChoiceConfig, shards_df: DataFrame) -> DataFrame:
-    """Distributed delete: route removal keys to their shard (same
-    Catalyst expression as the build), cogroup with the shard's single
-    state row, rebuild. Shards with no removals pass through unchanged.
-    """
-    import pandas as pd
-
-    from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col
-
-    h = hashed_key_col(key_col, cfg.seed)
-    keyed = df.select(h.alias("h"), shard_col(h, cfg.num_shards).alias("shard_id"))
-
-    def apply_removals(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(right) == 0:
-            return pd.DataFrame(
-                columns=["sketch", "shard_id", "state", "n_keys", "input_rows", "build_ns"]
-            )
-        row = right.iloc[0]
-        state = bytes(row["state"])
-        if len(left):
-            state = remove_states(state, cfg, as_u64(left["h"].to_numpy()))
-        out = right.iloc[[0]].copy()
-        out["state"] = [state]
-        return out
-
-    return (
-        keyed.groupBy("shard_id")
-        .cogroup(shards_df.groupBy("shard_id"))
-        .applyInPandas(apply_removals, schema=base.SHARD_SCHEMA)
+    """Distributed delete (see base.remove_keys_sharded; un-compacted
+    partial rows per shard are merged before the delete applies)."""
+    return base.remove_keys_sharded(
+        df,
+        key_col,
+        seed=cfg.seed,
+        num_shards=cfg.num_shards,
+        shards_df=shards_df,
+        remove_state_fn=lambda state, h: remove_states(state, cfg, h),
+        merge_fn=lambda states: merge_states(states, cfg),
     )
 
 

@@ -117,3 +117,36 @@ def test_sql_registration(spark, cfg):
     fn = register_contains_udf(spark, "t_cuckoo", handle, cfg.seed)
     n = keys.where(fn("key")).count()
     assert n == N
+
+
+def test_remove_on_uncompacted_partials(spark, cfg):
+    """Deleting from a shards DF that still holds multiple per-batch
+    partial rows per shard must merge them first — dropping all but the
+    first partial would silently resurrect or lose keys."""
+    keys_a = spark.range(0, 20_000).select(F.col("id").alias("key"))
+    keys_b = spark.range(20_000, 40_000).select(F.col("id").alias("key"))
+    partials = ck.build_cuckoo(keys_a, "key", cfg).unionByName(
+        ck.build_cuckoo(keys_b, "key", cfg)
+    )
+    dead = spark.range(0, 2_000).select(F.col("id").alias("key"))
+    after = ck.remove_keys(dead, "key", cfg, partials)
+    handle = ck.ShardedCuckoo.from_df(cfg, after)
+    hd = dead.select(hashed_key_col("key", cfg.seed).alias("h")).toPandas()["h"].to_numpy()
+    assert not handle.contains_h(hd).any(), "deleted keys resurrected from a dropped partial"
+    alive = (
+        spark.range(2_000, 40_000)
+        .select(hashed_key_col(F.col("id"), cfg.seed).alias("h"))
+        .toPandas()["h"].to_numpy()
+    )
+    kept = handle.contains_h(alive)
+    # both batches' survivors must still probe true (collision caveat bound)
+    assert (~kept).sum() <= 20, int((~kept).sum())
+
+
+def test_config_and_geometry_validation(cfg):
+    with pytest.raises(ValueError):
+        ck.CuckooConfig(n_capacity=1000, fp_bits=16)
+    other = ck.CuckooConfig(n_capacity=N * 4, num_shards=16, seed=8)
+    st = ck._build_state(cfg, np.arange(100, dtype=np.uint64))
+    with pytest.raises(ValueError):
+        ck.merge_states([st], other)
