@@ -164,8 +164,6 @@ def remove_keys_sharded(
     partial would silently resurrect the key from the others.
     Shards with no removal keys pass through (post-merge) unchanged.
     """
-    from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col
-
     h = hashed_key_col(key_col, seed)
     keyed = df.select(h.alias("h"), shard_col(h, num_shards).alias("shard_id"))
 

@@ -39,7 +39,14 @@ probed exactly (the reference's single-victim cache, generalized so
 builds never throw and zero-FN always holds).
 
 State: 'PFCK' | u8 ver | u8 slots | u16 fp_bits | u64 num_buckets
-       | u64 n_overflow | table u16[num_buckets * slots] | overflow u64[]
+       | u64 n_overflow | u64 seed | u32 num_shards
+       | table u16[num_buckets * slots] | overflow u64[]
+
+seed and num_shards are serialized so every parse boundary can reject a
+state/config mismatch loudly: a wrong seed (or shard count, which
+changes key->shard routing) derives different (bucket, tag) pairs and
+would otherwise turn probes into silent false negatives and deletes
+into silent no-ops.
 """
 
 from __future__ import annotations
@@ -61,8 +68,9 @@ from prefix_filter_spark.hashing import (
 from prefix_filter_spark.sketches import base
 
 _MAGIC = b"PFCK"
-_VERSION = 1
-_HDR = struct.Struct("<4sBBHQQ")
+_VERSION = 2
+_HDR = struct.Struct("<4sBBHQQQI")
+_SEED_MASK = 0xFFFFFFFFFFFFFFFF
 _ALT_FLAG = np.uint16(0x8000)  # bit 15: tag stored in its alternate bucket
 # MurmurHash3 finalizer constant the reference derives r from
 # (cuckoofilter_stable.h:76 `tag * 0xc4ceb9fe1a85ec53L`)
@@ -193,19 +201,32 @@ def _place(cfg: CuckooConfig, b1: np.ndarray, tag: np.ndarray, num_buckets: int)
     return table, overflow
 
 
+def _pack_header(cfg: CuckooConfig, nb: int, n_overflow: int) -> bytes:
+    return _HDR.pack(
+        _MAGIC,
+        _VERSION,
+        cfg.slots_per_bucket,
+        cfg.fp_bits,
+        nb,
+        n_overflow,
+        cfg.seed & _SEED_MASK,
+        cfg.num_shards,
+    )
+
+
 def _build_state(cfg: CuckooConfig, hashes_u64: np.ndarray) -> bytes:
     nb = cfg.num_buckets_per_shard
     b1, tag = _derive(cfg, hashes_u64, nb)
     table, overflow = _place(cfg, b1, tag, nb)
     return (
-        _HDR.pack(_MAGIC, _VERSION, cfg.slots_per_bucket, cfg.fp_bits, nb, len(overflow))
+        _pack_header(cfg, nb, len(overflow))
         + table.tobytes()
         + overflow.tobytes()
     )
 
 
 def _parse_state(state: bytes):
-    magic, version, slots, fp_bits, nb, n_ov = _HDR.unpack_from(state, 0)
+    magic, version, slots, fp_bits, nb, n_ov, seed, num_shards = _HDR.unpack_from(state, 0)
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad cuckoo state")
     off = _HDR.size
@@ -214,12 +235,12 @@ def _parse_state(state: bytes):
     )
     off += nb * slots * 2
     overflow = np.frombuffer(state, dtype=np.uint64, count=n_ov, offset=off)
-    return slots, fp_bits, nb, table, overflow
+    return slots, fp_bits, nb, table, overflow, seed, num_shards
 
 
 def _pairs_of_state(cfg: CuckooConfig, state: bytes) -> np.ndarray:
     """Decode -> packed ``primary << fp_bits | tag`` u64 array."""
-    slots, fp_bits, nb, table, overflow = _parse_state(state)
+    slots, fp_bits, nb, table, overflow, _seed, _ns = _parse_state(state)
     rows = np.repeat(np.arange(nb, dtype=np.int64), slots)
     vals = table.ravel()
     occ = vals != 0
@@ -238,16 +259,20 @@ def _check_geometry(cfg: CuckooConfig, state: bytes) -> None:
     """Loudly reject a state built under a different geometry: decoding
     bucket indices from one nb and rebuilding into another is either an
     IndexError or — worse — silent false negatives."""
-    slots, fp_bits, nb, _, _ = _parse_state(state)
+    slots, fp_bits, nb, _, _, seed, num_shards = _parse_state(state)
     if (
         nb != cfg.num_buckets_per_shard
         or slots != cfg.slots_per_bucket
         or fp_bits != cfg.fp_bits
+        or seed != (cfg.seed & _SEED_MASK)
+        or num_shards != cfg.num_shards
     ):
         raise ValueError(
-            f"cuckoo state geometry (nb={nb}, slots={slots}, fp_bits={fp_bits}) "
-            f"does not match config (nb={cfg.num_buckets_per_shard}, "
-            f"slots={cfg.slots_per_bucket}, fp_bits={cfg.fp_bits})"
+            f"cuckoo state (nb={nb}, slots={slots}, fp_bits={fp_bits}, "
+            f"seed={seed}, num_shards={num_shards}) does not match config "
+            f"(nb={cfg.num_buckets_per_shard}, slots={cfg.slots_per_bucket}, "
+            f"fp_bits={cfg.fp_bits}, seed={cfg.seed & _SEED_MASK}, "
+            f"num_shards={cfg.num_shards})"
         )
 
 
@@ -262,14 +287,15 @@ def merge_states(states: list[bytes], cfg: CuckooConfig) -> bytes:
     tag = (pairs & np.uint64((1 << cfg.fp_bits) - 1)).astype(np.uint16)
     table, overflow = _place(cfg, b1, tag, nb)
     return (
-        _HDR.pack(_MAGIC, _VERSION, cfg.slots_per_bucket, cfg.fp_bits, nb, len(overflow))
+        _pack_header(cfg, nb, len(overflow))
         + table.tobytes()
         + overflow.tobytes()
     )
 
 
 def _contains_in_state(cfg: CuckooConfig, state: bytes, g_hashes: np.ndarray) -> np.ndarray:
-    slots, fp_bits, nb, table, overflow = _parse_state(state)
+    _check_geometry(cfg, state)  # a mismatch here is silent false negatives
+    slots, fp_bits, nb, table, overflow, _seed, _ns = _parse_state(state)
     b1, tag = _derive(cfg, g_hashes, nb)
     b2 = _alt_bucket(b1, tag, nb)
     plain = tag.astype(np.uint16)
@@ -298,7 +324,7 @@ def remove_states(state: bytes, cfg: CuckooConfig, hashes_u64: np.ndarray) -> by
     kt = (keep & np.uint64((1 << cfg.fp_bits) - 1)).astype(np.uint16)
     table, overflow = _place(cfg, kb, kt, nb)
     return (
-        _HDR.pack(_MAGIC, _VERSION, cfg.slots_per_bucket, cfg.fp_bits, nb, len(overflow))
+        _pack_header(cfg, nb, len(overflow))
         + table.tobytes()
         + overflow.tobytes()
     )

@@ -23,7 +23,13 @@ MERGE a deterministic rebuild over the union of pairs: associative,
 commutative, bit-identical under any merge order.
 
 State: 'PFTC' | u8 ver | u8 slots | u16 fp_bits | u32 num_buckets
-       | u32 n_overflow | table u16[num_buckets * slots] | overflow u32[]
+       | u32 n_overflow | u64 seed | u32 num_shards
+       | table u16[num_buckets * slots] | overflow u32[]
+
+seed and num_shards are serialized so every parse boundary (probe,
+merge, delete) rejects a state/config mismatch loudly instead of
+silently mis-deriving fingerprints (false negatives) or routing deletes
+to the wrong pairs.
 """
 
 from __future__ import annotations
@@ -39,8 +45,9 @@ from prefix_filter_spark.hashing import as_u64, mix_with_seed, shard_of
 from prefix_filter_spark.sketches import base
 
 _MAGIC = b"PFTC"
-_VERSION = 1
-_HDR = struct.Struct("<4sBBHII")
+_VERSION = 2
+_HDR = struct.Struct("<4sBBHIIQI")
+_SEED_MASK = 0xFFFFFFFFFFFFFFFF
 _ALT_FLAG = np.uint16(0x8000)  # bit 15: stored in its alternate bucket
 
 
@@ -144,19 +151,32 @@ def _fill_buckets(
     return table, overflow
 
 
+def _pack_header(cfg: TwoChoiceConfig, nb: int, n_overflow: int) -> bytes:
+    return _HDR.pack(
+        _MAGIC,
+        _VERSION,
+        cfg.slots_per_bucket,
+        cfg.fp_bits,
+        nb,
+        n_overflow,
+        cfg.seed & _SEED_MASK,
+        cfg.num_shards,
+    )
+
+
 def _build_state(cfg: TwoChoiceConfig, hashes_u64: np.ndarray) -> bytes:
     nb = cfg.num_buckets_per_shard
     b1, fp = _derive(cfg, hashes_u64, nb)
     table, overflow = _fill_buckets(cfg, b1, fp, nb)
     return (
-        _HDR.pack(_MAGIC, _VERSION, cfg.slots_per_bucket, cfg.fp_bits, nb, len(overflow))
+        _pack_header(cfg, nb, len(overflow))
         + table.tobytes()
         + overflow.tobytes()
     )
 
 
 def _parse_state(state: bytes):
-    magic, version, slots, fp_bits, nb, n_ov = _HDR.unpack_from(state, 0)
+    magic, version, slots, fp_bits, nb, n_ov, seed, num_shards = _HDR.unpack_from(state, 0)
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad two-choice state")
     off = _HDR.size
@@ -165,12 +185,12 @@ def _parse_state(state: bytes):
     )
     off += nb * slots * 2
     overflow = np.frombuffer(state, dtype=np.uint32, count=n_ov, offset=off)
-    return slots, fp_bits, nb, table, overflow
+    return slots, fp_bits, nb, table, overflow, seed, num_shards
 
 
 def _pairs_of_state(cfg: TwoChoiceConfig, state: bytes) -> np.ndarray:
     """Decode -> packed (primary_bucket << 16 | fp) u64 array."""
-    slots, fp_bits, nb, table, overflow = _parse_state(state)
+    slots, fp_bits, nb, table, overflow, _seed, _ns = _parse_state(state)
     rows = np.repeat(np.arange(nb, dtype=np.int64), slots)
     vals = table.ravel()
     occ = vals != 0
@@ -187,17 +207,20 @@ def _pairs_of_state(cfg: TwoChoiceConfig, state: bytes) -> np.ndarray:
 def _check_geometry(cfg: TwoChoiceConfig, state: bytes) -> None:
     """Reject states built under a different geometry before a rebuild
     silently mis-places every pair (or IndexErrors)."""
-    slots, fp_bits, nb, _, _ = _parse_state(state)
+    slots, fp_bits, nb, _, _, seed, num_shards = _parse_state(state)
     if (
         nb != cfg.num_buckets_per_shard
         or slots != cfg.slots_per_bucket
         or fp_bits != cfg.fp_bits
+        or seed != (cfg.seed & _SEED_MASK)
+        or num_shards != cfg.num_shards
     ):
         raise ValueError(
-            f"two-choice state geometry (nb={nb}, slots={slots}, "
-            f"fp_bits={fp_bits}) does not match config "
+            f"two-choice state (nb={nb}, slots={slots}, fp_bits={fp_bits}, "
+            f"seed={seed}, num_shards={num_shards}) does not match config "
             f"(nb={cfg.num_buckets_per_shard}, slots={cfg.slots_per_bucket}, "
-            f"fp_bits={cfg.fp_bits})"
+            f"fp_bits={cfg.fp_bits}, seed={cfg.seed & _SEED_MASK}, "
+            f"num_shards={cfg.num_shards})"
         )
 
 
@@ -211,14 +234,15 @@ def merge_states(states: list[bytes], cfg: TwoChoiceConfig) -> bytes:
     fp = (pairs & np.uint64(0xFFFF)).astype(np.uint16)
     table, overflow = _fill_buckets(cfg, b1, fp, nb)
     return (
-        _HDR.pack(_MAGIC, _VERSION, cfg.slots_per_bucket, cfg.fp_bits, nb, len(overflow))
+        _pack_header(cfg, nb, len(overflow))
         + table.tobytes()
         + overflow.tobytes()
     )
 
 
 def _contains_in_state(cfg: TwoChoiceConfig, state: bytes, g_hashes: np.ndarray) -> np.ndarray:
-    slots, fp_bits, nb, table, overflow = _parse_state(state)
+    _check_geometry(cfg, state)  # a mismatch here is silent false negatives
+    slots, fp_bits, nb, table, overflow, _seed, _ns = _parse_state(state)
     b1, fp = _derive(cfg, g_hashes, nb)  # g_hashes are the raw key hashes
     b2 = _alt_bucket(cfg, b1, fp, nb)
     plain = fp.astype(np.uint16)
@@ -259,7 +283,7 @@ def remove_states(state: bytes, cfg: TwoChoiceConfig, hashes_u64: np.ndarray) ->
     kf = (keep & np.uint64(0xFFFF)).astype(np.uint16)
     table, overflow = _fill_buckets(cfg, kb, kf, nb)
     return (
-        _HDR.pack(_MAGIC, _VERSION, cfg.slots_per_bucket, cfg.fp_bits, nb, len(overflow))
+        _pack_header(cfg, nb, len(overflow))
         + table.tobytes()
         + overflow.tobytes()
     )

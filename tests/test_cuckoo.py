@@ -48,7 +48,7 @@ def test_no_overflow_at_design_load(cfg):
     rng = np.random.default_rng(1)
     keys = as_u64(rng.integers(0, 2**63, N // cfg.num_shards, dtype=np.int64))
     state = ck._build_state(cfg, np.unique(keys))
-    _, _, nb, table, overflow = ck._parse_state(state)
+    _, _, nb, table, overflow, _, _ = ck._parse_state(state)
     assert len(overflow) == 0
     fill = (table != 0).sum() / (nb * cfg.slots_per_bucket)
     assert fill > 0.9, fill

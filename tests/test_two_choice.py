@@ -36,7 +36,7 @@ def test_little_overflow_at_design_load(cfg):
     rng = np.random.default_rng(1)
     keys = as_u64(rng.integers(0, 2**63, N // cfg.num_shards, dtype=np.int64))
     state = tc._build_state(cfg, np.unique(keys))
-    _, _, _, _, overflow = tc._parse_state(state)
+    _, _, _, _, overflow, _, _ = tc._parse_state(state)
     assert len(overflow) < len(keys) * 0.01  # two-choice keeps overflow tiny
 
 
@@ -94,3 +94,37 @@ def test_remove_keys_distributed(spark, cfg):
     after2 = tc.remove_keys(ghosts, "key", cfg, after)
     h2 = tc.ShardedTwoChoice.from_df(cfg, after2)
     assert h2.contains_h(h_kept).mean() > 0.999
+
+
+def test_remove_on_uncompacted_partials(spark, cfg):
+    """Deleting from a shards DF holding multiple per-batch partial rows
+    per shard must merge first (base.remove_keys_sharded contract)."""
+    keys_a = spark.range(0, 20_000).select(F.col("id").alias("key"))
+    keys_b = spark.range(20_000, 40_000).select(F.col("id").alias("key"))
+    partials = tc.build_two_choice(keys_a, "key", cfg).unionByName(
+        tc.build_two_choice(keys_b, "key", cfg)
+    )
+    dead = spark.range(0, 2_000).select(F.col("id").alias("key"))
+    after = tc.remove_keys(dead, "key", cfg, partials)
+    handle = tc.ShardedTwoChoice.from_df(cfg, after)
+    hd = dead.select(hashed_key_col("key", cfg.seed).alias("h")).toPandas()["h"].to_numpy()
+    assert not handle.contains_h(hd).any(), "deleted keys resurrected from a dropped partial"
+    alive = (
+        spark.range(2_000, 40_000)
+        .select(hashed_key_col(F.col("id"), cfg.seed).alias("h"))
+        .toPandas()["h"].to_numpy()
+    )
+    assert (~handle.contains_h(alive)).sum() <= 20
+
+
+def test_config_and_geometry_validation(cfg):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tc.TwoChoiceConfig(n_capacity=1000, fp_bits=15)
+    other = tc.TwoChoiceConfig(n_capacity=N, num_shards=16, seed=99)
+    st = tc._build_state(cfg, np.arange(100, dtype=np.uint64))
+    with _pytest.raises(ValueError):
+        tc.merge_states([st], other)  # same geometry, different seed
+    with _pytest.raises(ValueError):
+        tc._contains_in_state(other, st, np.arange(10, dtype=np.uint64))
