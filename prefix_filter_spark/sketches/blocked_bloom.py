@@ -34,8 +34,11 @@ from prefix_filter_spark.hashing import as_u64, mix_with_seed, shard_of
 from prefix_filter_spark.sketches import base
 
 _MAGIC = b"PFBB"
-_VERSION = 1
-_HDR = struct.Struct("<4sBBHQ")
+_VERSION = 2
+# magic | ver | log2(block_bytes) | pad | num_blocks u64 | seed u64
+# | num_shards u32 — seed/shard count serialized so mismatches fail loud
+_HDR = struct.Struct("<4sBBHQQI")
+_SEED_MASK = 0xFFFFFFFFFFFFFFFF
 
 # the reference's 8 odd multiply constants (public, from the SIMD
 # blocked-bloom literature; simd-block.h:100-108)
@@ -111,13 +114,21 @@ def _build_state(cfg: BlockedBloomConfig, hashes_u64: np.ndarray) -> bytes:
             lanes_arr, lane_idx.ravel(), (np.uint32(1) << bitpos.ravel())
         )
     return (
-        _HDR.pack(_MAGIC, _VERSION, cfg.block_bytes.bit_length() - 1, 0, nblocks)
+        _HDR.pack(
+            _MAGIC,
+            _VERSION,
+            cfg.block_bytes.bit_length() - 1,
+            0,
+            nblocks,
+            cfg.seed & _SEED_MASK,
+            cfg.num_shards,
+        )
         + lanes_arr.tobytes()
     )
 
 
 def _parse_state(state: bytes):
-    magic, version, log2_bb, _, nblocks = _HDR.unpack_from(state, 0)
+    magic, version, log2_bb, _, nblocks, _seed, _ns = _HDR.unpack_from(state, 0)
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad blocked-bloom state")
     block_bytes = 1 << log2_bb
@@ -125,7 +136,28 @@ def _parse_state(state: bytes):
     return block_bytes, nblocks, lanes
 
 
+def check_state(cfg: BlockedBloomConfig, state: bytes) -> None:
+    """Header-only state/config consistency check (probe boundary)."""
+    magic, version, log2_bb, _, nblocks, seed, ns = _HDR.unpack_from(state, 0)
+    if magic != _MAGIC or version != _VERSION:
+        raise ValueError("bad blocked-bloom state")
+    if (
+        (1 << log2_bb) != cfg.block_bytes
+        or nblocks != cfg.num_blocks_per_shard
+        or seed != (cfg.seed & _SEED_MASK)
+        or ns != cfg.num_shards
+    ):
+        raise ValueError(
+            f"blocked-bloom state (block_bytes={1 << log2_bb}, "
+            f"nblocks={nblocks}, seed={seed}, num_shards={ns}) does not "
+            f"match config (block_bytes={cfg.block_bytes}, "
+            f"nblocks={cfg.num_blocks_per_shard}, "
+            f"seed={cfg.seed & _SEED_MASK}, num_shards={cfg.num_shards})"
+        )
+
+
 def _contains_in_state(cfg: BlockedBloomConfig, state: bytes, g: np.ndarray) -> np.ndarray:
+    check_state(cfg, state)  # a mismatch here is silent false negatives
     _, nblocks, lanes_arr = _parse_state(state)
     if len(g) == 0:
         return np.zeros(0, dtype=bool)
@@ -137,12 +169,13 @@ def _contains_in_state(cfg: BlockedBloomConfig, state: bytes, g: np.ndarray) -> 
 
 
 def merge_states(states: list[bytes]) -> bytes:
-    parsed = [_parse_state(s) for s in states]
-    bb, nb = parsed[0][0], parsed[0][1]
-    if any(p[0] != bb or p[1] != nb for p in parsed):
+    """OR-merge; the full header (incl. seed + shard count) must agree."""
+    hdr = states[0][: _HDR.size]
+    if any(s[: _HDR.size] != hdr for s in states[1:]):
         raise ValueError("config mismatch")
+    parsed = [_parse_state(s) for s in states]
     merged = reduce(np.bitwise_or, (p[2] for p in parsed[1:]), parsed[0][2])
-    return _HDR.pack(_MAGIC, _VERSION, bb.bit_length() - 1, 0, nb) + merged.tobytes()
+    return hdr + merged.tobytes()
 
 
 def build_blocked_bloom(df: DataFrame, key_col, cfg: BlockedBloomConfig) -> DataFrame:

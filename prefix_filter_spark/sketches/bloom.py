@@ -31,8 +31,12 @@ from prefix_filter_spark.hashing import as_u64, mix_with_seed, shard_of
 from prefix_filter_spark.sketches import base
 
 _MAGIC = b"PFSB"
-_VERSION = 1
-_HDR = struct.Struct("<4sBBHQ")
+_VERSION = 2
+# magic | ver | k | pad | m_bits u64 | seed u64 | num_shards u32 — seed
+# and shard count are serialized so probe/merge boundaries can reject a
+# state/config mismatch loudly (a wrong seed is silent false negatives)
+_HDR = struct.Struct("<4sBBHQQI")
+_SEED_MASK = 0xFFFFFFFFFFFFFFFF
 
 
 @dataclass(frozen=True)
@@ -86,15 +90,39 @@ def _build_state(cfg: BloomConfig, hashes_u64: np.ndarray) -> bytes:
         pos = _probe_positions(g, cfg.k, m)
         bits[pos.ravel()] = True
     packed = np.packbits(bits, bitorder="little")
-    return _HDR.pack(_MAGIC, _VERSION, cfg.k, 0, m) + packed.tobytes()
+    return (
+        _HDR.pack(
+            _MAGIC, _VERSION, cfg.k, 0, m, cfg.seed & _SEED_MASK, cfg.num_shards
+        )
+        + packed.tobytes()
+    )
 
 
 def _parse_state(state: bytes) -> tuple[int, int, np.ndarray]:
-    magic, version, k, _, m = _HDR.unpack_from(state, 0)
+    magic, version, k, _, m, _seed, _ns = _HDR.unpack_from(state, 0)
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad bloom state header")
     arr = np.frombuffer(state, dtype=np.uint8, offset=_HDR.size)
     return k, m, arr
+
+
+def check_state(cfg: BloomConfig, state: bytes) -> None:
+    """Reject a state/config mismatch before probing mis-derives bit
+    positions (silent false negatives) — header-only, no body parse."""
+    magic, version, k, _, m, seed, ns = _HDR.unpack_from(state, 0)
+    if magic != _MAGIC or version != _VERSION:
+        raise ValueError("bad bloom state header")
+    if (
+        k != cfg.k
+        or m != cfg.m_bits_per_shard
+        or seed != (cfg.seed & _SEED_MASK)
+        or ns != cfg.num_shards
+    ):
+        raise ValueError(
+            f"bloom state (k={k}, m={m}, seed={seed}, num_shards={ns}) does "
+            f"not match config (k={cfg.k}, m={cfg.m_bits_per_shard}, "
+            f"seed={cfg.seed & _SEED_MASK}, num_shards={cfg.num_shards})"
+        )
 
 
 def _contains_in_state(state: bytes, g: np.ndarray) -> np.ndarray:
@@ -109,13 +137,14 @@ def _contains_in_state(state: bytes, g: np.ndarray) -> np.ndarray:
 
 
 def merge_states(states: list[bytes]) -> bytes:
-    """OR-merge same-shard partials (bloom.hpp AddAll over subsets)."""
-    parsed = [_parse_state(s) for s in states]
-    k, m, first = parsed[0]
-    if any(p[0] != k or p[1] != m for p in parsed):
+    """OR-merge same-shard partials (bloom.hpp AddAll over subsets).
+    The full header (incl. seed + shard count) must agree byte-for-byte."""
+    hdr = states[0][: _HDR.size]
+    if any(s[: _HDR.size] != hdr for s in states[1:]):
         raise ValueError("cannot merge bloom states with different configs")
-    merged = reduce(np.bitwise_or, (p[2] for p in parsed[1:]), first)
-    return _HDR.pack(_MAGIC, _VERSION, k, 0, m) + merged.tobytes()
+    parsed = [_parse_state(s) for s in states]
+    merged = reduce(np.bitwise_or, (p[2] for p in parsed[1:]), parsed[0][2])
+    return hdr + merged.tobytes()
 
 
 def build_bloom(df: DataFrame, key_col, cfg: BloomConfig) -> DataFrame:
@@ -165,5 +194,6 @@ class ShardedBloom:
             idx = order[lo:hi]
             state = self.states.get(int(sid))
             if state is not None:
+                check_state(self.cfg, state)
                 out[idx] = _contains_in_state(state, g[idx])
         return out

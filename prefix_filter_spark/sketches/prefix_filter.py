@@ -46,8 +46,14 @@ from prefix_filter_spark.hashing import (
 from prefix_filter_spark.sketches import base, bloom, pd_kernel
 
 _MAGIC = b"PFSP"
-_VERSION = 1
-_HDR = struct.Struct("<4sBBHII")
+_VERSION = 2
+# magic | ver | spare_kind (0=bloom, 1=tc) | pad | num_pd u32
+# | spare_len u32 | seed u64 | num_shards u32 — seed, shard count and
+# spare kind are serialized so probe/merge boundaries reject a
+# state/config mismatch loudly (silent false negatives otherwise)
+_HDR = struct.Struct("<4sBBHIIQI")
+_SEED_MASK = 0xFFFFFFFFFFFFFFFF
+_SPARE_KIND_CODE = {"bloom": 0, "tc": 1}
 
 
 @dataclass(frozen=True)
@@ -146,15 +152,50 @@ def _build_state(cfg: PrefixFilterConfig, shard_id: int, hashes_u64: np.ndarray)
         cfg, np.unique(_spare_keys(shard_id, cfg, ev_pd, ev_qr))
     )
     return (
-        _HDR.pack(_MAGIC, _VERSION, 0, 0, num_pd, len(spare_state))
+        _pack_header(cfg, num_pd, len(spare_state))
         + headers.tobytes()
         + body.tobytes()
         + spare_state
     )
 
 
+def _pack_header(cfg: PrefixFilterConfig, num_pd: int, spare_len: int) -> bytes:
+    return _HDR.pack(
+        _MAGIC,
+        _VERSION,
+        _SPARE_KIND_CODE[cfg.spare_kind],
+        0,
+        num_pd,
+        spare_len,
+        cfg.seed & _SEED_MASK,
+        cfg.num_shards,
+    )
+
+
+def check_state(cfg: PrefixFilterConfig, state: bytes) -> None:
+    """Header-only state/config consistency check. Seed, shard count,
+    PD count and spare kind all change how a probe derives or routes —
+    any mismatch would be silent false negatives."""
+    magic, version, spare_kind, _, num_pd, _sl, seed, ns = _HDR.unpack_from(state, 0)
+    if magic != _MAGIC or version != _VERSION:
+        raise ValueError("bad prefix-filter state header")
+    if (
+        num_pd != cfg.num_pd_per_shard
+        or seed != (cfg.seed & _SEED_MASK)
+        or ns != cfg.num_shards
+        or spare_kind != _SPARE_KIND_CODE[cfg.spare_kind]
+    ):
+        raise ValueError(
+            f"prefix-filter state (num_pd={num_pd}, seed={seed}, "
+            f"num_shards={ns}, spare_kind={spare_kind}) does not match "
+            f"config (num_pd={cfg.num_pd_per_shard}, "
+            f"seed={cfg.seed & _SEED_MASK}, num_shards={cfg.num_shards}, "
+            f"spare_kind={_SPARE_KIND_CODE[cfg.spare_kind]})"
+        )
+
+
 def _parse_state(state: bytes):
-    magic, version, _, _, num_pd, spare_len = _HDR.unpack_from(state, 0)
+    magic, version, _, _, num_pd, spare_len, _seed, _ns = _HDR.unpack_from(state, 0)
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad prefix-filter state header")
     off = _HDR.size
@@ -196,6 +237,7 @@ def merge_states(states: list[bytes], cfg: PrefixFilterConfig, shard_id: int) ->
     spares = []
     any_overflow = np.zeros(num_pd, dtype=bool)
     for s in states:
+        check_state(cfg, s)
         headers, body, spare = _parse_state(s)
         pd_i, qr_i, overflow_i = _items_of_state(headers, body)
         all_pd.append(pd_i)
@@ -229,7 +271,7 @@ def merge_states(states: list[bytes], cfg: PrefixFilterConfig, shard_id: int) ->
     )
     spare = _spare_merge(cfg, spares + [ev_state])
     return (
-        _HDR.pack(_MAGIC, _VERSION, 0, 0, num_pd, len(spare))
+        _pack_header(cfg, num_pd, len(spare))
         + headers.tobytes()
         + body.tobytes()
         + spare
@@ -306,6 +348,7 @@ class ShardedPrefixFilter:
     def _shard(self, sid: int):
         dec = self._decoded.get(sid)
         if dec is None:
+            check_state(self.cfg, self.states[sid])
             headers, body, spare = _parse_state(self.states[sid])
             counts_incl, overflowed, last_quot = pd_kernel.decode_headers(headers)
             max_qr = pd_kernel.max_qr_of(body, counts_incl, overflowed, last_quot)

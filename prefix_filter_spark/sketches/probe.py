@@ -89,6 +89,7 @@ def pf_probe_fn(cfg) -> ProbeFn:
     from prefix_filter_spark.sketches import prefix_filter as pfm
 
     def fn(state: bytes, shard_id: int, h: np.ndarray) -> np.ndarray:
+        pfm.check_state(cfg, state)
         headers, body, spare = pfm._parse_state(state)
         counts_incl, overflowed, last_quot = pd_kernel.decode_headers(headers)
         max_qr = pd_kernel.max_qr_of(body, counts_incl, overflowed, last_quot)
@@ -111,6 +112,7 @@ def bloom_probe_fn(cfg) -> ProbeFn:
     from prefix_filter_spark.sketches import bloom
 
     def fn(state: bytes, shard_id: int, h: np.ndarray) -> np.ndarray:
+        bloom.check_state(cfg, state)
         g = mix_with_seed(h, cfg.seed + 0x5EED)
         return bloom._contains_in_state(state, g)
 

@@ -107,3 +107,21 @@ def test_tokenized_documents_bloom(spark, documents):
     ).collect()[0]
     assert meta["rows"] == token_stream.count()
     assert meta["keys"] == token_stream.select("token").distinct().count()
+
+
+def test_state_config_mismatch_raises(spark):
+    """A handle with the wrong seed / shard count must fail loudly —
+    silently mis-deriving probe positions is false negatives."""
+    import pytest as _pytest
+
+    cfg = bloom.BloomConfig(n_capacity=10_000, num_shards=4, seed=5)
+    keys = spark.range(10_000).select(F.col("id").alias("key"))
+    handle = bloom.ShardedBloom.from_df(cfg, bloom.build_bloom(keys, "key", cfg))
+    bad = bloom.BloomConfig(n_capacity=10_000, num_shards=4, seed=6)
+    bad_handle = bloom.ShardedBloom(bad, handle.states)
+    with _pytest.raises(ValueError):
+        bad_handle.contains_h([123, 456])
+    with _pytest.raises(ValueError):
+        bloom.merge_states(
+            [next(iter(handle.states.values())), bloom._build_state(bad, __import__("numpy").arange(5, dtype="uint64"))]
+        )

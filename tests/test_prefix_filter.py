@@ -116,3 +116,21 @@ def test_tc_spare_variant(spark, keys_df):
     parts = [pf._build_state(cfg, 2, np.unique(p)) for p in np.array_split(keys, 4)]
     merged = pf.merge_states(parts, cfg, 2)
     assert merged == full
+
+
+def test_state_config_mismatch_raises(spark):
+    import pytest as _pytest
+    import numpy as np
+
+    cfg = pf.PrefixFilterConfig(n_capacity=20_000, num_shards=4, seed=5)
+    keys = spark.range(20_000).select(F.col("id").alias("key"))
+    handle = pf.ShardedPrefixFilter.from_df(
+        cfg, pf.build_prefix_filter(keys, "key", cfg)
+    )
+    for bad in (
+        pf.PrefixFilterConfig(n_capacity=20_000, num_shards=4, seed=6),
+        pf.PrefixFilterConfig(n_capacity=20_000, num_shards=4, seed=5, spare_kind="tc"),
+    ):
+        bad_handle = pf.ShardedPrefixFilter(bad, handle.states)
+        with _pytest.raises(ValueError):
+            bad_handle.contains_h(np.arange(10, dtype=np.uint64))
