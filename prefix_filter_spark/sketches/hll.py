@@ -23,8 +23,12 @@ from prefix_filter_spark.hashing import as_u64, mix_with_seed
 from prefix_filter_spark.sketches import base
 
 _MAGIC = b"PFSH"
-_VERSION = 1
-_HDR = struct.Struct("<4sBBH")
+_VERSION = 2
+# magic | ver | p | pad | seed u64 — the seed is serialized so merging
+# registers produced under a different hash mix fails loudly instead of
+# silently corrupting the estimate
+_HDR = struct.Struct("<4sBBHQ")
+_SEED_MASK = 0xFFFFFFFFFFFFFFFF
 
 
 @dataclass(frozen=True)
@@ -59,23 +63,26 @@ class HllAccumulator(base.Accumulator):
         np.maximum.at(self.registers, idx, rho)
 
     def to_bytes(self) -> bytes:
-        return _HDR.pack(_MAGIC, _VERSION, self.cfg.p, 0) + self.registers.tobytes()
+        return (
+            _HDR.pack(_MAGIC, _VERSION, self.cfg.p, 0, self.cfg.seed & _SEED_MASK)
+            + self.registers.tobytes()
+        )
 
 
 def _parse_state(state: bytes) -> tuple[int, np.ndarray]:
-    magic, version, p, _ = _HDR.unpack_from(state, 0)
+    magic, version, p, _, _seed = _HDR.unpack_from(state, 0)
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad hll state")
     return p, np.frombuffer(state, dtype=np.uint8, offset=_HDR.size)
 
 
 def merge_states(states: list[bytes]) -> bytes:
+    hdr = states[0][: _HDR.size]
+    if any(s[: _HDR.size] != hdr for s in states[1:]):
+        raise ValueError("cannot merge HLLs with different p or seed")
     parsed = [_parse_state(s) for s in states]
-    p = parsed[0][0]
-    if any(q != p for q, _ in parsed):
-        raise ValueError("cannot merge HLLs with different p")
     regs = reduce(np.maximum, (r for _, r in parsed))
-    return _HDR.pack(_MAGIC, _VERSION, p, 0) + regs.tobytes()
+    return hdr + regs.tobytes()
 
 
 def estimate(state: bytes) -> float:
