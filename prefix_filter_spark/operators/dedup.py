@@ -45,10 +45,13 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical (normalized) docs: fingerprint + members.
 
-    One shuffle on md5(normalized text); keep groups of size > 1.
+    One shuffle on the canonical content fingerprint
+    (operators.text.doc_fingerprint — one code path, so the dedup key
+    can never drift from the documented fingerprint); keep groups > 1.
     """
-    ws = words_col("text")
-    fp = docs.select(F.md5(F.concat_ws(" ", ws)).alias("fingerprint"), "doc_id")
+    from prefix_filter_spark.operators.text import doc_fingerprint
+
+    fp = doc_fingerprint(docs).select("fingerprint", "doc_id")
     return (
         fp.groupBy("fingerprint")
         .agg(
@@ -193,7 +196,11 @@ def minhash_lsh_pairs(
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.alias("sa")
     sb = sh.alias("sb")
-    c = F.broadcast(candidates).alias("c")
+    # no explicit broadcast hint: the candidate-pair set is unbounded on
+    # heavily-duplicated corpora (hint would force a driver collect past
+    # the 8GB broadcast limit); AQE auto-broadcasts when the runtime
+    # size is actually small, and shuffle-joins safely when it is not
+    c = candidates.alias("c")
     shared = (
         c.join(sa, F.col("c.d1") == F.col("sa.doc_id"))
         .join(

@@ -19,6 +19,7 @@ shape is unchanged.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -89,12 +90,16 @@ def extract_features(
 ) -> DataFrame:
     """media -> (media_id, kind, feature array<float>, ok boolean).
 
-    Image: decode -> 8x8 luminance pooling -> flatten (64-d).
-    Audio: decode -> 64-bin energy histogram.
-    One mapInPandas pass, no shuffle; errors per row -> ok=false rather
-    than task failure (poison-pill isolation for 100TB runs).
+    Image: decode -> g x g luminance pooling -> flatten, zero-padded to
+    feat_dim (g = floor(sqrt(feat_dim)); every row's feature has the
+    SAME length so the column vstacks downstream).
+    Audio: decode -> feat_dim-bin energy histogram.
+    One mapInPandas pass, no shuffle; ANY per-row error -> ok=false
+    rather than task failure (poison-pill isolation for 100TB runs —
+    a single corrupt meta must not kill the job on deterministic retry).
     """
     backend = backend or DecodeBackend()
+    grid = max(1, int(math.isqrt(feat_dim)))
 
     def run(batches):
         for pdf in batches:
@@ -109,10 +114,14 @@ def extract_features(
                         )
                         lum = img.astype(np.float32).mean(axis=2)
                         h, w = lum.shape
-                        pooled = lum[: h - h % 8, : w - w % 8].reshape(
-                            8, (h - h % 8) // 8, 8, (w - w % 8) // 8
+                        g = min(grid, h, w)
+                        pooled = lum[: h - h % g, : w - w % g].reshape(
+                            g, (h - h % g) // g, g, (w - w % g) // g
                         ).mean(axis=(1, 3))
-                        feats.append(pooled.ravel().astype(np.float32))
+                        vec = np.zeros(feat_dim, dtype=np.float32)
+                        flat = pooled.ravel().astype(np.float32)[:feat_dim]
+                        vec[: len(flat)] = flat
+                        feats.append(vec)
                         oks.append(True)
                     else:
                         wave = backend.decode_audio(
@@ -123,7 +132,7 @@ def extract_features(
                             (hist / max(1, len(wave))).astype(np.float32)
                         )
                         oks.append(True)
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — per-row poison pill
                     feats.append(np.zeros(feat_dim, dtype=np.float32))
                     oks.append(False)
             yield pd.DataFrame(
@@ -176,9 +185,17 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, backend: DecodeBacke
 def sample_frames(media: DataFrame, every_ms: int = 100) -> DataFrame:
     """video/audio frame sampling plan: explode (media_id, frame_ts_ms)
     WITHOUT decoding — pure Catalyst (sequence + explode), the cheap
-    pre-pass that decides which frames a decode stage touches."""
+    pre-pass that decides which frames a decode stage touches.
+
+    Only time-based kinds with a positive duration qualify: images (and
+    zero/negative durations, which would make sequence() throw on its
+    descending bounds) are filtered out, not crashed on."""
     return (
-        media.select(
+        media.where(
+            F.col("kind").isin("video", "audio")
+            & (F.col("meta.duration_ms") > 0)
+        )
+        .select(
             "media_id",
             F.explode(
                 F.sequence(

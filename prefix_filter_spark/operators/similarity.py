@@ -98,6 +98,13 @@ def srp_ann_topk(
     Recall is tested against cosine_topk on the small SF; at scale the
     candidate join touches only bucket-mates (bands x 8-bit chunks).
     """
+    if n_bits % 64 != 0:
+        raise ValueError(
+            f"n_bits must be a multiple of 64 (signatures pack into "
+            f"int64 words); got {n_bits}"
+        )
+    if n_bits % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide n_bits ({n_bits})")
     sig = srp_signature_udf(dim, n_bits, seed)
     bits_per_band = n_bits // bands
 

@@ -41,30 +41,55 @@ def foreach_batch_build(
     """writeStream.foreachBatch: per-batch partial build + merge into the
     parquet shard-state store. Returns the started StreamingQuery.
 
-    Merge associativity makes replay safe: re-merging an already-applied
-    batch after a failure is idempotent for OR/max-merge sketches and
-    harmless-by-dedupe for the prefix filter (set semantics).
+    Replay safety (foreachBatch is at-least-once): the last applied
+    epoch id is persisted next to the state, and a re-delivered epoch is
+    skipped outright — necessary because re-merging is NOT idempotent
+    for additive sketches (CMS counters, KLL/t-digest samples would
+    double-count), even though it happens to be for OR/max-merge filters
+    and set-semantics rebuilds.
     """
+    import json
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
     spark = stream_df.sparkSession
+    epoch_marker = state_path + ".last_epoch"
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # epoch ids are scoped to a checkpoint: a NEW stream (fresh
+        # checkpoint dir) over the same state store restarts at epoch 0
+        # and must not be mistaken for a replay
+        if os.path.exists(epoch_marker):
+            with open(epoch_marker) as f:
+                marker = json.load(f)
+            if marker.get("checkpoint") == checkpoint_dir and epoch_id <= marker["epoch"]:
+                return  # at-least-once replay of an applied batch
         partial = build_fn(batch_df, key_col)
         try:
             existing = spark.read.parquet(state_path)
-        except Exception:  # noqa: BLE001 — first batch
+            existing.first()  # force the read so corruption fails HERE
+        except AnalysisException as e:
+            # ONLY a missing path means "first batch" — any other read
+            # failure must abort, or the accumulated state would be
+            # silently overwritten with this batch's partials alone
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             existing = None
         if existing is None:
             merged = partial
         else:
             merged = base.merge_shard_states(existing.unionByName(partial), merge_fn)
-        # write-then-swap would need an atomic rename; parquet overwrite
-        # is transactional enough for the local store (driver-side)
-        merged.cache().count()
-        merged.write.mode("overwrite").parquet(state_path + f".epoch{epoch_id}")
-        spark.read.parquet(state_path + f".epoch{epoch_id}").write.mode(
-            "overwrite"
-        ).parquet(state_path)
-        merged.unpersist()
+        # write-then-swap: materialize to a scratch dir (the merged plan
+        # reads state_path, which overwrite would clobber mid-read),
+        # promote, then drop the scratch copy and record the epoch
+        scratch = state_path + ".next"
+        merged.write.mode("overwrite").parquet(scratch)
+        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
+        shutil.rmtree(scratch, ignore_errors=True)
+        with open(epoch_marker, "w") as f:
+            json.dump({"checkpoint": checkpoint_dir, "epoch": epoch_id}, f)
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -114,10 +139,16 @@ def streaming_distinct_by_source(
             }
         )
 
+    timeout_conf = getattr(GroupStateTimeout, timeout, None)
+    if timeout_conf is None:
+        raise ValueError(
+            f"unknown timeout {timeout!r}; expected a GroupStateTimeout "
+            "name (NoTimeout, ProcessingTimeTimeout, EventTimeTimeout)"
+        )
     return events.groupBy("source").applyInPandasWithState(
         update,
         outputStructType="source string, n_distinct_est double, n_rows long",
         stateStructType="state binary",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
