@@ -196,11 +196,16 @@ def minhash_lsh_pairs(
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.alias("sa")
     sb = sh.alias("sb")
-    # no explicit broadcast hint: the candidate-pair set is unbounded on
-    # heavily-duplicated corpora (hint would force a driver collect past
-    # the 8GB broadcast limit); AQE auto-broadcasts when the runtime
-    # size is actually small, and shuffle-joins safely when it is not
-    c = candidates.alias("c")
+    # materialize the candidate set once (it is the small output of the
+    # banding join), then pick the join strategy from its MEASURED size:
+    # an unconditional broadcast hint would force a driver collect past
+    # the 8GB limit on heavily-duplicated corpora, while no hint left
+    # Spark re-planning the whole 128-agg signature subtree per branch
+    # (measured 20s vs 3.4s at sf0.1). ~48 bytes/pair -> 10M pairs is a
+    # comfortably sub-GB broadcast.
+    candidates = candidates.persist()
+    n_cand = candidates.count()
+    c = (F.broadcast(candidates) if n_cand <= 10_000_000 else candidates).alias("c")
     shared = (
         c.join(sa, F.col("c.d1") == F.col("sa.doc_id"))
         .join(
