@@ -343,3 +343,45 @@ def test_streaming_foreach_batch_cuckoo(spark):
         for r in ck.build_cuckoo(keys, "key", cfg).collect()
     }
     assert got == want
+
+
+def test_streaming_epoch_replay_is_skipped(spark):
+    """foreachBatch is at-least-once: a replayed epoch (marker says it
+    was applied) must be a no-op, while a FRESH checkpoint over the same
+    state store (epoch ids restart at 0) must still apply batches."""
+    import json
+
+    from prefix_filter_spark.streaming.build import foreach_batch_build
+
+    cfg = bloom.BloomConfig(n_capacity=10_000, bits_per_key=10, num_shards=4, seed=9)
+    keys = spark.range(10_000).select(F.col("id").alias("key"))
+    src = f"{TMP}/replay_src"
+    keys.write.mode("overwrite").parquet(src)
+    state = f"{TMP}/replay_state"
+
+    def run(ckpt):
+        stream = spark.readStream.schema("key long").parquet(src)
+        q = foreach_batch_build(
+            stream,
+            "key",
+            build_fn=lambda df, k: bloom.build_bloom(df, k, cfg),
+            merge_fn=bloom.merge_states,
+            state_path=state,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    # claim epoch 999 was already applied under checkpoint A -> the
+    # stream's epoch 0 must be skipped and NO state written
+    with open(state + ".last_epoch", "w") as f:
+        json.dump({"checkpoint": f"{TMP}/replay_ckpt_a", "epoch": 999}, f)
+    run(f"{TMP}/replay_ckpt_a")
+    import os
+
+    assert not os.path.exists(state), "replayed epoch was applied"
+
+    # a FRESH checkpoint (different dir) restarts epochs at 0 and must
+    # NOT be mistaken for a replay — state gets built
+    run(f"{TMP}/replay_ckpt_b")
+    got = spark.read.parquet(state)
+    assert got.count() == cfg.num_shards
