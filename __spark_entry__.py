@@ -226,47 +226,25 @@ def _word_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from prefix_filter_spark.functions import register_contains_udf
     from prefix_filter_spark.sketches import bloom
 
-    words = _word_stream(spark, sf_dir).distinct()
-    n = words.count()
-    cfg = bloom.BloomConfig(n_capacity=max(n, 1024), bits_per_key=12, num_shards=8, seed=42)
-    shards = bloom.build_bloom(words, "word", cfg)
-    handle = bloom.ShardedBloom.from_df(cfg, shards)
-    fn = register_contains_udf(spark, "q_bf_contains", handle, cfg.seed)
-    found = words.where(fn("word")).count()
-    # disjoint probes: synthetic tokens absent from any word vocabulary
-    probes = spark.range(10_000_000, 10_000_000 + 50_000).select(
-        F.col("id").cast("string").alias("word")
-    )
-    fp = probes.where(fn(F.concat(F.lit("zz_"), "word"))).count()
-    fpr_ok = fp / 50_000 <= cfg.theoretical_fpr() * 1.5 + 1e-4
-    return spark.createDataFrame(
-        [(n, n - found, bool(fpr_ok))],
-        "n_probed bigint, false_negatives bigint, fpr_ok boolean",
+    return _membership_panel(
+        spark, sf_dir, bloom.build_bloom, bloom.ShardedBloom,
+        lambda n: bloom.BloomConfig(n_capacity=n, bits_per_key=12, num_shards=8, seed=42),
+        # cfg-derived bound: closed-form FPR x 1.5 sampling margin
+        lambda cfg: cfg.theoretical_fpr() * 1.5 + 1e-4,
+        "zz",
     )
 
 
 def q_prefix_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from prefix_filter_spark.functions import register_contains_udf
     from prefix_filter_spark.sketches import prefix_filter as pfm
 
-    words = _word_stream(spark, sf_dir).distinct()
-    n = words.count()
-    cfg = pfm.PrefixFilterConfig(n_capacity=max(n, 1024), num_shards=8, seed=42)
-    shards = pfm.build_prefix_filter(words, "word", cfg)
-    handle = pfm.ShardedPrefixFilter.from_df(cfg, shards)
-    fn = register_contains_udf(spark, "q_pf_contains", handle, cfg.seed)
-    found = words.where(fn("word")).count()
-    probes = spark.range(20_000_000, 20_000_000 + 50_000).select(
-        F.concat(F.lit("qq_"), F.col("id").cast("string")).alias("word")
-    )
-    fp = probes.where(fn("word")).count()
-    fpr_ok = fp / 50_000 <= 0.006  # paper-ballpark bound at load<=0.95
-    return spark.createDataFrame(
-        [(n, n - found, bool(fpr_ok))],
-        "n_probed bigint, false_negatives bigint, fpr_ok boolean",
+    return _membership_panel(
+        spark, sf_dir, pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+        lambda n: pfm.PrefixFilterConfig(n_capacity=n, num_shards=8, seed=42),
+        0.006,  # paper-ballpark bound at load<=0.95
+        "qq",
     )
 
 
@@ -339,35 +317,36 @@ def q_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     svals = np.sort(vals)
 
-    def rank_of(v: float) -> float:
-        return float(np.searchsorted(svals, v, side="right")) / n
+    def rank_ok(v: float, q: float, eps: float = 0.025) -> bool:
+        # a value occupies the whole rank interval [left, right] on
+        # tie-heavy data (integer word counts!) — the answer is correct
+        # iff that interval intersects [q-eps, q+eps]; checking only the
+        # right rank fails exact answers whenever one value spans >2eps
+        lo = float(np.searchsorted(svals, v, side="left")) / n
+        hi = float(np.searchsorted(svals, v, side="right")) / n
+        return bool(lo - eps <= q <= hi + eps)
 
     rows = []
     for q, ex in zip(qs, exact):
         kq, tq = sk.quantile(q), td.quantile(q)
-        rows.append(
-            (
-                q,
-                round(float(ex), 6),
-                bool(abs(rank_of(kq) - q) <= 0.025),
-                bool(abs(rank_of(tq) - q) <= 0.025),
-            )
-        )
+        rows.append((q, round(float(ex), 6), rank_ok(kq, q), rank_ok(tq, q)))
     return spark.createDataFrame(
         rows, "q double, exact_quantile double, kll_ok boolean, tdigest_ok boolean"
     )
 
 
 def _membership_panel(spark, sf_dir, build, handle_cls, cfg_factory, fpr_bound, prefix):
-    """cfg_factory: n_distinct_words -> config. The panel counts the
-    word stream ONCE and sizes the filter from that count (callers used
-    to run the identical distinct+count themselves just to build the
+    """cfg_factory: n_distinct_words -> config; fpr_bound: a float or a
+    callable(cfg) for closed-form bounds. The panel counts the word
+    stream ONCE and sizes the filter from that count (callers used to
+    run the identical distinct+count themselves just to build the
     config — a doubled input scan, which at 100TB is the dominant cost)."""
     from prefix_filter_spark.functions import register_contains_udf
 
     words = _word_stream(spark, sf_dir).distinct()
     n = words.count()
     cfg = cfg_factory(max(n, 1024))
+    bound = fpr_bound(cfg) if callable(fpr_bound) else fpr_bound
     handle = handle_cls.from_df(cfg, build(words, "word", cfg))
     fn = register_contains_udf(spark, f"{prefix}_contains", handle, cfg.seed)
     found = words.where(fn("word")).count()
@@ -376,7 +355,7 @@ def _membership_panel(spark, sf_dir, build, handle_cls, cfg_factory, fpr_bound, 
     )
     fp = probes.where(fn("word")).count()
     return spark.createDataFrame(
-        [(n, n - found, bool(fp / 50_000 <= fpr_bound))],
+        [(n, n - found, bool(fp / 50_000 <= bound))],
         "n_probed bigint, false_negatives bigint, fpr_ok boolean",
     )
 
@@ -580,15 +559,18 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vals = np.sort(ev.select("value").toPandas()["value"].to_numpy())
     n = len(vals)
+
+    def rank_ok(v: float, q: float, eps: float = 0.025) -> bool:
+        # rank INTERVAL vs [q-eps, q+eps] — see q_ntok_quantiles
+        lo = float(np.searchsorted(vals, v, side="left")) / n
+        hi = float(np.searchsorted(vals, v, side="right")) / n
+        return bool(lo - eps <= q <= hi + eps)
+
     rows = []
     for q, ex in zip(qs, exact):
         kq = spark.sql(f"SELECT kll_quantile(state, {q}) v FROM q_kll_state").collect()[0]["v"]
         tq = spark.sql(f"SELECT tdigest_quantile(state, {q}) v FROM q_td_state").collect()[0]["v"]
-        r_k = float(np.searchsorted(vals, kq, side="right")) / n
-        r_t = float(np.searchsorted(vals, tq, side="right")) / n
-        rows.append(
-            (q, round(float(ex), 6), bool(abs(r_k - q) <= 0.025), bool(abs(r_t - q) <= 0.025))
-        )
+        rows.append((q, round(float(ex), 6), rank_ok(kq, q), rank_ok(tq, q)))
     return spark.createDataFrame(
         rows, "q double, exact_quantile double, kll_ok boolean, tdigest_ok boolean"
     )

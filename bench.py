@@ -85,41 +85,40 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
 
     shards = max(cores * 2, 16)
     pf_cfg = pfm.PrefixFilterConfig(n_capacity=N_KEYS, num_shards=shards, seed=42)
-    pf_shards = None
-
-    def build_pf():
-        nonlocal pf_shards
-        df = pfm.build_prefix_filter(keys, "key", pf_cfg)
-        df.cache().count()
-        pf_shards = df
-
-    times["pf_build"] = _timed_best(build_pf)
-    handle = pfm.ShardedPrefixFilter.from_df(pf_cfg, pf_shards)
+    # timed builds are a bare .count() — SAME shape as the bbf/tc/ck
+    # rows below, so the cross-filter comparison is apples-to-apples
+    # (caching inside the timed region would charge pf/bloom for cache
+    # writes the others don't pay, and each repeat would leak a pinned
+    # copy). The probe handles are collected afterwards, untimed.
+    times["pf_build"] = _timed_best(
+        lambda: pfm.build_prefix_filter(keys, "key", pf_cfg).count()
+    )
+    handle = pfm.ShardedPrefixFilter.from_df(
+        pf_cfg, pfm.build_prefix_filter(keys, "key", pf_cfg)
+    )
     fn = register_contains_udf(spark, "bench_pf", handle, pf_cfg.seed)
     uniform = _keys_df(spark, N_PROBES, offset=10**10).cache()
     uniform.count()
-    times["pf_probe_uniform"] = _timed(
+    # warm the broadcast (ship + unpickle per worker is a one-time cost
+    # a long-lived cluster pays once), then best-of like the builds
+    uniform.limit(10_000).where(fn("key")).count()
+    times["pf_probe_uniform"] = _timed_best(
         lambda: uniform.where(fn("key")).count()
     )
     yes = keys.sample(False, N_PROBES / N_KEYS, seed=7).cache()
     n_yes = yes.count()
-    times["pf_probe_yes"] = _timed(lambda: yes.where(fn("key")).count())
+    times["pf_probe_yes"] = _timed_best(lambda: yes.where(fn("key")).count())
 
     bl_cfg = bloom.BloomConfig(
         n_capacity=N_KEYS, bits_per_key=12, num_shards=shards, seed=42
     )
-    bl_shards = None
-
-    def build_bloom():
-        nonlocal bl_shards
-        df = bloom.build_bloom(keys, "key", bl_cfg)
-        df.cache().count()
-        bl_shards = df
-
-    times["bloom_build"] = _timed_best(build_bloom)
-    bh = bloom.ShardedBloom.from_df(bl_cfg, bl_shards)
+    times["bloom_build"] = _timed_best(
+        lambda: bloom.build_bloom(keys, "key", bl_cfg).count()
+    )
+    bh = bloom.ShardedBloom.from_df(bl_cfg, bloom.build_bloom(keys, "key", bl_cfg))
     bfn = register_contains_udf(spark, "bench_bf", bh, bl_cfg.seed)
-    times["bloom_probe_uniform"] = _timed(
+    uniform.limit(10_000).where(bfn("key")).count()
+    times["bloom_probe_uniform"] = _timed_best(
         lambda: uniform.where(bfn("key")).count()
     )
 

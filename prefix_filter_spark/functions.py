@@ -62,14 +62,18 @@ def register_contains_udf(
         return pd.Series(s.contains_h(h.to_numpy()))
 
     spark.udf.register(name, _contains)
-    return ContainsFunction(name, _contains, seed)
+    return ContainsFunction(name, _contains, seed, bc)
 
 
 class ContainsFunction:
-    def __init__(self, name: str, udf, seed: int):
+    def __init__(self, name: str, udf, seed: int, broadcast=None):
         self.name = name
         self.udf = udf
         self.seed = seed
+        # exposed so long-running drivers that re-register per epoch can
+        # release the previous state (broadcast.unpersist()) instead of
+        # pinning every generation on the executors
+        self.broadcast = broadcast
 
     def __call__(self, key: Column | str) -> Column:
         """contains(raw key column) — composes the JVM-side xxhash64."""
@@ -86,7 +90,7 @@ def register_sketch_sql(spark: SparkSession) -> None:
 
     All pandas UDFs (Arrow-batched); states are small binary blobs, so
     the per-row deserialize cost is amortized by an LRU cache keyed on
-    the blob prefix+len (states repeat across rows in a join).
+    the full state bytes (states repeat across rows in a join).
     """
     from prefix_filter_spark.sketches import cms, hll
 
@@ -98,15 +102,21 @@ def register_sketch_sql(spark: SparkSession) -> None:
     def cms_point(state: pd.Series, key: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = np.zeros(len(state), dtype=np.int64)
+        out = np.zeros(len(state), dtype=object)
         if len(state):
-            # group rows by identical state blob, probe each group batch
+            # group rows by identical state blob, probe each group batch;
+            # NULL states (e.g. left joins against a sparse state table)
+            # yield NULL like the other sketch UDFs, not a TypeError
             groups: dict[bytes, list[int]] = {}
             for i, s in enumerate(state):
-                groups.setdefault(bytes(s), []).append(i)
+                if s is None:
+                    out[i] = None
+                else:
+                    groups.setdefault(bytes(s), []).append(i)
             for blob, idxs in groups.items():
                 ks = key.iloc[idxs].to_numpy()
-                out[idxs] = cms.point_estimates(blob, ks)  # seed from state
+                for j, v in zip(idxs, cms.point_estimates(blob, ks)):
+                    out[j] = int(v)
         return pd.Series(out)
 
     @F.pandas_udf(T.DoubleType())

@@ -72,7 +72,10 @@ def main() -> int:
         fpr = fp / n_probes
         size = handle.byte_size()
         bpi = size * 8 / n
-        opt = -math.log2(fpr) if fpr > 0 else float("inf")
+        # zero observed FPs only bounds the true rate below ~1/n_probes;
+        # use that bound for the optimal-BPI columns instead of printing
+        # inf/-inf nonsense in the table
+        opt = -math.log2(max(fpr, 1.0 / n_probes))
         rows.append((name, size, fpr, bpi, opt, bpi - opt, bpi / opt if opt else 0))
         print(f"{name:10s} bytes={size:>12,} fpr={fpr:.5f} bpi={bpi:6.2f} opt={opt:6.2f}")
 

@@ -45,7 +45,7 @@ def main() -> int:
         cfg = bloom.BloomConfig(n_capacity=n, bits_per_key=12, num_shards=32, seed=23)
         build = lambda df: bloom.build_bloom(df, "key", cfg)  # noqa: E731
         merge = lambda states, sid: bloom.merge_states(states)  # noqa: E731
-        handle_cls = pfm.ShardedPrefixFilter if False else bloom.ShardedBloom
+        handle_cls = bloom.ShardedBloom
 
     slice_n = n // ROUNDS
     probes_n = 200_000
@@ -53,6 +53,7 @@ def main() -> int:
     uniform.count()
 
     state: dict[int, bytes] = {}
+    prev_fn = None
     lines = [
         f"# Incremental load protocol — {kind}, n = {n:,}, {ROUNDS} rounds of 5%\n",
         "Reference: benchmark_single_round_np_incremental "
@@ -81,6 +82,12 @@ def main() -> int:
 
         handle = handle_cls(cfg, dict(state))
         fn = register_contains_udf(spark, f"inc_{kind}_{r}", handle, cfg.seed)
+        if prev_fn is not None and prev_fn.broadcast is not None:
+            # each round broadcasts the full cumulative state; without
+            # this the executors pin O(ROUNDS x final_state) of stale
+            # generations for the whole run
+            prev_fn.broadcast.unpersist()
+        prev_fn = fn
         t0 = time.perf_counter()
         uniform.where(fn("key")).count()
         t_uni = time.perf_counter() - t0
