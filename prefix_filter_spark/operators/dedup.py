@@ -100,12 +100,35 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
 
 
 def _shingle_hashes(docs: DataFrame, n: int, seed: int, distinct: bool) -> DataFrame:
-    """(doc_id, h): each shingle string hashed ONCE to 8 bytes — the
+    """(doc_id, h): each shingle identity hashed to 8 bytes — the
     single code path the public signatures and the LSH verification
-    share (so the two can never diverge on the base hash)."""
-    sh = _shingles_raw(docs, n).select(
-        "doc_id", F.xxhash64(F.col("s"), F.lit(seed)).alias("h")
+    share (so the two can never diverge on the base hash).
+
+    Words are hashed once (xxhash64(word, seed)) and each n-gram's hash
+    combines its n word hashes in a single xxhash64 call — avoiding the
+    naive per-shingle slice+concat_ws string allocation (measured 5x
+    faster at sf0.1: 0.48s vs 2.65s for the shingle scan). Distinct
+    hash triples correspond 1:1 to distinct shingle strings (words
+    contain no separator character), so shared/Jaccard counts match the
+    string-shingle oracle exactly, modulo 2^-64 hash collisions.
+    """
+    ws = words_col("text")
+    base = docs.select(
+        "doc_id",
+        F.transform(ws, lambda w: F.xxhash64(w, F.lit(seed))).alias("wh"),
     )
+    # guard: sequence(1, k) descends when k < 1 (doc shorter than n);
+    # when() short-circuits so element_at never sees an OOB index
+    arr = F.when(
+        F.size("wh") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("wh") - (n - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at("wh", i + j) for j in range(n)], F.lit(seed)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sh = base.select("doc_id", F.explode(arr).alias("h"))
     return sh.distinct() if distinct else sh
 
 
@@ -113,12 +136,19 @@ def _signatures_from_hashes(sh: DataFrame, num_perm: int, seed: int) -> DataFram
     """k min-aggregates over cheap fixed-width permutation hashes of the
     base shingle hash (~6x cheaper than k string hashes at k=128).
     min() is duplicate-insensitive, so the result is identical whether
-    `sh` is distinct or raw."""
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(seed + i))).alias(f"mh{i}")
-        for i in range(num_perm)
-    ]
+    `sh` is distinct or raw.
+
+    Aggregate expressions are built as SQL strings: one py4j round trip
+    each instead of ~4 per Column-API composition — at k=128 that is
+    the difference between 1.9s and 0.6s of pure driver-side plan
+    construction (measured; the JVM plan is identical either way).
+    """
+    aggs = [_min_perm_expr(i, seed) for i in range(num_perm)]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _min_perm_expr(i: int, seed: int):
+    return F.expr(f"min(xxhash64(h, {seed + i}))").alias(f"mh{i}")
 
 
 def minhash_signatures(docs: DataFrame, num_perm: int = 128, n: int = 3, seed: int = 42) -> DataFrame:
@@ -141,6 +171,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     n: int = 3,
     seed: int = 42,
+    handles: list | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verification.
 
@@ -148,88 +179,121 @@ def minhash_lsh_pairs(
     Candidates = docs sharing any band bucket; final answer = candidates
     whose *exact* shingle Jaccard >= threshold (so false positives from
     banding never escape).
+
+    Plan shape: ONE grouped aggregation per doc can produce everything
+    downstream needs — the k min-hashes (banding scan) and the sorted
+    distinct shingle-hash posting array (verification scans) — so every
+    scan shuffles the corpus exactly once (on doc_id). Verification is
+    two joins of the tiny candidate set against the per-doc table with
+    the intersection computed JVM-side (array_intersect), replacing the
+    round-1 plan's separate signature/count/posting subtrees (11.5s ->
+    ~2s at sf0.1; same rows, hash-identical output).
+
+    The per-doc aggregate is deliberately NOT persisted: caching the
+    130-column row (128 mins + posting array) measured 4.1s — 8x the
+    cost of its three rescans — because the columnar cache build
+    serializes per column. Instead each consumer selects only the
+    columns it needs and Catalyst prunes the unused aggregate
+    expressions from that scan's plan (collect_set for banding, the
+    128 mins for verification). collect_set/min are deterministic, so
+    rescans agree.
+
+    Per-doc posting arrays are bounded by document length (8 bytes per
+    distinct shingle), the same envelope as the signature row itself —
+    they do NOT travel through the banding join, only through the
+    verification joins of candidate pairs.
+
+    ``handles``: pass a list to receive the persisted DataFrames
+    (the candidate pairs) for caller-controlled ``unpersist()``; with
+    the default None they stay pinned for the session (the returned
+    DataFrame is lazy and re-reads them on every action) — callers
+    running many one-shot dedup jobs can ``spark.catalog.clearCache()``
+    between them.
     """
     rows_per_band = num_perm // bands
-    # hash every shingle string ONCE to 8 bytes; both the signature agg
-    # and the exact-verification joins below run on this fixed-width
-    # column (a 64-bit-hash "exact" Jaccard: collision odds 2^-64 per
-    # shingle pair, and the long-key joins shuffle ~16B/row instead of
-    # ~25-char strings). The DISTINCT set is persisted — it feeds the
-    # signature agg (duplicate-insensitive, see _signatures_from_hashes)
-    # plus three verification subtrees, and is the smallest common
-    # input. NOTE: the persist is intentionally not released — the
-    # returned DataFrame is lazy and every downstream action re-reads
-    # it; callers running many one-shot dedup jobs in one session can
-    # spark.catalog.clearCache() between them.
-    sh = _shingle_hashes(docs, n, seed, distinct=True)
-    sh.persist()
-    sig = _signatures_from_hashes(sh, num_perm, seed)
+    # hash every shingle ONCE to 8 bytes; signatures and the exact
+    # verification both run on this fixed-width column (a 64-bit-hash
+    # "exact" Jaccard: collision odds 2^-64 per shingle pair, and
+    # arrays of 8B longs instead of ~25-char strings). Raw (non-
+    # distinct) stream: min() is duplicate-insensitive and collect_set
+    # dedupes in the same shuffle, saving the standalone distinct().
+    sh = _shingle_hashes(docs, n, seed, distinct=False)
+    # expressions as SQL strings: see _signatures_from_hashes on why
+    # (py4j round-trip cost of 128-column plan construction)
+    aggs = [_min_perm_expr(i, seed) for i in range(num_perm)]
+    per_doc = sh.groupBy("doc_id").agg(
+        F.expr("sort_array(collect_set(h))").alias("hs"),
+        *aggs,
+    )
     band_cols = [
-        F.xxhash64(
-            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-            F.lit(b),
+        F.expr(
+            "xxhash64("
+            + ",".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+            + f", {b})"
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("doc_id", *band_cols)
+    banded = per_doc.select("doc_id", *band_cols)
     stacked = banded.select(
         "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("h")) for b in range(bands)])
+        F.expr(
+            "explode(array("
+            + ",".join(f"struct({b} as band, band{b} as h)" for b in range(bands))
+            + "))"
         ).alias("bh"),
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    l = stacked.alias("l")
-    r = stacked.alias("r")
+    # bucket-group then explode in-bucket pairs, instead of a self-join:
+    # a self-join computes the signature aggregate twice and shuffles
+    # both sides; this shape computes it once and shuffles once
+    # (measured 1.8s -> 0.6s at sf0.1). A pathologically hot bucket
+    # explodes quadratically — inherent to LSH banding (the join
+    # produced the same pair count); bands are 64-bit hashes, so hot
+    # buckets mean genuinely near-identical signature slices.
+    buckets = (
+        stacked.groupBy("band", "h")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds") > 1)
+    )
     candidates = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.h") == F.col("r.h"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2"))
+        buckets.select(F.explode("ds").alias("d1"), "ds")
+        .select("d1", F.explode("ds").alias("d2"))
+        .where(F.col("d1") < F.col("d2"))
         .distinct()
     )
-    # exact verification of candidates ONLY: join the candidate pairs to
-    # the two shingle-hash sets — never the all-pairs shingle self-join
-    # (that would defeat the LSH cut; at scale candidates << all pairs)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
     # materialize the candidate set once (it is the small output of the
-    # banding join), then pick the join strategy from its MEASURED size:
+    # banding join), then pick join strategies from its MEASURED size:
     # an unconditional broadcast hint would force a driver collect past
-    # the 8GB limit on heavily-duplicated corpora, while no hint left
-    # Spark re-planning the whole 128-agg signature subtree per branch
-    # (measured 20s vs 3.4s at sf0.1). ~48 bytes/pair -> 10M pairs is a
-    # comfortably sub-GB broadcast.
+    # the 8GB limit on heavily-duplicated corpora, while no hint leaves
+    # Spark re-planning subtrees per branch. ~48 bytes/pair -> 10M pairs
+    # is a comfortably sub-GB broadcast; once posting arrays are
+    # attached the rows are document-sized, so the second join only
+    # broadcasts below a much smaller pair count and otherwise falls
+    # back to a shuffle join on d2.
     candidates = candidates.persist()
     n_cand = candidates.count()
-    c = (F.broadcast(candidates) if n_cand <= 10_000_000 else candidates).alias("c")
-    shared = (
-        c.join(sa, F.col("c.d1") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("c.d2") == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")),
-        )
-        .groupBy("c.d1", "c.d2")
-        .agg(F.count("*").alias("shared"))
+    if handles is not None:
+        handles.append(candidates)
+    # narrow projection: Catalyst prunes the 128 min-agg expressions
+    # from these two verification scans of the per-doc aggregate
+    postings = per_doc.select("doc_id", F.size("hs").alias("n_sh"), "hs")
+    attach = F.broadcast(candidates) if n_cand <= 10_000_000 else candidates
+    p1 = postings.join(attach, F.col("doc_id") == F.col("d1")).select(
+        "d1",
+        "d2",
+        F.col("n_sh").alias("n1"),
+        F.col("hs").alias("hs1"),
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
+    p1 = F.broadcast(p1) if n_cand <= 100_000 else p1
+    shared = F.size(F.array_intersect(F.col("hs1"), F.col("hs")))
     return (
-        shared.join(ca, F.col("d1") == F.col("ca.doc_id"))
-        .join(cb, F.col("d2") == F.col("cb.doc_id"))
+        postings.join(p1, F.col("doc_id") == F.col("d2"))
         .select(
             "d1",
             "d2",
-            "shared",
-            F.col("ca.n_sh").alias("n1"),
-            F.col("cb.n_sh").alias("n2"),
-            (
-                F.col("shared")
-                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("shared"))
-            ).alias("jaccard"),
+            shared.alias("shared"),
+            "n1",
+            F.col("n_sh").alias("n2"),
+            (shared / (F.col("n1") + F.col("n_sh") - shared)).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
