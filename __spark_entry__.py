@@ -293,6 +293,28 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rank_interval_oks(
+    df: DataFrame, col: str, checks: list[tuple[float, float]], eps: float = 0.025
+) -> list[bool]:
+    """Distributed rank-interval check: a value occupies the whole rank
+    interval [count(x<v)/n, count(x<=v)/n] on tie-heavy data — the
+    answer is correct iff that interval intersects [q-eps, q+eps].
+    One aggregation job computes every interval (2 filtered counts per
+    checked value + the total), replacing the round-1 full-column
+    ``toPandas()`` that would OOM the gate itself at 100x data.
+    ``checks``: list of (q, estimated_value)."""
+    aggs = [F.count("*").alias("_n")]
+    for i, (_, v) in enumerate(checks):
+        aggs.append(F.sum((F.col(col) < F.lit(v)).cast("long")).alias(f"lo{i}"))
+        aggs.append(F.sum((F.col(col) <= F.lit(v)).cast("long")).alias(f"hi{i}"))
+    r = df.agg(*aggs).collect()[0]
+    n = max(r["_n"], 1)
+    return [
+        bool(r[f"lo{i}"] / n - eps <= q <= r[f"hi{i}"] / n + eps)
+        for i, (q, _) in enumerate(checks)
+    ]
+
+
 def q_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefix_filter_spark.sketches import kll, tdigest
     from prefix_filter_spark.sources.tokenizer import words_col
@@ -311,25 +333,13 @@ def q_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]["state"]
         )
     )
-    n = docs.count()
-    vals = docs.toPandas()["n_words"].to_numpy()
-    import numpy as np
-
-    svals = np.sort(vals)
-
-    def rank_ok(v: float, q: float, eps: float = 0.025) -> bool:
-        # a value occupies the whole rank interval [left, right] on
-        # tie-heavy data (integer word counts!) — the answer is correct
-        # iff that interval intersects [q-eps, q+eps]; checking only the
-        # right rank fails exact answers whenever one value spans >2eps
-        lo = float(np.searchsorted(svals, v, side="left")) / n
-        hi = float(np.searchsorted(svals, v, side="right")) / n
-        return bool(lo - eps <= q <= hi + eps)
-
-    rows = []
-    for q, ex in zip(qs, exact):
-        kq, tq = sk.quantile(q), td.quantile(q)
-        rows.append((q, round(float(ex), 6), rank_ok(kq, q), rank_ok(tq, q)))
+    kqs, tqs = sk.quantiles(qs), td.quantiles(qs)
+    k_oks = _rank_interval_oks(docs, "n_words", list(zip(qs, (float(v) for v in kqs))))
+    t_oks = _rank_interval_oks(docs, "n_words", list(zip(qs, (float(v) for v in tqs))))
+    rows = [
+        (q, round(float(ex), 6), ko, to)
+        for q, ex, ko, to in zip(qs, exact, k_oks, t_oks)
+    ]
     return spark.createDataFrame(
         rows, "q double, exact_quantile double, kll_ok boolean, tdigest_ok boolean"
     )
@@ -484,33 +494,114 @@ def q_salted_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-trained trigram language-ID — rows-only (pandas-UDF model)."""
+    """Self-trained trigram language-ID, gated two ways: the synthetic
+    corpus reuses one vocabulary for every lang label (content is NOT
+    separable — measured ~chance accuracy), so label recovery cannot be
+    asserted. Instead (a) the exact per-lang doc counts are emitted
+    (DuckDB-mirrorable), and (b) the train+predict pipeline is run on a
+    PLANTED corpus of 5 synthetic languages with disjoint character
+    sets, where nearest-centroid must score 100% — a real end-to-end
+    check of the distributed partial-sum training and the vectorized
+    predict UDF. ``preds_valid`` additionally asserts every real-corpus
+    prediction lands in the trained label set."""
     from prefix_filter_spark.operators.text import predict_lang, train_lang_centroids
 
     docs = _docs(spark, sf_dir)
+
+    # planted separable corpus: lang Li uses only letter i, so trigram
+    # profiles are orthogonal across langs and nearest-centroid is exact
+    letters = F.array(*[F.lit(c) for c in "qxzjv"])
+    letter = F.element_at(letters, (F.col("id") % 5 + 1).cast("int"))
+    word = lambda j: F.repeat(letter, ((F.col("id") + j) % 5 + 1).cast("int"))  # noqa: E731
+    planted = spark.range(250).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("L"), (F.col("id") % 5).cast("string")).alias("lang"),
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(1), F.lit(20)), word)
+        ).alias("text"),
+    )
+    cents_p = train_lang_centroids(planted)
+    planted_acc = (
+        predict_lang(planted, cents_p)
+        .agg(F.avg((F.col("lang_pred") == F.col("lang")).cast("double")))
+        .collect()[0][0]
+    )
+
     cents = train_lang_centroids(docs)
-    return (
-        predict_lang(docs, cents)
-        .groupBy("lang", "lang_pred")
-        .agg(F.count("*").alias("n"))
-        .orderBy("lang", "lang_pred")
+    preds = predict_lang(docs, cents)
+    valid = set(cents)
+    per_lang = (
+        preds.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("lang_pred").isin(*valid).cast("long")).alias("n_valid"),
+        )
+        .collect()
+    )
+    preds_valid = all(r["n_docs"] == r["n_valid"] for r in per_lang)
+    rows = [
+        (r["lang"], r["n_docs"], bool(planted_acc >= 0.999), bool(preds_valid))
+        for r in sorted(per_lang, key=lambda r: r["lang"])
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, n_docs bigint, planted_acc_ok boolean, preds_valid boolean"
     )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (deterministic fake decode) — rows-only."""
-    from prefix_filter_spark.operators.multimodal import extract_features, synthetic_media
+    """Multimodal plumbing gate: the per-kind counts are DuckDB-
+    mirrorable (the generator is a deterministic range() mapping), and
+    ``features_ok`` asserts the distributed mapInPandas output matches
+    a driver-side recomputation of every row bit-for-bit — verifying
+    the Spark plumbing (Arrow transport, batch shapes, schema,
+    ordering) around the deterministic fake decode."""
+    import hashlib
 
-    media = synthetic_media(spark, 256, seed=42)
-    out = extract_features(media)
-    return (
-        out.groupBy("kind")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("ok").cast("int")).alias("n_ok"),
-            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
-        )
-        .orderBy("kind")
+    import numpy as np
+
+    from prefix_filter_spark.operators.multimodal import (
+        DecodeBackend,
+        extract_features,
+        row_feature,
+        synthetic_media,
+    )
+
+    n_rows, seed = 256, 42
+    media = synthetic_media(spark, n_rows, seed=seed)
+    got = {
+        r["media_id"]: r
+        for r in extract_features(media).collect()
+    }
+    backend = DecodeBackend()
+    features_ok = len(got) == n_rows
+    for i in range(n_rows):
+        # independent payload derivation: hashlib sha256 hex mirrors
+        # F.sha2(..., 256).cast("binary") (utf-8 bytes of the hex digest)
+        payload = hashlib.sha256(f"{seed}{i}".encode()).hexdigest().encode()
+        kind = "image" if i % 2 == 0 else "audio"
+        meta = {
+            "width": 32, "height": 24, "channels": 3,
+            "sample_rate": 16_000, "duration_ms": i % 900 + 100,
+        }
+        want = row_feature(backend, kind, payload, meta)
+        row = got.get(f"m-{i:08d}")
+        if (
+            row is None
+            or not row["ok"]
+            or not np.array_equal(np.array(row["feature"], dtype=np.float32), want)
+        ):
+            features_ok = False
+            break
+    agg: dict[str, int] = {}
+    n_ok: dict[str, int] = {}
+    for r in got.values():
+        agg[r["kind"]] = agg.get(r["kind"], 0) + 1
+        n_ok[r["kind"]] = n_ok.get(r["kind"], 0) + int(r["ok"])
+    rows = [
+        (k, agg[k], n_ok[k], bool(features_ok)) for k in sorted(agg)
+    ]
+    return spark.createDataFrame(
+        rows, "kind string, n bigint, n_ok bigint, features_ok boolean"
     )
 
 
@@ -555,46 +646,107 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.select(
         F.expr(f"percentile(value, array({','.join(map(str, qs))}))").alias("p")
     ).collect()[0]["p"]
-    import numpy as np
-
-    vals = np.sort(ev.select("value").toPandas()["value"].to_numpy())
-    n = len(vals)
-
-    def rank_ok(v: float, q: float, eps: float = 0.025) -> bool:
-        # rank INTERVAL vs [q-eps, q+eps] — see q_ntok_quantiles
-        lo = float(np.searchsorted(vals, v, side="left")) / n
-        hi = float(np.searchsorted(vals, v, side="right")) / n
-        return bool(lo - eps <= q <= hi + eps)
-
-    rows = []
-    for q, ex in zip(qs, exact):
-        kq = spark.sql(f"SELECT kll_quantile(state, {q}) v FROM q_kll_state").collect()[0]["v"]
-        tq = spark.sql(f"SELECT tdigest_quantile(state, {q}) v FROM q_td_state").collect()[0]["v"]
-        rows.append((q, round(float(ex), 6), rank_ok(kq, q), rank_ok(tq, q)))
+    # explicit double casts: bare 0.1 literals parse as DECIMAL and come
+    # back as Decimal keys that would miss the float lookup below
+    qlist = ",".join(f"cast({q} as double)" for q in qs)
+    # one SQL round trip per sketch — the registered UDFs group rows by
+    # state blob, so the whole quantile vector is one sketch walk
+    kmap = {
+        r["q"]: r["v"]
+        for r in spark.sql(
+            f"SELECT q, kll_quantile(state, q) v FROM q_kll_state "
+            f"LATERAL VIEW explode(array({qlist})) t AS q"
+        ).collect()
+    }
+    tmap = {
+        r["q"]: r["v"]
+        for r in spark.sql(
+            f"SELECT q, tdigest_quantile(state, q) v FROM q_td_state "
+            f"LATERAL VIEW explode(array({qlist})) t AS q"
+        ).collect()
+    }
+    kqs = [kmap[q] for q in qs]
+    tqs = [tmap[q] for q in qs]
+    k_oks = _rank_interval_oks(ev, "value", list(zip(qs, kqs)))
+    t_oks = _rank_interval_oks(ev, "value", list(zip(qs, tqs)))
+    rows = [
+        (q, round(float(ex), 6), ko, to)
+        for q, ex, ko, to in zip(qs, exact, k_oks, t_oks)
+    ]
     return spark.createDataFrame(
         rows, "q double, exact_quantile double, kll_ok boolean, tdigest_ok boolean"
     )
 
 
 def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-SQL-expressible (LSH bucketing) — rows-only driver check."""
-    from prefix_filter_spark.operators.similarity import srp_ann_topk
+    """SRP-ANN gate: emits the EXACT brute-force top-k table (DuckDB-
+    mirrorable, the same machinery as embedding_topk) plus a
+    self-asserted recall bound for the SRP-LSH path against that exact
+    answer (measured 0.925 at both gate SFs; asserted >= 0.85). The
+    ANN plan itself stays the scale path: banded signature buckets +
+    candidates-only rerank, never all-pairs."""
+    from prefix_filter_spark.operators.similarity import cosine_topk, srp_ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = srp_ann_topk(emb, queries, k=5, bands=16)
-    return out.select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
-    ).orderBy("query_id", "rank")
+    k = 5
+    exact = cosine_topk(emb, queries, k=k)
+    ann = srp_ann_topk(emb, queries, k=k, bands=16)
+    n_exact = exact.count()
+    hits = (
+        exact.select("query_id", "vec_id")
+        .join(ann.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .count()
+    )
+    recall_ok = bool(n_exact > 0 and hits / n_exact >= 0.85)
+    return (
+        exact.select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+            F.lit(recall_ok).alias("ann_recall_ok"),
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-SQL-expressible (pandas-UDF signature) — rows-only check."""
+    """SimHash gate via planted duplicates: union the corpus with exact
+    copies of a deterministic subset (n_chars % 17 == 0). Exact copies
+    have identical 64-bit signatures, so the banded candidate join MUST
+    surface every planted pair at Hamming 0 — a recall floor the gate
+    can assert exactly. The planted count is DuckDB-mirrorable;
+    ``planted_found`` / ``hamming_ok`` are the self-asserted booleans.
+    Organic near-dup recall at wider Hamming distances stays covered by
+    the pytest suite (tests/test_operators.py)."""
     from prefix_filter_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8).orderBy("d1", "d2")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted_src = _docs(spark, sf_dir).where(F.col("n_chars") % 17 == 0)
+    n_planted = planted_src.count()
+    planted = planted_src.select(
+        F.concat(F.col("doc_id"), F.lit("~dup")).alias("doc_id"), "text"
+    )
+    pairs = simhash_pairs(docs.unionByName(planted), max_hamming=8)
+    stats = pairs.agg(
+        F.sum(
+            (
+                (F.col("d2") == F.concat(F.col("d1"), F.lit("~dup")))
+                & (F.col("hamming") == 0)
+            ).cast("long")
+        ).alias("found"),
+        F.max("hamming").alias("hmax"),
+        F.count("*").alias("n_pairs"),
+    ).collect()[0]
+    found = stats["found"] or 0
+    hmax = stats["hmax"] if stats["hmax"] is not None else 0
+    return spark.createDataFrame(
+        [(n_planted, bool(found == n_planted), bool(hmax <= 8))],
+        "n_planted bigint, planted_found boolean, hamming_ok boolean",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -808,7 +960,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n FROM documents
             GROUP BY source ORDER BY source
         """,
-        # lang_predictions, media_features: rows-only (pandas-UDF models)
+        "lang_predictions": """
+            SELECT lang, count(*) AS n_docs,
+                   true AS planted_acc_ok, true AS preds_valid
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "media_features": """
+            SELECT CASE WHEN (i % 2) = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   count(*) AS n, count(*) AS n_ok, true AS features_ok
+            FROM (SELECT unnest(range(256)) AS i)
+            GROUP BY 1 ORDER BY 1
+        """,
         "hll_distinct": f"""
             SELECT count(DISTINCT w) AS exact_distinct, true AS hll_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
@@ -846,8 +1008,29 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 0.99, quantile_cont(value, 0.99) FROM events
             ) ORDER BY q
         """,
-        # srp_ann_topk, simhash_pairs: intentionally omitted -> rows-only
-        # checks (LSH bucketing / pandas-UDF signatures are not
-        # SQL-expressible; the pytest suite verifies them against exact
-        # brute force instead).
+        "srp_ann_topk": """
+            WITH pairs AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     list_dot_product(q.emb_d, e.emb_d)
+                       / (sqrt(list_dot_product(q.emb_d, q.emb_d))
+                          * sqrt(list_dot_product(e.emb_d, e.emb_d))) AS cosine
+              FROM (SELECT vec_id, list_transform(embedding, x -> x::double) emb_d
+                    FROM embeddings WHERE vec_id < 8) q
+              JOIN (SELECT vec_id, list_transform(embedding, x -> x::double) emb_d
+                    FROM embeddings) e
+                ON q.vec_id <> e.vec_id),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rank
+              FROM pairs)
+            SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank,
+                   true AS ann_recall_ok
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "simhash_pairs": """
+            SELECT count(*) AS n_planted,
+                   true AS planted_found, true AS hamming_ok
+            FROM documents WHERE n_chars % 17 = 0
+        """,
     }

@@ -119,23 +119,33 @@ def register_sketch_sql(spark: SparkSession) -> None:
                     out[j] = int(v)
         return pd.Series(out)
 
-    @F.pandas_udf(T.DoubleType())
-    def kll_quantile(state: pd.Series, q: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                _kll_cached(bytes(s)).quantile(float(qq)) if s is not None else None
-                for s, qq in zip(state, q)
-            ]
-        )
+    def _grouped_quantile(cache):
+        """Group rows by identical state blob, evaluate the whole
+        quantile vector per group via the sketch's vectorized
+        ``quantiles`` (one weighted-items/centroid walk per blob
+        instead of one per ROW) — same shape as cms_point above.
+        NULL states yield NULL."""
 
-    @F.pandas_udf(T.DoubleType())
-    def tdigest_quantile(state: pd.Series, q: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                _td_cached(bytes(s)).quantile(float(qq)) if s is not None else None
-                for s, qq in zip(state, q)
-            ]
-        )
+        def run(state: pd.Series, q: pd.Series) -> pd.Series:
+            import numpy as np
+
+            out = np.empty(len(state), dtype=object)
+            groups: dict[bytes, list[int]] = {}
+            for i, s in enumerate(state):
+                if s is None:
+                    out[i] = None
+                else:
+                    groups.setdefault(bytes(s), []).append(i)
+            for blob, idxs in groups.items():
+                vals = cache(blob).quantiles(q.iloc[idxs].to_numpy(dtype=np.float64))
+                for j, v in zip(idxs, vals):
+                    out[j] = float(v)
+            return pd.Series(out)
+
+        return run
+
+    kll_quantile = F.pandas_udf(T.DoubleType())(_grouped_quantile(_kll_cached))
+    tdigest_quantile = F.pandas_udf(T.DoubleType())(_grouped_quantile(_td_cached))
 
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("cms_point", cms_point)

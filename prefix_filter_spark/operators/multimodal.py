@@ -105,33 +105,13 @@ def extract_features(
         for pdf in batches:
             feats: list = []
             oks: list = []
-            for _, row in pdf.iterrows():
+            # zipped-column iteration, not iterrows: the decode is
+            # inherently per-row but the batch walk must not pay
+            # pandas Series-construction per row (~10x iteration cost)
+            for kind, payload, m in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
                 try:
-                    m = row["meta"]
-                    if row["kind"] == "image":
-                        img = backend.decode_image(
-                            row["payload"], m["width"], m["height"], m["channels"]
-                        )
-                        lum = img.astype(np.float32).mean(axis=2)
-                        h, w = lum.shape
-                        g = min(grid, h, w)
-                        pooled = lum[: h - h % g, : w - w % g].reshape(
-                            g, (h - h % g) // g, g, (w - w % g) // g
-                        ).mean(axis=(1, 3))
-                        vec = np.zeros(feat_dim, dtype=np.float32)
-                        flat = pooled.ravel().astype(np.float32)[:feat_dim]
-                        vec[: len(flat)] = flat
-                        feats.append(vec)
-                        oks.append(True)
-                    else:
-                        wave = backend.decode_audio(
-                            row["payload"], m["sample_rate"], m["duration_ms"]
-                        )
-                        hist, _ = np.histogram(wave, bins=feat_dim, range=(-1, 1))
-                        feats.append(
-                            (hist / max(1, len(wave))).astype(np.float32)
-                        )
-                        oks.append(True)
+                    feats.append(row_feature(backend, kind, payload, m, feat_dim, grid))
+                    oks.append(True)
                 except Exception:  # noqa: BLE001 — per-row poison pill
                     feats.append(np.zeros(feat_dim, dtype=np.float32))
                     oks.append(False)
@@ -149,6 +129,39 @@ def extract_features(
     )
 
 
+def row_feature(
+    backend: DecodeBackend,
+    kind: str,
+    payload: bytes,
+    meta,
+    feat_dim: int = 64,
+    grid: int | None = None,
+) -> np.ndarray:
+    """Deterministic feature for one media row — the single code path
+    shared by the distributed extract_features UDF and driver-side
+    recomputation checks (so the gate verifies the Spark plumbing:
+    Arrow transport, batching, schema, ordering)."""
+    if grid is None:
+        grid = max(1, int(math.isqrt(feat_dim)))
+    if kind == "image":
+        img = backend.decode_image(
+            payload, meta["width"], meta["height"], meta["channels"]
+        )
+        lum = img.astype(np.float32).mean(axis=2)
+        h, w = lum.shape
+        g = min(grid, h, w)
+        pooled = lum[: h - h % g, : w - w % g].reshape(
+            g, (h - h % g) // g, g, (w - w % g) // g
+        ).mean(axis=(1, 3))
+        vec = np.zeros(feat_dim, dtype=np.float32)
+        flat = pooled.ravel().astype(np.float32)[:feat_dim]
+        vec[: len(flat)] = flat
+        return vec
+    wave = backend.decode_audio(payload, meta["sample_rate"], meta["duration_ms"])
+    hist, _ = np.histogram(wave, bins=feat_dim, range=(-1, 1))
+    return (hist / max(1, len(wave))).astype(np.float32)
+
+
 def resize_images(media: DataFrame, out_w: int, out_h: int, backend: DecodeBackend | None = None) -> DataFrame:
     """image rows -> re-encoded (here: raw) thumbnails with updated meta."""
     backend = backend or DecodeBackend()
@@ -156,10 +169,9 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, backend: DecodeBacke
     def run(batches):
         for pdf in batches:
             outs = []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
+            for payload, m in zip(pdf["payload"], pdf["meta"]):
                 img = backend.decode_image(
-                    row["payload"], m["width"], m["height"], m["channels"]
+                    payload, m["width"], m["height"], m["channels"]
                 )
                 ys = (np.arange(out_h) * img.shape[0] // out_h).astype(int)
                 xs = (np.arange(out_w) * img.shape[1] // out_w).astype(int)

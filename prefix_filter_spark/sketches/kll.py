@@ -113,16 +113,19 @@ class KllSketch(base.Accumulator):
         return items[order], weights[order]
 
     def quantile(self, q: float) -> float:
+        return float(self.quantiles([q])[0])
+
+    def quantiles(self, qs) -> np.ndarray:
+        """Vectorized: one weighted-items pass + one searchsorted for
+        the whole query vector (the SQL surface evaluates per state
+        blob, so a grouped call must not re-walk the levels per q)."""
+        qs = np.asarray(qs, dtype=np.float64)
         items, weights = self._weighted_items()
         if len(items) == 0:
-            return float("nan")
+            return np.full(len(qs), np.nan)
         cw = np.cumsum(weights)
-        target = q * cw[-1]
-        idx = int(np.searchsorted(cw, target, side="left"))
-        return float(items[min(idx, len(items) - 1)])
-
-    def quantiles(self, qs) -> list[float]:
-        return [self.quantile(float(q)) for q in qs]
+        idx = np.searchsorted(cw, qs * cw[-1], side="left")
+        return items[np.minimum(idx, len(items) - 1)]
 
     def rank(self, value: float) -> float:
         items, weights = self._weighted_items()

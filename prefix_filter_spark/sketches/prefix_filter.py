@@ -303,13 +303,13 @@ def shard_diagnostics(cfg: PrefixFilterConfig, shards_df: DataFrame) -> DataFram
 
     def diag(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, r in pdf.iterrows():
-            headers, body, spare = _parse_state(bytes(r["state"]))
+        for shard_id, state in zip(pdf["shard_id"], pdf["state"]):
+            headers, body, spare = _parse_state(bytes(state))
             counts_incl, overflowed, _lq = pd_kernel.decode_headers(headers)
             caps = counts_incl[:, -1]
             rows.append(
                 {
-                    "shard_id": int(r["shard_id"]),
+                    "shard_id": int(shard_id),
                     "num_pds": len(headers),
                     "overflowing_pds": int(overflowed.sum()),
                     "empty_pds": int((caps == 0).sum()),

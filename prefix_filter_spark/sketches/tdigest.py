@@ -105,31 +105,36 @@ class TDigest(base.Accumulator):
 
     # -- queries -----------------------------------------------------
     def quantile(self, q: float) -> float:
+        return float(self.quantiles([q])[0])
+
+    def quantiles(self, qs) -> np.ndarray:
+        """Vectorized over the query vector: np.interp between centroid
+        midpoints reproduces the scalar interpolation exactly (same
+        piecewise-linear formula), with explicit min/max tail handling.
+        One centroid walk per call regardless of len(qs) — the SQL
+        surface groups rows by state blob and evaluates per group."""
         self._flush()
+        qs = np.asarray(qs, dtype=np.float64)
         if len(self.means) == 0:
-            return float("nan")
+            return np.full(len(qs), np.nan)
         if len(self.means) == 1:
-            return float(self.means[0])
+            return np.full(len(qs), float(self.means[0]))
         total = self.weights.sum()
-        target = q * total
+        targets = qs * total
         # centroid midpoints in cumulative-weight space
         cw = np.cumsum(self.weights)
         mids = cw - self.weights / 2.0
-        if target <= mids[0]:
-            # interpolate min..first mean
-            frac = target / mids[0] if mids[0] > 0 else 0.0
-            return float(self.vmin + frac * (self.means[0] - self.vmin))
-        if target >= mids[-1]:
+        out = np.interp(targets, mids, self.means)
+        lo = targets <= mids[0]
+        if lo.any():
+            frac = targets[lo] / mids[0] if mids[0] > 0 else np.zeros(lo.sum())
+            out[lo] = self.vmin + frac * (self.means[0] - self.vmin)
+        hi = targets >= mids[-1]
+        if hi.any():
             span = total - mids[-1]
-            frac = (target - mids[-1]) / span if span > 0 else 0.0
-            return float(self.means[-1] + frac * (self.vmax - self.means[-1]))
-        idx = int(np.searchsorted(mids, target, side="right"))
-        lo, hi = mids[idx - 1], mids[idx]
-        frac = (target - lo) / (hi - lo) if hi > lo else 0.0
-        return float(self.means[idx - 1] + frac * (self.means[idx] - self.means[idx - 1]))
-
-    def quantiles(self, qs) -> list[float]:
-        return [self.quantile(float(q)) for q in qs]
+            frac = (targets[hi] - mids[-1]) / span if span > 0 else np.zeros(hi.sum())
+            out[hi] = self.means[-1] + frac * (self.vmax - self.means[-1])
+        return out
 
     # -- serde ---------------------------------------------------------
     def to_bytes(self) -> bytes:
