@@ -153,6 +153,7 @@ def remove_keys_sharded(
     shards_df: DataFrame,
     remove_state_fn: Callable[[bytes, np.ndarray], bytes],
     merge_fn: Callable[[list[bytes]], bytes],
+    count_state_fn: Callable[[bytes], int] | None = None,
 ) -> DataFrame:
     """Distributed delete for delete-capable filters (two-choice,
     cuckoo — wrappers.hpp functionality mask 7): route removal keys to
@@ -163,6 +164,13 @@ def remove_keys_sharded(
     accumulation shape) are MERGED first — deleting from only one
     partial would silently resurrect the key from the others.
     Shards with no removal keys pass through (post-merge) unchanged.
+
+    ``count_state_fn``: exact occupied-pair recount from a rebuilt
+    state. When provided, the emitted ``n_keys`` is recounted from the
+    post-merge/post-delete state (both TC and cuckoo count exactly at
+    pair granularity); without it, ``n_keys`` stays the sum over
+    partials — an upper bound that can overstate materially once the
+    merge dedupes overlapping partials and the delete removes pairs.
     """
     h = hashed_key_col(key_col, seed)
     keyed = df.select(h.alias("h"), shard_col(h, num_shards).alias("shard_id"))
@@ -178,9 +186,11 @@ def remove_keys_sharded(
             state = remove_state_fn(state, as_u64(left["h"].to_numpy()))
         out = right.iloc[[0]].copy()
         out["state"] = [state]
-        # n_keys stays the pre-delete upper bound: fingerprint-granular
-        # deletes cannot recount exactly (documented caveat)
-        out["n_keys"] = [int(right["n_keys"].sum())]
+        if count_state_fn is not None:
+            out["n_keys"] = [int(count_state_fn(state))]
+        else:
+            # pre-delete upper bound (documented caveat)
+            out["n_keys"] = [int(right["n_keys"].sum())]
         out["input_rows"] = [int(right["input_rows"].sum())]
         out["build_ns"] = [int(right["build_ns"].sum())]
         return out

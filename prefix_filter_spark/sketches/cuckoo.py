@@ -332,7 +332,9 @@ def remove_states(state: bytes, cfg: CuckooConfig, hashes_u64: np.ndarray) -> by
 
 def remove_keys(df: DataFrame, key_col, cfg: CuckooConfig, shards_df: DataFrame) -> DataFrame:
     """Distributed delete (see base.remove_keys_sharded; un-compacted
-    partial rows per shard are merged before the delete applies)."""
+    partial rows per shard are merged before the delete applies).
+    ``n_keys`` is recounted exactly from the rebuilt state's occupied
+    pairs, so the lineage stays honest after merge-dedupe + delete."""
     return base.remove_keys_sharded(
         df,
         key_col,
@@ -341,6 +343,7 @@ def remove_keys(df: DataFrame, key_col, cfg: CuckooConfig, shards_df: DataFrame)
         shards_df=shards_df,
         remove_state_fn=lambda state, h: remove_states(state, cfg, h),
         merge_fn=lambda states: merge_states(states, cfg),
+        count_state_fn=lambda state: len(_pairs_of_state(cfg, state)),
     )
 
 

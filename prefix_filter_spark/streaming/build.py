@@ -42,11 +42,20 @@ def foreach_batch_build(
     parquet shard-state store. Returns the started StreamingQuery.
 
     Replay safety (foreachBatch is at-least-once): the last applied
-    epoch id is persisted next to the state, and a re-delivered epoch is
-    skipped outright — necessary because re-merging is NOT idempotent
-    for additive sketches (CMS counters, KLL/t-digest samples would
-    double-count), even though it happens to be for OR/max-merge filters
-    and set-semantics rebuilds.
+    epoch id is persisted INSIDE the state directory (``_epoch.json``;
+    underscore-prefixed files are invisible to parquet readers) and the
+    promote is a directory rename — state and marker commit atomically,
+    so there is no crash window where the state was promoted but the
+    epoch was not recorded (re-merging is NOT idempotent for additive
+    sketches: CMS counters, KLL/t-digest samples would double-count).
+    A round-1 side-file marker (``<state>.last_epoch``) is still
+    honored on read and removed after the first atomic promote.
+
+    Store restriction: the state/marker bookkeeping uses driver-local
+    ``os`` calls, so ``state_path`` must be a driver-visible local
+    path (file: / NFS). For a remote object store (s3a://, hdfs://)
+    route the promote through the Hadoop FileSystem API instead —
+    os.path guards silently never engage there.
     """
     import json
     import os
@@ -55,17 +64,36 @@ def foreach_batch_build(
     from pyspark.errors import AnalysisException
 
     spark = stream_df.sparkSession
-    epoch_marker = state_path + ".last_epoch"
+    legacy_marker = state_path + ".last_epoch"
+    old_path = state_path + ".old"
+
+    def read_marker() -> dict | None:
+        # crash recovery: a promote that renamed the previous state away
+        # but died before renaming the new one in leaves state_path
+        # missing and .old present — restore the previous state+marker
+        # (the interrupted epoch was never recorded, so it will replay)
+        if not os.path.isdir(state_path) and os.path.isdir(old_path):
+            os.rename(old_path, state_path)
+        in_dir = os.path.join(state_path, "_epoch.json")
+        if os.path.exists(in_dir):
+            with open(in_dir) as f:
+                return json.load(f)
+        if os.path.exists(legacy_marker):
+            with open(legacy_marker) as f:
+                return json.load(f)
+        return None
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # epoch ids are scoped to a checkpoint: a NEW stream (fresh
         # checkpoint dir) over the same state store restarts at epoch 0
         # and must not be mistaken for a replay
-        if os.path.exists(epoch_marker):
-            with open(epoch_marker) as f:
-                marker = json.load(f)
-            if marker.get("checkpoint") == checkpoint_dir and epoch_id <= marker["epoch"]:
-                return  # at-least-once replay of an applied batch
+        marker = read_marker()
+        if (
+            marker is not None
+            and marker.get("checkpoint") == checkpoint_dir
+            and epoch_id <= marker["epoch"]
+        ):
+            return  # at-least-once replay of an applied batch
         partial = build_fn(batch_df, key_col)
         try:
             existing = spark.read.parquet(state_path)
@@ -82,14 +110,21 @@ def foreach_batch_build(
         else:
             merged = base.merge_shard_states(existing.unionByName(partial), merge_fn)
         # write-then-swap: materialize to a scratch dir (the merged plan
-        # reads state_path, which overwrite would clobber mid-read),
-        # promote, then drop the scratch copy and record the epoch
+        # reads state_path, which an in-place overwrite would clobber
+        # mid-read), stamp the epoch into the scratch dir, then promote
+        # scratch -> state in one rename
         scratch = state_path + ".next"
-        merged.write.mode("overwrite").parquet(scratch)
-        spark.read.parquet(scratch).write.mode("overwrite").parquet(state_path)
         shutil.rmtree(scratch, ignore_errors=True)
-        with open(epoch_marker, "w") as f:
+        merged.write.mode("overwrite").parquet(scratch)
+        with open(os.path.join(scratch, "_epoch.json"), "w") as f:
             json.dump({"checkpoint": checkpoint_dir, "epoch": epoch_id}, f)
+        shutil.rmtree(old_path, ignore_errors=True)
+        if os.path.isdir(state_path):
+            os.rename(state_path, old_path)
+        os.rename(scratch, state_path)
+        shutil.rmtree(old_path, ignore_errors=True)
+        if os.path.exists(legacy_marker):
+            os.remove(legacy_marker)
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -385,3 +385,58 @@ def test_streaming_epoch_replay_is_skipped(spark):
     run(f"{TMP}/replay_ckpt_b")
     got = spark.read.parquet(state)
     assert got.count() == cfg.num_shards
+
+
+def test_streaming_epoch_marker_atomic_and_recovers(spark):
+    """The epoch marker lives INSIDE the promoted state directory
+    (committed by the same rename as the state), and an interrupted
+    promote (state renamed away, new state never renamed in) recovers
+    the previous state+marker on the next run."""
+    import json
+    import os
+
+    from prefix_filter_spark.streaming.build import foreach_batch_build
+
+    cfg = bloom.BloomConfig(n_capacity=10_000, bits_per_key=10, num_shards=4, seed=11)
+    src = f"{TMP}/atomic_src"
+    spark.range(10_000).select(F.col("id").alias("key")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    state = f"{TMP}/atomic_state"
+
+    def run(ckpt):
+        stream = spark.readStream.schema("key long").parquet(src)
+        q = foreach_batch_build(
+            stream,
+            "key",
+            build_fn=lambda df, k: bloom.build_bloom(df, k, cfg),
+            merge_fn=bloom.merge_states,
+            state_path=state,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run(f"{TMP}/atomic_ckpt_a")
+    marker_path = os.path.join(state, "_epoch.json")
+    assert os.path.exists(marker_path), "marker must ride inside the state dir"
+    with open(marker_path) as f:
+        marker = json.load(f)
+    assert marker["checkpoint"] == f"{TMP}/atomic_ckpt_a"
+    assert not os.path.exists(state + ".last_epoch"), "no side-file marker"
+    before = {
+        (r["shard_id"]): bytes(r["state"])
+        for r in spark.read.parquet(state).collect()
+    }
+
+    # simulate a crash mid-promote: state renamed to .old, no new state
+    os.rename(state, state + ".old")
+    # a fresh-checkpoint run must first RECOVER the old state, see its
+    # marker (different checkpoint -> not a replay), and re-apply
+    run(f"{TMP}/atomic_ckpt_b")
+    assert os.path.isdir(state) and not os.path.isdir(state + ".old")
+    after = {
+        (r["shard_id"]): bytes(r["state"])
+        for r in spark.read.parquet(state).collect()
+    }
+    # same keys merged in twice through OR-merge filters: bit-identical
+    assert before == after

@@ -75,6 +75,15 @@ def test_remove_keys_distributed(spark, cfg):
     after = tc.remove_keys(to_remove, "key", cfg, shards).cache()
     handle = tc.ShardedTwoChoice.from_df(cfg, after)
 
+    # lineage honesty: n_keys is recounted from the rebuilt state, so
+    # post-delete it must track the surviving population (not the
+    # pre-delete upper bound), modulo pair-collision collateral
+    n_before = sum(r["n_keys"] for r in shards.select("n_keys").collect())
+    n_after = sum(r["n_keys"] for r in after.select("n_keys").collect())
+    n_removed = to_remove.count()
+    assert n_after < n_before
+    assert abs(n_after - (n_before - n_removed)) <= 0.01 * N, (n_before, n_after)
+
     from prefix_filter_spark.plans.sharding import hashed_key_col
 
     kept = keys.where(F.col("key") % 10 != 3)
