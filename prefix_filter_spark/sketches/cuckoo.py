@@ -38,15 +38,33 @@ kMaxCuckooCount bound) land in a sorted per-shard overflow array
 probed exactly (the reference's single-victim cache, generalized so
 builds never throw and zero-FN always holds).
 
+Semi-sorted buckets (``semisort=True``): the reference PackedTable's
+permutation encoding (``cuckoofilter/src/packedtable.h:1-437``,
+``permencoding.h``) — each tag splits into a 4-bit low nibble and
+``fp_bits - 4`` direct bits; a bucket's four low nibbles, sorted, form
+a 4-multiset over 16 values (C(19,4) = 3876 <= 2^12) stored as a
+12-bit codeword, so a bucket packs into 12 + 4*(fp_bits-4) bits
+(f=13: exactly 6 bytes — the byte-aligned configuration the
+reference's static_assert singles out). Saves ~3 bits/item vs the
+uint16-slot layout. Because the stable alternate index is
+self-inverse, the per-slot alt flag is dropped and pairs are
+canonicalized as ``min(b, alt(b, tag))`` instead — probes check the
+tag in both candidate buckets (the reference's probe shape), merges
+and deletes operate on canonical pairs.
+
 State: 'PFCK' | u8 ver | u8 slots | u16 fp_bits | u64 num_buckets
        | u64 n_overflow | u64 seed | u32 num_shards
-       | table u16[num_buckets * slots] | overflow u64[]
+       | table | overflow u64[]
+  ver 2 (plain):    table = u16[num_buckets * slots], bit 15 = alt flag
+  ver 3 (semisort): table = num_buckets * ceil((12 + 4*(fp_bits-4))/8)
+                    bytes of packed buckets, no flags
 
 seed and num_shards are serialized so every parse boundary can reject a
 state/config mismatch loudly: a wrong seed (or shard count, which
 changes key->shard routing) derives different (bucket, tag) pairs and
 would otherwise turn probes into silent false negatives and deletes
-into silent no-ops.
+into silent no-ops; the version byte likewise rejects mixing packed
+and plain states in one merge.
 """
 
 from __future__ import annotations
@@ -86,6 +104,7 @@ class CuckooConfig:
     num_shards: int = 32
     seed: int = 42
     max_rounds: int = 500  # cuckoofilter.h:23 kMaxCuckooCount
+    semisort: bool = False  # PackedTable permutation encoding (see module doc)
 
     def __post_init__(self):
         # tag occupies bits [0, fp_bits); bit 15 of the uint16 slot is
@@ -95,6 +114,28 @@ class CuckooConfig:
                 f"fp_bits must be in [1, 15] (bit 15 is the alt flag; "
                 f"got {self.fp_bits}) — for wider tags widen the slot dtype"
             )
+        if self.semisort:
+            if not 5 <= self.fp_bits <= 15:
+                raise ValueError(
+                    "semisort splits tags into a 4-bit nibble + direct "
+                    f"bits, so fp_bits must be in [5, 15]; got {self.fp_bits}"
+                )
+            if self.slots_per_bucket != 4:
+                raise ValueError(
+                    "the 12-bit permutation codeword encodes exactly a "
+                    "4-multiset (packedtable.h 4-way associativity); got "
+                    f"slots_per_bucket={self.slots_per_bucket}"
+                )
+
+    @property
+    def _version(self) -> int:
+        return 3 if self.semisort else _VERSION
+
+    @property
+    def bucket_bytes(self) -> int:
+        """Packed bucket width (semisort only): 12 codeword bits +
+        4 * (fp_bits - 4) direct bits, byte-rounded up."""
+        return (12 + 4 * (self.fp_bits - 4) + 7) // 8
 
     @property
     def num_buckets_per_shard(self) -> int:
@@ -204,7 +245,7 @@ def _place(cfg: CuckooConfig, b1: np.ndarray, tag: np.ndarray, num_buckets: int)
 def _pack_header(cfg: CuckooConfig, nb: int, n_overflow: int) -> bytes:
     return _HDR.pack(
         _MAGIC,
-        _VERSION,
+        cfg._version,
         cfg.slots_per_bucket,
         cfg.fp_bits,
         nb,
@@ -214,43 +255,122 @@ def _pack_header(cfg: CuckooConfig, nb: int, n_overflow: int) -> bytes:
     )
 
 
+# ---- PackedTable permutation codec (packedtable.h / permencoding.h) ----
+_SS_TABLES: tuple[np.ndarray, np.ndarray] | None = None
+
+
+def _ss_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(dec, enc): dec[codeword] -> the 4 sorted low nibbles (4096 x 4,
+    3876 used); enc[nibbles packed 4x4 bits] -> codeword. The
+    reference's PermEncoding dec_table/enc_table (permencoding.h)
+    generated by enumerating 4-multisets of 16 values."""
+    global _SS_TABLES
+    if _SS_TABLES is None:
+        import itertools
+
+        dec = np.zeros((4096, 4), dtype=np.uint16)
+        enc = np.zeros(65536, dtype=np.uint16)
+        for i, tup in enumerate(itertools.combinations_with_replacement(range(16), 4)):
+            dec[i] = tup
+            enc[tup[0] | tup[1] << 4 | tup[2] << 8 | tup[3] << 12] = i
+        _SS_TABLES = (dec, enc)
+    return _SS_TABLES
+
+
+def _pack_table_ss(tags: np.ndarray, fp_bits: int) -> bytes:
+    """(nb, 4) uint16 tags (0 = empty, no flags) -> packed bucket bytes."""
+    _, enc = _ss_tables()
+    dir_bits = fp_bits - 4
+    low = (tags & np.uint16(0xF)).astype(np.uint32)
+    dirv = (tags >> np.uint16(4)).astype(np.uint64)
+    # slot order inside a bucket is semantically free; sort by
+    # (low, dir) so codeword nibbles pair with dir fields positionally
+    key = (low << np.uint32(16)) | dirv.astype(np.uint32)
+    order = np.argsort(key, axis=1, kind="stable")
+    low_s = np.take_along_axis(low, order, axis=1)
+    dir_s = np.take_along_axis(dirv, order, axis=1)
+    packed_low = low_s[:, 0] | low_s[:, 1] << 4 | low_s[:, 2] << 8 | low_s[:, 3] << 12
+    word = enc[packed_low].astype(np.uint64)
+    for j in range(4):
+        word |= dir_s[:, j] << np.uint64(12 + j * dir_bits)
+    nbytes = (12 + 4 * dir_bits + 7) // 8
+    return word.astype("<u8").view(np.uint8).reshape(-1, 8)[:, :nbytes].tobytes()
+
+
+def _unpack_table_ss(buf: np.ndarray, nb: int, fp_bits: int) -> np.ndarray:
+    """Packed bucket bytes -> (nb, 4) uint16 tags (0 = empty)."""
+    dec, _ = _ss_tables()
+    dir_bits = fp_bits - 4
+    nbytes = (12 + 4 * dir_bits + 7) // 8
+    b = np.zeros((nb, 8), dtype=np.uint8)
+    b[:, :nbytes] = np.asarray(buf, dtype=np.uint8).reshape(nb, nbytes)
+    word = b.view("<u8").ravel()
+    lows = dec[(word & np.uint64(0xFFF)).astype(np.int64)]
+    dir_mask = np.uint64((1 << dir_bits) - 1)
+    out = np.empty((nb, 4), dtype=np.uint16)
+    for j in range(4):
+        d = (word >> np.uint64(12 + j * dir_bits)) & dir_mask
+        out[:, j] = lows[:, j] | (d.astype(np.uint16) << np.uint16(4))
+    return out
+
+
+def _canonical(cfg: CuckooConfig, b1: np.ndarray, tag: np.ndarray, nb: int) -> np.ndarray:
+    """Semisort pair identity: min(b, alt(b)) — well-defined because the
+    stable alternate index is self-inverse (replaces the alt flag)."""
+    return np.minimum(b1, _alt_bucket(b1, tag, nb))
+
+
 def _build_state(cfg: CuckooConfig, hashes_u64: np.ndarray) -> bytes:
     nb = cfg.num_buckets_per_shard
     b1, tag = _derive(cfg, hashes_u64, nb)
+    if cfg.semisort:
+        b1 = _canonical(cfg, b1, tag, nb)
     table, overflow = _place(cfg, b1, tag, nb)
-    return (
-        _pack_header(cfg, nb, len(overflow))
-        + table.tobytes()
-        + overflow.tobytes()
+    body = (
+        _pack_table_ss(table & ~_ALT_FLAG, cfg.fp_bits)
+        if cfg.semisort
+        else table.tobytes()
     )
+    return _pack_header(cfg, nb, len(overflow)) + body + overflow.tobytes()
 
 
 def _parse_state(state: bytes):
     magic, version, slots, fp_bits, nb, n_ov, seed, num_shards = _HDR.unpack_from(state, 0)
-    if magic != _MAGIC or version != _VERSION:
+    if magic != _MAGIC or version not in (2, 3):
         raise ValueError("bad cuckoo state")
     off = _HDR.size
-    table = np.frombuffer(state, dtype=np.uint16, count=nb * slots, offset=off).reshape(
-        nb, slots
-    )
-    off += nb * slots * 2
+    if version == 3:
+        nbytes = (12 + 4 * (fp_bits - 4) + 7) // 8
+        raw = np.frombuffer(state, dtype=np.uint8, count=nb * nbytes, offset=off)
+        table = _unpack_table_ss(raw, nb, fp_bits)
+        off += nb * nbytes
+    else:
+        table = np.frombuffer(
+            state, dtype=np.uint16, count=nb * slots, offset=off
+        ).reshape(nb, slots)
+        off += nb * slots * 2
     overflow = np.frombuffer(state, dtype=np.uint64, count=n_ov, offset=off)
-    return slots, fp_bits, nb, table, overflow, seed, num_shards
+    return slots, fp_bits, nb, table, overflow, seed, num_shards, version
 
 
 def _pairs_of_state(cfg: CuckooConfig, state: bytes) -> np.ndarray:
-    """Decode -> packed ``primary << fp_bits | tag`` u64 array."""
-    slots, fp_bits, nb, table, overflow, _seed, _ns = _parse_state(state)
-    rows = np.repeat(np.arange(nb, dtype=np.int64), slots)
+    """Decode -> packed ``primary << fp_bits | tag`` u64 array (primary
+    is the canonical bucket in the semisort layout)."""
+    slots, fp_bits, nb, table, overflow, _seed, _ns, version = _parse_state(state)
+    rows = np.repeat(np.arange(nb, dtype=np.int64), table.shape[1])
     vals = table.ravel()
     occ = vals != 0
-    tag = (vals[occ] & ~_ALT_FLAG).astype(np.uint16)
-    is_alt = (vals[occ] & _ALT_FLAG) != 0
     bucket = rows[occ]
-    primary = bucket.copy()
-    if is_alt.any():
-        # self-inverse partner recovers the primary
-        primary[is_alt] = _alt_bucket(bucket[is_alt], tag[is_alt], nb)
+    if version == 3:
+        tag = vals[occ]
+        primary = _canonical(cfg, bucket, tag, nb)
+    else:
+        tag = (vals[occ] & ~_ALT_FLAG).astype(np.uint16)
+        is_alt = (vals[occ] & _ALT_FLAG) != 0
+        primary = bucket.copy()
+        if is_alt.any():
+            # self-inverse partner recovers the primary
+            primary[is_alt] = _alt_bucket(bucket[is_alt], tag[is_alt], nb)
     packed = (as_u64(primary) << np.uint64(fp_bits)) | tag.astype(np.uint64)
     return np.concatenate([packed, overflow])
 
@@ -259,21 +379,29 @@ def _check_geometry(cfg: CuckooConfig, state: bytes) -> None:
     """Loudly reject a state built under a different geometry: decoding
     bucket indices from one nb and rebuilding into another is either an
     IndexError or — worse — silent false negatives."""
-    slots, fp_bits, nb, _, _, seed, num_shards = _parse_state(state)
+    slots, fp_bits, nb, _, _, seed, num_shards, version = _parse_state(state)
     if (
         nb != cfg.num_buckets_per_shard
         or slots != cfg.slots_per_bucket
         or fp_bits != cfg.fp_bits
         or seed != (cfg.seed & _SEED_MASK)
         or num_shards != cfg.num_shards
+        or version != cfg._version
     ):
         raise ValueError(
             f"cuckoo state (nb={nb}, slots={slots}, fp_bits={fp_bits}, "
-            f"seed={seed}, num_shards={num_shards}) does not match config "
-            f"(nb={cfg.num_buckets_per_shard}, slots={cfg.slots_per_bucket}, "
-            f"fp_bits={cfg.fp_bits}, seed={cfg.seed & _SEED_MASK}, "
-            f"num_shards={cfg.num_shards})"
+            f"seed={seed}, num_shards={num_shards}, ver={version}) does not "
+            f"match config (nb={cfg.num_buckets_per_shard}, "
+            f"slots={cfg.slots_per_bucket}, fp_bits={cfg.fp_bits}, "
+            f"seed={cfg.seed & _SEED_MASK}, num_shards={cfg.num_shards}, "
+            f"ver={cfg._version})"
         )
+
+
+def _encode_table(cfg: CuckooConfig, table: np.ndarray) -> bytes:
+    if cfg.semisort:
+        return _pack_table_ss(table & ~_ALT_FLAG, cfg.fp_bits)
+    return table.tobytes()
 
 
 def merge_states(states: list[bytes], cfg: CuckooConfig) -> bytes:
@@ -288,22 +416,30 @@ def merge_states(states: list[bytes], cfg: CuckooConfig) -> bytes:
     table, overflow = _place(cfg, b1, tag, nb)
     return (
         _pack_header(cfg, nb, len(overflow))
-        + table.tobytes()
+        + _encode_table(cfg, table)
         + overflow.tobytes()
     )
 
 
 def _contains_in_state(cfg: CuckooConfig, state: bytes, g_hashes: np.ndarray) -> np.ndarray:
     _check_geometry(cfg, state)  # a mismatch here is silent false negatives
-    slots, fp_bits, nb, table, overflow, _seed, _ns = _parse_state(state)
+    slots, fp_bits, nb, table, overflow, _seed, _ns, version = _parse_state(state)
     b1, tag = _derive(cfg, g_hashes, nb)
     b2 = _alt_bucket(b1, tag, nb)
     plain = tag.astype(np.uint16)
-    flagged = plain | _ALT_FLAG
-    hit = (table[b1] == plain[:, None]).any(axis=1)
-    hit |= (table[b2] == flagged[:, None]).any(axis=1)
+    if version == 3:
+        # flagless probe (reference packedtable shape): the tag may sit
+        # in either candidate bucket
+        hit = (table[b1] == plain[:, None]).any(axis=1)
+        hit |= (table[b2] == plain[:, None]).any(axis=1)
+        over_b = _canonical(cfg, b1, tag, nb)
+    else:
+        flagged = plain | _ALT_FLAG
+        hit = (table[b1] == plain[:, None]).any(axis=1)
+        hit |= (table[b2] == flagged[:, None]).any(axis=1)
+        over_b = b1
     if len(overflow):
-        packed = (as_u64(b1) << np.uint64(fp_bits)) | tag.astype(np.uint64)
+        packed = (as_u64(over_b) << np.uint64(fp_bits)) | tag.astype(np.uint64)
         idx = np.minimum(np.searchsorted(overflow, packed), len(overflow) - 1)
         hit |= overflow[idx] == packed
     return hit
@@ -317,6 +453,8 @@ def remove_states(state: bytes, cfg: CuckooConfig, hashes_u64: np.ndarray) -> by
     nb = cfg.num_buckets_per_shard
     fp_shift = np.uint64(cfg.fp_bits)
     b1, tag = _derive(cfg, hashes_u64, nb)
+    if cfg.semisort:
+        b1 = _canonical(cfg, b1, tag, nb)
     dead = np.unique((as_u64(b1) << fp_shift) | tag.astype(np.uint64))
     pairs = _pairs_of_state(cfg, state)
     keep = pairs[~np.isin(pairs, dead)]
@@ -325,7 +463,7 @@ def remove_states(state: bytes, cfg: CuckooConfig, hashes_u64: np.ndarray) -> by
     table, overflow = _place(cfg, kb, kt, nb)
     return (
         _pack_header(cfg, nb, len(overflow))
-        + table.tobytes()
+        + _encode_table(cfg, table)
         + overflow.tobytes()
     )
 
@@ -351,7 +489,7 @@ def build_cuckoo(df: DataFrame, key_col, cfg: CuckooConfig) -> DataFrame:
     return base.build_sharded(
         df,
         key_col,
-        sketch_name=f"cuckoo{cfg.fp_bits}",
+        sketch_name=f"cuckoo{cfg.fp_bits}{'ss' if cfg.semisort else ''}",
         seed=cfg.seed,
         num_shards=cfg.num_shards,
         state_fn=lambda shard_id, hashes: _build_state(cfg, hashes),

@@ -48,7 +48,7 @@ def test_no_overflow_at_design_load(cfg):
     rng = np.random.default_rng(1)
     keys = as_u64(rng.integers(0, 2**63, N // cfg.num_shards, dtype=np.int64))
     state = ck._build_state(cfg, np.unique(keys))
-    _, _, nb, table, overflow, _, _ = ck._parse_state(state)
+    _, _, nb, table, overflow, _, _, _ = ck._parse_state(state)
     assert len(overflow) == 0
     fill = (table != 0).sum() / (nb * cfg.slots_per_bucket)
     assert fill > 0.9, fill
@@ -150,3 +150,87 @@ def test_config_and_geometry_validation(cfg):
     st = ck._build_state(cfg, np.arange(100, dtype=np.uint64))
     with pytest.raises(ValueError):
         ck.merge_states([st], other)
+
+
+# ---------------- semi-sorted buckets (PackedTable parity) ----------------
+@pytest.fixture(scope="module")
+def ss_cfg():
+    # fp_bits=13: the byte-aligned PackedTable configuration
+    # (packedtable.h static_assert; 12 + 4*9 = 48 bits = 6 B/bucket)
+    return ck.CuckooConfig(n_capacity=N, fp_bits=13, num_shards=16, seed=8, semisort=True)
+
+
+def test_ss_codec_roundtrip():
+    """pack/unpack recovers each bucket's tag multiset exactly."""
+    rng = np.random.default_rng(3)
+    tags = rng.integers(0, 1 << 13, (500, 4)).astype(np.uint16)
+    tags[rng.random((500, 4)) < 0.3] = 0  # empties
+    back = ck._unpack_table_ss(
+        np.frombuffer(ck._pack_table_ss(tags, 13), dtype=np.uint8), 500, 13
+    )
+    assert all(
+        sorted(tags[i].tolist()) == sorted(back[i].tolist()) for i in range(500)
+    )
+
+
+def test_ss_zero_fn_fpr_and_space(spark, ss_cfg):
+    keys = spark.range(N).select(F.col("id").alias("key"))
+    shards = ck.build_cuckoo(keys, "key", ss_cfg)
+    handle = ck.ShardedCuckoo.from_df(ss_cfg, shards)
+    h = keys.select(hashed_key_col("key", ss_cfg.seed).alias("h")).toPandas()["h"].to_numpy()
+    assert handle.contains_h(h).all(), "false negatives"
+    probes = (
+        spark.range(7 * 10**9, 7 * 10**9 + 200_000)
+        .select(hashed_key_col(F.col("id"), ss_cfg.seed).alias("h"))
+        .toPandas()["h"].to_numpy()
+    )
+    fpr = handle.contains_h(probes).mean()
+    # flagless probe: tag matches in either bucket -> ~ 2*4*load*2^-13
+    # ~ 0.092%; loose 3x bound
+    assert fpr <= 0.003, fpr
+    bpi = handle.byte_size() * 8 / N
+    assert bpi <= 13.5, f"semisort CF-13 should be ~12.8-13.2 BPI, got {bpi:.2f}"
+
+
+def test_ss_merge_bit_identical_any_order(ss_cfg):
+    rng = np.random.default_rng(5)
+    parts = [
+        np.unique(as_u64(rng.integers(0, 2**63, 2_000, dtype=np.int64)))
+        for _ in range(4)
+    ]
+    states = [ck._build_state(ss_cfg, p) for p in parts]
+    merged = []
+    for _ in range(4):
+        random.shuffle(states)
+        merged.append(ck.merge_states(list(states), ss_cfg))
+    assert all(m == merged[0] for m in merged[1:])
+    # merged pairs == pairs of a single build over the union
+    union = np.unique(np.concatenate(parts))
+    direct = ck._build_state(ss_cfg, union)
+    assert sorted(ck._pairs_of_state(ss_cfg, merged[0]).tolist()) == sorted(
+        ck._pairs_of_state(ss_cfg, direct).tolist()
+    )
+
+
+def test_ss_delete_and_recount(ss_cfg):
+    rng = np.random.default_rng(7)
+    keys = np.unique(as_u64(rng.integers(0, 2**63, 4_000, dtype=np.int64)))
+    state = ck._build_state(ss_cfg, keys)
+    n0 = len(ck._pairs_of_state(ss_cfg, state))
+    dead = keys[:1_000]
+    after = ck.remove_states(state, ss_cfg, dead)
+    n1 = len(ck._pairs_of_state(ss_cfg, after))
+    assert n1 < n0 and abs((n0 - n1) - 1_000) <= 10
+    # removed keys no longer contained (modulo pair collisions)
+    assert ck._contains_in_state(ss_cfg, after, dead).mean() < 0.02
+    kept = keys[1_000:]
+    assert ck._contains_in_state(ss_cfg, after, kept).mean() > 1 - 3e-3
+
+
+def test_ss_rejects_plain_state(cfg, ss_cfg):
+    rng = np.random.default_rng(9)
+    keys = np.unique(as_u64(rng.integers(0, 2**63, 2_000, dtype=np.int64)))
+    plain13 = ck.CuckooConfig(n_capacity=N, fp_bits=13, num_shards=16, seed=8)
+    state = ck._build_state(plain13, keys)
+    with pytest.raises(ValueError, match="does not match config"):
+        ck.merge_states([state], ss_cfg)

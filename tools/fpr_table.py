@@ -58,6 +58,9 @@ def main() -> int:
          tc.TwoChoiceConfig(n_capacity=n, num_shards=32, seed=17)),
         ("CF-12", ck.build_cuckoo, ck.ShardedCuckoo,
          ck.CuckooConfig(n_capacity=n, num_shards=32, seed=17)),
+        ("CF-13-ss", ck.build_cuckoo, ck.ShardedCuckoo,
+         ck.CuckooConfig(n_capacity=n, fp_bits=13, num_shards=32, seed=17,
+                         semisort=True)),
     ]
 
     rows = []
