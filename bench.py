@@ -208,11 +208,27 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         "token_stats",
         "minhash_lsh_dedup",
         "embedding_topk",
-        "srp_ann_topk",
         "salted_source_counts",
     ):
         fn = entrymod.queries()[name]
         times[name] = _timed_best(lambda f=fn: f(spark, sf_dir).collect(), name=name)
+
+    # srp_ann_topk: bench the raw ANN operator (the scale path), not the
+    # correctness gate — the gate additionally runs the exact brute-force
+    # top-k and a recall join, which belongs to CORRECTNESS, not
+    # round-over-round ANN throughput
+    def _srp_raw():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.similarity import srp_ann_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        srp_ann_topk(emb, q, k=5, bands=16).collect()
+
+    times["srp_ann_topk"] = _timed_best(_srp_raw, name="srp_ann_topk")
     return times
 
 
