@@ -306,6 +306,24 @@ def _scaling_run_subprocess(cores: int) -> float:
     raise RuntimeError(f"scaling subprocess produced no TPS line: {out.stdout[-500:]}")
 
 
+def _steal_counters() -> tuple[int, int]:
+    vals = list(map(int, open("/proc/stat").readline().split()[1:9]))
+    return vals[7], sum(vals)  # (steal jiffies, total jiffies)
+
+
+def _scaling_trial(cores: int) -> tuple[float, float]:
+    """One pinned scaling run plus the hypervisor steal fraction (%)
+    observed across it — context for reading a depressed trial."""
+    try:
+        s0, t0 = _steal_counters()
+    except OSError:
+        return _scaling_run_subprocess(cores), -1.0
+    tps = _scaling_run_subprocess(cores)
+    s1, t1 = _steal_counters()
+    steal = 100.0 * (s1 - s0) / max(t1 - t0, 1)
+    return tps, steal
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
@@ -352,18 +370,28 @@ def main() -> None:
         # not the job's scalability.
         lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", 2))
         hi_cores = lo_cores * 4
-        # Alternating best-of-2 trials per level: a single trial can land
+        # Alternating best-of-R trials per level: a single trial can land
         # on a transient (JVM of the main bench session still winding
         # down, hypervisor steal burst) and then the ratio reports the
         # disturbance, not the job — one contaminated lo run measured
         # 0.53 Mkeys/s vs 2.4-2.6 in clean runs, flipping "efficiency"
         # to 1.75. Alternation decorrelates the noise from the level;
-        # best-of matches the reference's median-of-9 intent.
+        # best-of matches the reference's median-of-9 intent. Steal is
+        # measured around every trial and recorded: under host
+        # contention the wider level loses proportionally more (18.7%
+        # steal under 8-way load measured on a bad afternoon vs ~1%
+        # idle), which depresses the ratio — the steal columns let that
+        # be read for what it is.
         time.sleep(5)  # let the stopped main session's JVM drain
-        tp_los, tp_his = [], []
-        for _ in range(2):
-            tp_los.append(_scaling_run_subprocess(lo_cores))
-            tp_his.append(_scaling_run_subprocess(hi_cores))
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", 3))
+        tp_los, tp_his, st_los, st_his = [], [], [], []
+        for _ in range(rounds):
+            tp, st = _scaling_trial(lo_cores)
+            tp_los.append(tp)
+            st_los.append(st)
+            tp, st = _scaling_trial(hi_cores)
+            tp_his.append(tp)
+            st_his.append(st)
         tp_lo = max(tp_los)
         tp_hi = max(tp_his)
         eff = (tp_hi / tp_lo) / (hi_cores / lo_cores)
@@ -376,6 +404,8 @@ def main() -> None:
             "n_keys": N_SCALE,
             "trials_n": [round(t, 1) for t in tp_los],
             "trials_4n": [round(t, 1) for t in tp_his],
+            "steal_pct_n": [round(s, 1) for s in st_los],
+            "steal_pct_4n": [round(s, 1) for s in st_his],
         }
     print(json.dumps(result))
 

@@ -63,13 +63,19 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, handles: list | None = None
+) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= threshold.
 
     shingle equi-join -> shared counts -> |A|+|B|-shared. Exact: used
     as the oracle / verifier for the sketch-based dedup paths.
+    ``handles``: as in minhash_lsh_pairs — receives the cached shingle
+    DataFrame for caller-controlled unpersist.
     """
     sh = shingles(docs, n).cache()
+    if handles is not None:
+        handles.append(sh)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

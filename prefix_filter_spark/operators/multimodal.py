@@ -66,6 +66,133 @@ class DecodeBackend:
         return ((s & np.uint64(0xFFFF)).astype(np.float32) / 32768.0) - 1.0
 
 
+class PcmCodecBackend(DecodeBackend):
+    """Real codec backend for the container formats decodable with the
+    stdlib + NumPy alone (no external codec libraries exist in this
+    image): RIFF/WAVE PCM audio via the ``wave`` module, and
+    uncompressed BMP / binary netpbm (P5/P6) images. Payloads in any
+    other format fall back to the base DecodeBackend (strict raise or
+    deterministic fake), so mixed corpora keep per-row poison-pill
+    isolation. Swapping in a full decoder (PIL/soundfile) remains the
+    same one-class change — this proves the seam with real containers.
+    """
+
+    def decode_image(self, payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return decode_pnm(payload)
+        return super().decode_image(payload, width, height, channels)
+
+    def decode_audio(self, payload: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
+        if payload[:4] == b"RIFF":
+            return decode_wav(payload)
+        return super().decode_audio(payload, sample_rate, duration_ms)
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM -> float32 mono waveform in [-1, 1)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, _rate, nframes = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        raw = w.readframes(nframes)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP -> (H, W, 3) uint8 RGB."""
+    import struct as _s
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = _s.unpack_from("<I", payload, 10)[0]
+    w, h = _s.unpack_from("<ii", payload, 18)
+    bpp = _s.unpack_from("<H", payload, 28)[0]
+    comp = _s.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
+    if flip:
+        img = img[::-1]
+    return img[:, :, 2::-1].copy()  # BGR(A) -> RGB
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary netpbm: P6 -> (H, W, 3) RGB, P5 -> (H, W, 1) gray."""
+    parts = []
+    pos = 2
+    while len(parts) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        parts.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval > 255:
+        raise ValueError("16-bit netpbm unsupported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=h * w * ch, offset=pos)
+    return px.reshape(h, w, ch).copy()
+
+
+def encode_wav(waveform: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """float waveform in [-1, 1] -> 16-bit PCM RIFF/WAVE bytes (the
+    fixture/sink half of the codec seam; also what resize/re-encode
+    stages emit)."""
+    import io
+    import wave
+
+    x = np.clip(np.asarray(waveform, dtype=np.float64), -1.0, 1.0 - 1.0 / 32768)
+    pcm = (x * 32768.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bit BMP bytes."""
+    import struct as _s
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    header = _s.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + _s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
 def synthetic_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
     """Deterministic media table: payload = xxhash64-derived bytes."""
     return spark.range(n_rows).select(
