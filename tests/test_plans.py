@@ -87,3 +87,17 @@ def test_cosine_topk_broadcasts_queries(spark):
     plan = _plan(cosine_topk(emb, q, k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Python" not in plan  # dot product via zip_with/aggregate, JVM-side
+
+
+def test_minhash_lsh_plan_shape(spark, documents):
+    """The full LSH dedup plan stays JVM-side (verification included):
+    no Python nodes, no sort-merge joins, and the exchange count stays
+    at the audited round-2 shape (BENCH/PLANS.md: 8) — a regression
+    here means a subtree stopped being pruned or a join degraded."""
+    from prefix_filter_spark.operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(documents, threshold=0.8)
+    plan = _plan(out)
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 10, plan.count("Exchange")
