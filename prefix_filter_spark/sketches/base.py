@@ -256,17 +256,25 @@ def tree_merge(
     Each round is a tiny shuffle of (num_states / fanout^r) rows; the
     result is independent of grouping because the combines are
     associative + commutative (pytest-verified by shuffling orders).
+
+    The tree is composed LAZILY: one small job reads the max shard id
+    off the cached partials (which also materializes them), the round
+    count follows arithmetically from that bound, and the whole fan-in
+    chain executes inside the caller's single action — round-1's
+    cache+count per round cost 2 extra Spark jobs per sketch build
+    whose latency dominated small-input builds.
     """
     prev = df.cache()
-    n = prev.count()
-    while n > 1:
-        nxt = merge_shard_states(
+    row = prev.agg(F.max("shard_id").alias("m")).collect()[0]
+    if row["m"] is None:
+        return prev  # no partials (empty input)
+    bound = int(row["m"]) + 1
+    while bound > 1:
+        prev = merge_shard_states(
             prev.withColumn("shard_id", (F.col("shard_id") / F.lit(fanout)).cast("int")),
             merge_fn,
-        ).cache()
-        n = nxt.count()
-        prev.unpersist()
-        prev = nxt
+        )
+        bound = -(-bound // fanout)
     return prev
 
 
