@@ -152,6 +152,39 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefix_filter_spark.operators.text import bpe_token_stats
+
+    return (
+        bpe_token_stats(_docs(spark, sf_dir))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.avg(F.col("n_bpe_tokens") / F.col("n_words")), 6).alias(
+                "bpe_per_word"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefix_filter_spark.operators.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(_docs(spark, sf_dir))
+    ex = fp.select("source", F.explode("fingerprints").alias("f"))
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count("*").alias("total_fps"),
+            F.countDistinct("f").alias("distinct_fps"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefix_filter_spark.operators.text import quality_score
 
@@ -764,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "lang_source_matrix": q_lang_source_matrix,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "quality_scores": q_quality_scores,
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dup_groups": q_exact_dup_groups,
@@ -859,6 +894,41 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_words), 6) AS avg_words,
                    round(avg(cpw), 6) AS avg_cpw
             FROM t GROUP BY source ORDER BY source
+        """,
+        "bpe_token_stats": f"""
+            WITH t AS (
+              SELECT source, len({_DUCK_WORDS}) AS n_words,
+                     len(regexp_extract_all(lower(text),
+                         '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
+                       AS n_bpe
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   sum(n_words)::BIGINT AS total_words,
+                   sum(n_bpe)::BIGINT AS total_bpe_tokens,
+                   round(avg(n_bpe::double / n_words), 6) AS bpe_per_word
+            FROM t GROUP BY source ORDER BY source
+        """,
+        "winnow_fingerprints": f"""
+            WITH s AS (SELECT doc_id, source,
+                              array_to_string({_DUCK_WORDS}, ' ') AS t
+                       FROM documents),
+            g AS (SELECT doc_id, source,
+                         CASE WHEN len(t) >= 8 THEN
+                           [substr(md5(substr(t, i, 8)), 1, 16)
+                            for i in range(1, len(t) - 6)]
+                         ELSE [] END AS gs
+                  FROM s),
+            f AS (SELECT doc_id, source,
+                         CASE WHEN len(gs) >= 16 THEN
+                           list_distinct([list_min(gs[j:j+15])
+                                          for j in range(1, len(gs) - 14)])
+                         WHEN len(gs) > 0 THEN [list_min(gs)]
+                         ELSE [] END AS fps
+                  FROM g),
+            e AS (SELECT source, unnest(fps) AS f FROM f)
+            SELECT source, count(*) AS total_fps,
+                   count(DISTINCT f) AS distinct_fps
+            FROM e GROUP BY source ORDER BY source
         """,
         "quality_scores": f"""
             WITH q AS (

@@ -33,6 +33,28 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization split (GPT-2-style classes, no lookahead so
+# Java regex (Spark) and RE2 (DuckDB) agree: leading-space word /
+# number / punctuation runs, apostrophe suffixes)
+BPE_SPLIT_RE = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts under a BPE-ish regex pre-tokenizer,
+    alongside the whitespace count (driver brief: 'token counting
+    (whitespace + a BPE-ish regex)'). Pure Catalyst
+    (regexp_extract_all), exact and DuckDB-mirrorable — both engines'
+    regex dialects are leftmost-first over these alternations."""
+    ws = words_col("text")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(BPE_SPLIT_RE), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(ws).alias("n_words"),
+        F.size(toks).alias("n_bpe_tokens"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Deterministic quality heuristics: length score, stopword ratio,
     mean word length, combined score. Exact closed-form (oracle-able)."""
@@ -72,6 +94,38 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(F.concat_ws(" ", ws)).alias("fingerprint")
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): rolling char k-gram hashes over the normalized text,
+    then the minimum hash of every length-w window, deduplicated —
+    the driver brief's 'document fingerprinting (rolling hash)'.
+    Plain-min tie rule (not robust winnowing), exact and deterministic.
+
+    Pure Catalyst: sequence/transform/slice/array_min. The gram hash is
+    the 64-bit md5 prefix as hex text so Spark and DuckDB compute
+    identical fingerprints (cross-engine oracle parity); at scale swap
+    the md5 for xxhash64 — one expression, same plan shape. Cost is
+    O(chars * w) JVM-side; documents are row-bounded so no shuffle.
+    """
+    t = F.concat_ws(" ", words_col("text"))
+    df = docs.select("doc_id", "source", t.alias("t"))
+    grams = F.expr(
+        f"CASE WHEN length(t) >= {k} THEN "
+        f"transform(sequence(1, length(t) - {k - 1}), "
+        f"i -> substring(md5(substring(t, i, {k})), 1, 16)) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    df = df.select("doc_id", "source", grams.alias("g"))
+    fps = F.expr(
+        f"CASE WHEN size(g) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(g) - {w - 1}), "
+        f"j -> array_min(slice(g, j, {w})))) "
+        f"WHEN size(g) > 0 THEN array(array_min(g)) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return df.select("doc_id", "source", fps.alias("fingerprints"))
 
 
 def simhash64(docs: DataFrame, seed: int = 42) -> DataFrame:

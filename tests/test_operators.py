@@ -139,3 +139,52 @@ def test_lang_id_mechanics(spark, docs):
     assert set(cents) == {"en", "zh", "es", "de", "fr"}
     pred = text.predict_lang(docs.limit(50), cents).toPandas()
     assert len(pred) == 50 and pred["lang_pred"].isin(list(cents)).all()
+
+
+def test_bpe_token_stats(spark, docs):
+    """BPE-ish regex pre-tokenization: counts are >= whitespace words
+    (punctuation splits off) and exactly match a Python re reference."""
+    import re
+
+    out = text.bpe_token_stats(docs.limit(50)).toPandas()
+    assert (out["n_bpe_tokens"] >= out["n_words"]).all()
+    raw = docs.limit(50).select("doc_id", "text").toPandas()
+    pat = re.compile(r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+")
+    want = {r.doc_id: len(pat.findall(r.text.lower())) for r in raw.itertuples()}
+    got = dict(zip(out["doc_id"], out["n_bpe_tokens"]))
+    assert got == want
+
+
+def test_winnow_fingerprints(spark, docs):
+    """Winnowing invariants: identical docs share all fingerprints, a
+    local edit preserves most (the rolling-hash locality property the
+    md5 whole-doc fingerprint lacks), and per-doc counts match a pure
+    Python winnowing reference."""
+    import hashlib
+
+    sub = docs.limit(20)
+    out = {r["doc_id"]: set(r["fingerprints"])
+           for r in text.winnow_fingerprints(sub).collect()}
+    raw = {r["doc_id"]: r["text"] for r in sub.select("doc_id", "text").collect()}
+    k, w = 8, 16
+    for did, t in raw.items():
+        norm = " ".join(x for x in t.lower().split(" ") if x)
+        grams = [hashlib.md5(norm[i:i + k].encode()).hexdigest()[:16]
+                 for i in range(len(norm) - k + 1)]
+        if len(grams) >= w:
+            want = {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+        elif grams:
+            want = {min(grams)}
+        else:
+            want = set()
+        assert out[did] == want, did
+    # locality: append a sentence -> old fingerprints mostly survive
+    base = next(iter(raw.values()))
+    two = spark.createDataFrame(
+        [("a", base, "s"), ("b", base + " appended tail words here", "s")],
+        "doc_id string, text string, source string",
+    )
+    fps = {r["doc_id"]: set(r["fingerprints"])
+           for r in text.winnow_fingerprints(two).collect()}
+    inter = len(fps["a"] & fps["b"]) / max(len(fps["a"]), 1)
+    assert inter > 0.8, inter
