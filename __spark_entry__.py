@@ -152,6 +152,49 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint table shape (doc_id, tokens array<int32>, n_tok,
+    source) with the north rule's per-row token-array invariant made a
+    gate: per-source doc and token totals are DuckDB-mirrorable
+    (n_tok == word count by construction), and the booleans assert,
+    over EVERY row, that token ids stay inside the vocab and that two
+    independent tokenization runs produce bit-identical arrays
+    (deterministic, engine-order-free)."""
+    from prefix_filter_spark.sources.tokenizer import tokenize_documents
+
+    docs = _docs(spark, sf_dir)
+    a = tokenize_documents(docs).alias("a")
+    b = tokenize_documents(docs).alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"))
+    checks = joined.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("a.tokens") == F.col("b.tokens")).cast("long")).alias("same"),
+        F.min(F.array_min("a.tokens")).alias("tmin"),
+        F.max(F.array_max("a.tokens")).alias("tmax"),
+    ).collect()[0]
+    arrays_identical = bool(checks["n"] > 0 and checks["same"] == checks["n"])
+    in_vocab = bool(
+        checks["tmin"] is None
+        or (checks["tmin"] >= 0 and checks["tmax"] < 50_000)
+    )
+    return (
+        tokenize_documents(docs)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.lit(arrays_identical).alias("arrays_identical"),
+            F.lit(in_vocab).alias("ids_in_vocab"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefix_filter_spark.operators.text import bpe_token_stats
 
@@ -797,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "lang_source_matrix": q_lang_source_matrix,
         "token_stats": q_token_stats,
+        "tokenized_sequences": q_tokenized_sequences,
         "bpe_token_stats": q_bpe_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "quality_scores": q_quality_scores,
@@ -894,6 +938,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_words), 6) AS avg_words,
                    round(avg(cpw), 6) AS avg_cpw
             FROM t GROUP BY source ORDER BY source
+        """,
+        "tokenized_sequences": f"""
+            SELECT source, count(*) AS n_docs,
+                   sum(len({_DUCK_WORDS}))::BIGINT AS total_tokens,
+                   true AS arrays_identical, true AS ids_in_vocab
+            FROM documents GROUP BY source ORDER BY source
         """,
         "bpe_token_stats": f"""
             WITH t AS (
