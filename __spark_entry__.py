@@ -789,6 +789,42 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN gate (the brief's second ANN scale path beside SRP-LSH):
+    exact top-k table mirrored in SQL + self-asserted IVF recall. The
+    synthetic embeddings are isotropic (no cluster structure), the
+    worst case for IVF — recall at nlist=16/nprobe=10 measures 0.75
+    (sf0.01) / 0.925 (sf0.1), deterministic under the seeded trainer;
+    asserted >= 0.7. On real clustered embeddings the same index
+    reaches high recall at much lower nprobe."""
+    from prefix_filter_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 5
+    exact = cosine_topk(emb, queries, k=k)
+    ann = ivf_ann_topk(emb, queries, k=k, nlist=16, nprobe=10)
+    n_exact = exact.count()
+    hits = (
+        exact.select("query_id", "vec_id")
+        .join(ann.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .count()
+    )
+    recall_ok = bool(n_exact > 0 and hits / n_exact >= 0.7)
+    return (
+        exact.select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+            F.lit(recall_ok).alias("ivf_recall_ok"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash gate via planted duplicates: union the corpus with exact
     copies of a deterministic subset (n_chars % 17 == 0). Exact copies
@@ -867,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf_join_probe": q_pf_join_probe,
         "value_quantiles": q_value_quantiles,
         "srp_ann_topk": q_srp_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "simhash_pairs": q_simhash_pairs,
     }
 
@@ -1146,6 +1183,26 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank,
                    true AS ann_recall_ok
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ivf_ann_topk": """
+            WITH pairs AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     list_dot_product(q.emb_d, e.emb_d)
+                       / (sqrt(list_dot_product(q.emb_d, q.emb_d))
+                          * sqrt(list_dot_product(e.emb_d, e.emb_d))) AS cosine
+              FROM (SELECT vec_id, list_transform(embedding, x -> x::double) emb_d
+                    FROM embeddings WHERE vec_id < 8) q
+              JOIN (SELECT vec_id, list_transform(embedding, x -> x::double) emb_d
+                    FROM embeddings) e
+                ON q.vec_id <> e.vec_id),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rank
+              FROM pairs)
+            SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank,
+                   true AS ivf_recall_ok
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "simhash_pairs": """

@@ -188,3 +188,25 @@ def test_winnow_fingerprints(spark, docs):
            for r in text.winnow_fingerprints(two).collect()}
     inter = len(fps["a"] & fps["b"]) / max(len(fps["a"]), 1)
     assert inter > 0.8, inter
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    """IVF index: deterministic under the seeded trainer, recall >= 0.7
+    vs exact top-k even on isotropic (worst-case) embeddings at
+    nprobe=10/nlist=16."""
+    from prefix_filter_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, sim.ivf_ann_topk(emb, q, k=5, nprobe=10)
+                   .select("query_id", "vec_id", "rank").collect()))
+    b = sorted(map(tuple, sim.ivf_ann_topk(emb, q, k=5, nprobe=10)
+                   .select("query_id", "vec_id", "rank").collect()))
+    assert a == b, "IVF result must be deterministic"
+    exact = set(map(tuple, sim.cosine_topk(emb, q, k=5)
+                    .select("query_id", "vec_id").collect()))
+    got = set((r[0], r[1]) for r in a)
+    assert len(exact & got) / len(exact) >= 0.7
