@@ -88,12 +88,12 @@ REGISTRY: dict[str, SketchInfo] = {
 
 def info(sketch: str) -> SketchInfo:
     """Look up by registry name OR by a shard row's ``sketch`` column
-    value, which carries config suffixes: ``cuckoo12``, ``hll14``,
-    ``tc12``, ``bbf256``, ``bloom12``, ``kll200``, ``cms5x8192``,
-    ``tdigest200``, ``prefix_filter``."""
+    value, which carries config suffixes: ``cuckoo12``, ``cuckoo13ss``
+    (semisort variant), ``hll14``, ``tc12``, ``bbf256``, ``bloom12``,
+    ``kll200``, ``cms5x8192``, ``tdigest200``, ``prefix_filter``."""
     if sketch in REGISTRY:
         return REGISTRY[sketch]
-    m = re.match(r"^([a-z_]+?)[0-9x]*$", sketch)
+    m = re.match(r"^([a-z_]+?)[0-9x]*(?:ss)?$", sketch)
     stripped = m.group(1) if m else sketch
     aliases = {"pf": "prefix_filter", "tc": "two_choice", "bbf": "blocked_bloom"}
     stripped = aliases.get(stripped, stripped)

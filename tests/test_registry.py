@@ -55,3 +55,13 @@ def test_delete_entrypoints_match_mask():
         mod = importlib.import_module(si.module)
         has_remove = hasattr(mod, "remove_keys")
         assert has_remove == bool(si.functionality & Capability.DELETE), name
+
+
+def test_semisort_sketch_name_resolves():
+    """The semisort cuckoo shard rows carry 'cuckoo13ss' — the
+    variant suffix must resolve to the cuckoo capability entry."""
+    from prefix_filter_spark import registry
+
+    inf = registry.info("cuckoo13ss")
+    assert inf.name == "cuckoo"
+    assert registry.supports("cuckoo13ss", registry.Capability.DELETE)
