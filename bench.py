@@ -383,7 +383,7 @@ def main() -> None:
         # idle), which depresses the ratio — the steal columns let that
         # be read for what it is.
         time.sleep(5)  # let the stopped main session's JVM drain
-        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", 3))
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", 4))
         tp_los, tp_his, st_los, st_his = [], [], [], []
         for _ in range(rounds):
             tp, st = _scaling_trial(lo_cores)
