@@ -1003,20 +1003,21 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (SELECT doc_id, source,
                               array_to_string({_DUCK_WORDS}, ' ') AS t
                        FROM documents),
-            g AS (SELECT doc_id, source,
-                         CASE WHEN len(t) >= 8 THEN
-                           [substr(md5(substr(t, i, 8)), 1, 16)
-                            for i in range(1, len(t) - 6)]
-                         ELSE [] END AS gs
-                  FROM s),
-            f AS (SELECT doc_id, source,
-                         CASE WHEN len(gs) >= 16 THEN
-                           list_distinct([list_min(gs[j:j+15])
-                                          for j in range(1, len(gs) - 14)])
-                         WHEN len(gs) > 0 THEN [list_min(gs)]
-                         ELSE [] END AS fps
+            g AS (SELECT doc_id, source, i,
+                         substr(md5(substr(t, i, 8)), 1, 16) AS gh
+                  FROM s, UNNEST(range(1, greatest(len(t) - 6, 1))) AS u(i)
+                  WHERE len(t) >= 8),
+            m AS (SELECT doc_id, source, i,
+                         min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                                       ROWS BETWEEN CURRENT ROW
+                                       AND 15 FOLLOWING) AS wmin,
+                         count(*) OVER (PARTITION BY doc_id) AS ng
                   FROM g),
-            e AS (SELECT source, unnest(fps) AS f FROM f)
+            "full" AS (SELECT DISTINCT source, doc_id, wmin AS f
+                       FROM m WHERE ng >= 16 AND i <= ng - 15),
+            short AS (SELECT source, doc_id, min(gh) AS f FROM g
+                      GROUP BY 1, 2 HAVING count(*) < 16),
+            e AS (SELECT * FROM "full" UNION ALL SELECT * FROM short)
             SELECT source, count(*) AS total_fps,
                    count(DISTINCT f) AS distinct_fps
             FROM e GROUP BY source ORDER BY source
