@@ -489,6 +489,20 @@ def q_pf_tc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pf_cf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix filter with a stable-cuckoo spare — the reference's third
+    published assembly, PF[CF12-Flex]
+    (/root/reference/main-perf.cpp:16-31, spare sizing
+    Tests/wrappers.hpp:529-546)."""
+    from prefix_filter_spark.sketches import prefix_filter as pfm
+
+    return _membership_panel(
+        spark, sf_dir, pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+        lambda n: pfm.PrefixFilterConfig(n_capacity=n, num_shards=8, seed=42, spare_kind="cuckoo"),
+        0.006, "pfcf",
+    )
+
+
 def q_doc_id_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-ID probes (north star: 'token-ID and doc-ID probes')."""
     from prefix_filter_spark.functions import register_contains_udf
@@ -840,11 +854,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pytest suite (tests/test_operators.py)."""
     from prefix_filter_spark.operators.dedup import simhash_pairs
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # doc_id is int64 in the parquet; cast to string up front so the
+    # unionByName below is string-vs-string. Without the cast, Spark 4's
+    # default ANSI mode coerces the union to BIGINT and throws
+    # CAST_INVALID_INPUT on '<id>~dup' (round-2 verdict finding #1).
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
     planted_src = _docs(spark, sf_dir).where(F.col("n_chars") % 17 == 0)
     n_planted = planted_src.count()
     planted = planted_src.select(
-        F.concat(F.col("doc_id"), F.lit("~dup")).alias("doc_id"), "text"
+        F.concat(F.col("doc_id").cast("string"), F.lit("~dup")).alias("doc_id"),
+        "text",
     )
     pairs = simhash_pairs(docs.unionByName(planted), max_hamming=8)
     stats = pairs.agg(
@@ -892,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "prefix_filter_membership": q_prefix_filter_membership,
         "pf_tc_membership": q_pf_tc_membership,
+        "pf_cf_membership": q_pf_cf_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
         "two_choice_membership": q_two_choice_membership,
         "cuckoo_membership": q_cuckoo_membership,
@@ -1081,6 +1103,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
         """,
         "pf_tc_membership": f"""
+            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
+                   true AS fpr_ok
+            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+        """,
+        "pf_cf_membership": f"""
             SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
                    true AS fpr_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)

@@ -407,7 +407,35 @@ def main() -> None:
             "steal_pct_n": [round(s, 1) for s in st_los],
             "steal_pct_4n": [round(s, 1) for s in st_his],
         }
-    print(json.dumps(result))
+
+    # Full detail (trials, medians, steal instrumentation) goes to a
+    # file; stdout gets a COMPACT one-liner. The round-2 driver failed
+    # to parse the bench output because the full JSON outgrew its ~2KB
+    # tail-capture window ("parsed": null in BENCH_r02.json) — keep the
+    # printed line well under that.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+    }
+    if "scaling" in result:
+        s = result["scaling"]
+        compact["scaling"] = {
+            "cores_n": s["cores_n"],
+            "cores_4n": s["cores_4n"],
+            "tokens_per_sec_n": s["tokens_per_sec_n"],
+            "tokens_per_sec_4n": s["tokens_per_sec_4n"],
+            "efficiency": s["efficiency"],
+        }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1500, f"stdout bench line too long: {len(line)}B"
+    print(line)
 
 
 if __name__ == "__main__":

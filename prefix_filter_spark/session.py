@@ -44,7 +44,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.ansi.enabled", "false")
+        # Match the driver's Spark 4 default (ANSI on) so the local
+        # contract mirror can never diverge from the grading session's
+        # cast/overflow semantics (round-2 verdict finding #1).
+        .config("spark.sql.ansi.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -53,7 +53,7 @@ _VERSION = 2
 # state/config mismatch loudly (silent false negatives otherwise)
 _HDR = struct.Struct("<4sBBHIIQI")
 _SEED_MASK = 0xFFFFFFFFFFFFFFFF
-_SPARE_KIND_CODE = {"bloom": 0, "tc": 1}
+_SPARE_KIND_CODE = {"bloom": 0, "tc": 1, "cuckoo": 2}
 
 
 @dataclass(frozen=True)
@@ -65,7 +65,9 @@ class PrefixFilterConfig:
     spare_bits_per_key: int = 10
     spare_ratio: float = 0.08  # expected evictions ~6.8% (wrappers.hpp:548-562) + margin
     # pluggable spare, the reference's template parameter
-    # (Prefix_Filter<TC_shortcut> etc., example.cpp:4-5): "bloom" | "tc"
+    # (Prefix_Filter<TC_shortcut> etc., example.cpp:4-5; the third
+    # published variant is Prefix_Filter<CuckooFilterStable<u64,12>>,
+    # "PF[CF12-Flex]", main-perf.cpp:16-31): "bloom" | "tc" | "cuckoo"
     spare_kind: str = "bloom"
 
     @property
@@ -98,12 +100,31 @@ class PrefixFilterConfig:
             seed=self.seed ^ 0x5A5A5A5A,
         )
 
+    def spare_cuckoo_config(self):
+        """The reference's PF[CF12-Flex] spare: CuckooFilterStable with
+        12-bit tags, sized for the eviction stream at stable load
+        (wrappers.hpp:529-546: slots = 1.08 * 0.0586 / 0.94 * n ≈ 6.7%
+        of n; our spare_ratio=0.08 keeps the same safety margin plus
+        headroom for merge-time evictions)."""
+        from prefix_filter_spark.sketches import cuckoo as ck
+
+        return ck.CuckooConfig(
+            n_capacity=self.spare_capacity_per_shard,
+            fp_bits=12,
+            num_shards=1,
+            seed=self.seed ^ 0x5A5A5A5A,
+        )
+
 
 def _spare_build(cfg: PrefixFilterConfig, keys_u64: np.ndarray) -> bytes:
     if cfg.spare_kind == "tc":
         from prefix_filter_spark.sketches import two_choice as tc
 
         return tc._build_state(cfg.spare_tc_config(), keys_u64)
+    if cfg.spare_kind == "cuckoo":
+        from prefix_filter_spark.sketches import cuckoo as ck
+
+        return ck._build_state(cfg.spare_cuckoo_config(), keys_u64)
     return bloom._build_state(cfg.spare_bloom_config(), keys_u64)
 
 
@@ -112,6 +133,10 @@ def _spare_merge(cfg: PrefixFilterConfig, states: list[bytes]) -> bytes:
         from prefix_filter_spark.sketches import two_choice as tc
 
         return tc.merge_states(states, cfg.spare_tc_config())
+    if cfg.spare_kind == "cuckoo":
+        from prefix_filter_spark.sketches import cuckoo as ck
+
+        return ck.merge_states(states, cfg.spare_cuckoo_config())
     return bloom.merge_states(states)
 
 
@@ -120,6 +145,10 @@ def _spare_probe(cfg: PrefixFilterConfig, spare_state: bytes, keys_u64: np.ndarr
         from prefix_filter_spark.sketches import two_choice as tc
 
         return tc._contains_in_state(cfg.spare_tc_config(), spare_state, keys_u64)
+    if cfg.spare_kind == "cuckoo":
+        from prefix_filter_spark.sketches import cuckoo as ck
+
+        return ck._contains_in_state(cfg.spare_cuckoo_config(), spare_state, keys_u64)
     g = mix_with_seed(keys_u64, cfg.spare_bloom_config().seed + 0x5EED)
     return bloom._contains_in_state(spare_state, g)
 

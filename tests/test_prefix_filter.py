@@ -118,6 +118,29 @@ def test_tc_spare_variant(spark, keys_df):
     assert merged == full
 
 
+def test_cuckoo_spare_variant(spark, keys_df):
+    """PF[CF12-Flex] — the reference's third published assembly
+    (main-perf.cpp:16-31: Prefix_Filter<CuckooFilterStable<u64,12>>,
+    spare sizing wrappers.hpp:529-546): prefix filter with a stable
+    cuckoo-filter spare."""
+    cfg = pf.PrefixFilterConfig(
+        n_capacity=N_KEYS, num_shards=16, seed=11, spare_kind="cuckoo"
+    )
+    built = pf.ShardedPrefixFilter.from_df(cfg, pf.build_prefix_filter(keys_df, "key", cfg))
+    h = _hashes(spark, keys_df, "key", cfg.seed)
+    assert built.contains_h(h).all(), "PF[CF12] false negatives"
+    probes = spark.range(90_000_000, 90_000_000 + 200_000).select(F.col("id").alias("key"))
+    fpr = built.contains_h(_hashes(spark, probes, "key", cfg.seed)).mean()
+    assert fpr <= 0.006, fpr
+    # merge associativity holds with the cuckoo spare too
+    rng = np.random.default_rng(7)
+    keys = as_u64(rng.integers(0, 2**63, 20_000, dtype=np.int64))
+    full = pf._build_state(cfg, 2, np.unique(keys))
+    parts = [pf._build_state(cfg, 2, np.unique(p)) for p in np.array_split(keys, 4)]
+    merged = pf.merge_states(parts, cfg, 2)
+    assert merged == full
+
+
 def test_state_config_mismatch_raises(spark):
     import pytest as _pytest
     import numpy as np
