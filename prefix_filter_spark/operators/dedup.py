@@ -289,7 +289,12 @@ def minhash_lsh_pairs(
         F.col("n_sh").alias("n1"),
         F.col("hs").alias("hs1"),
     )
-    p1 = F.broadcast(p1) if n_cand <= 100_000 else p1
+    # No explicit broadcast hint here: p1 rows carry full per-doc
+    # posting arrays, so a row-count gate is not a byte gate (~12.5k
+    # distinct shingles/doc = ~100KB/row would put 100k rows near
+    # Spark's 8GB broadcast cap). AQE sees the join's actual runtime
+    # byte size at the stage boundary and picks broadcast-hash only
+    # when p1 is genuinely small.
     shared = F.size(F.array_intersect(F.col("hs1"), F.col("hs")))
     return (
         postings.join(p1, F.col("doc_id") == F.col("d2"))

@@ -248,7 +248,10 @@ def build_partials(
 
 
 def tree_merge(
-    df: DataFrame, merge_fn: Callable[[list[bytes]], bytes], fanout: int = 32
+    df: DataFrame,
+    merge_fn: Callable[[list[bytes]], bytes],
+    fanout: int = 32,
+    cache_result: bool = False,
 ) -> DataFrame:
     """Reduce partial states to one row via a fan-in tree of grouped
     merges (the north rule's tree-merge): round r groups shard_id//fanout^r.
@@ -263,6 +266,13 @@ def tree_merge(
     chain executes inside the caller's single action — round-1's
     cache+count per round cost 2 extra Spark jobs per sketch build
     whose latency dominated small-input builds.
+
+    Tradeoff: because only the PARTIALS are cached, every action on the
+    returned DataFrame re-executes the log-fanout merge rounds (cheap —
+    they touch num_states/fanout^r rows — but not free). Single-action
+    consumers (the common path: collect the merged state once) want the
+    default; pass ``cache_result=True`` when the merged result is acted
+    on repeatedly (e.g. a diagnostics loop over the same merged state).
     """
     prev = df.cache()
     row = prev.agg(F.max("shard_id").alias("m")).collect()[0]
@@ -275,7 +285,7 @@ def tree_merge(
             merge_fn,
         )
         bound = -(-bound // fanout)
-    return prev
+    return prev.cache() if cache_result else prev
 
 
 class Accumulator:

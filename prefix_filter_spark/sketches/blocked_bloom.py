@@ -64,12 +64,19 @@ class BlockedBloomConfig:
     block_bytes: int = 32  # 32 = SimdBlockFilter, 64 = Impala512
     num_shards: int = 32
     seed: int = 42
+    # True = the reference's plain SimdBlockFilter sizing (block count
+    # rounded up to a power of two, simd-block.h:66-74); False = the
+    # Fixed variant's exact fastrange count (simd-block-fixed-fpp.h).
+    # fastrange(h, 2^k) == top-k-bits-of-h, so the same index code
+    # serves both — only the count changes.
+    pow2_blocks: bool = False
 
     @property
     def num_blocks_per_shard(self) -> int:
         per_shard_keys = math.ceil(self.n_capacity / self.num_shards)
         m_bits = per_shard_keys * self.bits_per_key
-        return max(1, math.ceil(m_bits / (8 * self.block_bytes)))
+        nb = max(1, math.ceil(m_bits / (8 * self.block_bytes)))
+        return 1 << (nb - 1).bit_length() if self.pow2_blocks else nb
 
     @property
     def lanes(self) -> int:

@@ -108,11 +108,13 @@ class CuckooConfig:
 
     def __post_init__(self):
         # tag occupies bits [0, fp_bits); bit 15 of the uint16 slot is
-        # the alt flag — a 16-bit tag would silently corrupt on decode
-        if not 1 <= self.fp_bits <= 15:
+        # the alt flag for fp_bits <= 15. fp_bits == 16 (the reference's
+        # CF-16, main-fpp.cpp:14) uses the full slot and switches to the
+        # flagless canonical-pair layout (ver 4) that the semisort
+        # variant already uses — probes check both candidate buckets.
+        if not 1 <= self.fp_bits <= 16:
             raise ValueError(
-                f"fp_bits must be in [1, 15] (bit 15 is the alt flag; "
-                f"got {self.fp_bits}) — for wider tags widen the slot dtype"
+                f"fp_bits must be in [1, 16]; got {self.fp_bits}"
             )
         if self.semisort:
             if not 5 <= self.fp_bits <= 15:
@@ -129,7 +131,16 @@ class CuckooConfig:
 
     @property
     def _version(self) -> int:
-        return 3 if self.semisort else _VERSION
+        if self.semisort:
+            return 3
+        return 4 if self.fp_bits == 16 else _VERSION
+
+    @property
+    def flagless(self) -> bool:
+        """True when pairs are identified by their canonical bucket
+        (min(b, alt)) instead of a per-slot alt flag: the semisort
+        packed layout, and the full-width 16-bit-tag plain layout."""
+        return self.semisort or self.fp_bits == 16
 
     @property
     def bucket_bytes(self) -> int:
@@ -240,7 +251,12 @@ def _place(cfg: CuckooConfig, b1: np.ndarray, tag: np.ndarray, num_buckets: int)
         counts = np.bincount(pb, minlength=num_buckets)
         starts = np.concatenate(([0], counts.cumsum()))[:-1]
         rank = np.arange(len(pb)) - starts[pb]
-        table[pb, rank] = t[pi] | np.where(side[pi] == 1, _ALT_FLAG, np.uint16(0))
+        if cfg.flagless:
+            # canonical-pair identity; no alt flag (which would collide
+            # with tag bit 15 at fp_bits=16)
+            table[pb, rank] = t[pi]
+        else:
+            table[pb, rank] = t[pi] | np.where(side[pi] == 1, _ALT_FLAG, np.uint16(0))
     overflow = np.sort(packed[~placed])
     return table, overflow
 
@@ -326,7 +342,7 @@ def _canonical(cfg: CuckooConfig, b1: np.ndarray, tag: np.ndarray, nb: int) -> n
 def _build_state(cfg: CuckooConfig, hashes_u64: np.ndarray) -> bytes:
     nb = cfg.num_buckets_per_shard
     b1, tag = _derive(cfg, hashes_u64, nb)
-    if cfg.semisort:
+    if cfg.flagless:
         b1 = _canonical(cfg, b1, tag, nb)
     table, overflow = _place(cfg, b1, tag, nb)
     body = (
@@ -339,7 +355,7 @@ def _build_state(cfg: CuckooConfig, hashes_u64: np.ndarray) -> bytes:
 
 def _parse_state(state: bytes):
     magic, version, slots, fp_bits, nb, n_ov, seed, num_shards = _HDR.unpack_from(state, 0)
-    if magic != _MAGIC or version not in (2, 3):
+    if magic != _MAGIC or version not in (2, 3, 4):
         raise ValueError("bad cuckoo state")
     off = _HDR.size
     if version == 3:
@@ -364,7 +380,7 @@ def _pairs_of_state(cfg: CuckooConfig, state: bytes) -> np.ndarray:
     vals = table.ravel()
     occ = vals != 0
     bucket = rows[occ]
-    if version == 3:
+    if version in (3, 4):
         tag = vals[occ]
         primary = _canonical(cfg, bucket, tag, nb)
     else:
@@ -430,7 +446,7 @@ def _contains_in_state(cfg: CuckooConfig, state: bytes, g_hashes: np.ndarray) ->
     b1, tag = _derive(cfg, g_hashes, nb)
     b2 = _alt_bucket(b1, tag, nb)
     plain = tag.astype(np.uint16)
-    if version == 3:
+    if version in (3, 4):
         # flagless probe (reference packedtable shape): the tag may sit
         # in either candidate bucket
         hit = (table[b1] == plain[:, None]).any(axis=1)
@@ -451,12 +467,21 @@ def _contains_in_state(cfg: CuckooConfig, state: bytes, g_hashes: np.ndarray) ->
 def remove_states(state: bytes, cfg: CuckooConfig, hashes_u64: np.ndarray) -> bytes:
     """Batch Delete (cuckoofilter.h Delete semantics at pair granularity:
     a colliding never-inserted key deletes the shared tag — the same
-    caveat the reference documents)."""
+    caveat the reference documents; pinned by
+    tests/test_cuckoo.py::test_collision_delete_caveat_pinned).
+
+    Flagless layouts (semisort, CF-16) identify pairs by their CANONICAL
+    bucket min(b, alt(b, tag)), which halves the pair-identity space vs
+    the flagged (primary, tag) identity — so delete collateral (a kept
+    key going false-negative because a deleted key shares its pair) runs
+    ~2x the plain layout's rate (~1e-4 of kept keys after a bulk delete
+    at design load). This matches the reference PackedTable's flagless
+    semantics."""
     _check_geometry(cfg, state)
     nb = cfg.num_buckets_per_shard
     fp_shift = np.uint64(cfg.fp_bits)
     b1, tag = _derive(cfg, hashes_u64, nb)
-    if cfg.semisort:
+    if cfg.flagless:
         b1 = _canonical(cfg, b1, tag, nb)
     dead = np.unique((as_u64(b1) << fp_shift) | tag.astype(np.uint64))
     pairs = _pairs_of_state(cfg, state)
@@ -475,7 +500,11 @@ def remove_keys(df: DataFrame, key_col, cfg: CuckooConfig, shards_df: DataFrame)
     """Distributed delete (see base.remove_keys_sharded; un-compacted
     partial rows per shard are merged before the delete applies).
     ``n_keys`` is recounted exactly from the rebuilt state's occupied
-    pairs, so the lineage stays honest after merge-dedupe + delete."""
+    pairs, so the lineage stays honest after merge-dedupe + delete.
+    Deletes act at pair granularity — see remove_states for the
+    collision caveat, and note flagless layouts (semisort, CF-16)
+    roughly double the collateral-FN rate via their coarser
+    canonical-bucket pair identity."""
     return base.remove_keys_sharded(
         df,
         key_col,

@@ -145,7 +145,7 @@ def test_remove_on_uncompacted_partials(spark, cfg):
 
 def test_config_and_geometry_validation(cfg):
     with pytest.raises(ValueError):
-        ck.CuckooConfig(n_capacity=1000, fp_bits=16)
+        ck.CuckooConfig(n_capacity=1000, fp_bits=17)
     other = ck.CuckooConfig(n_capacity=N * 4, num_shards=16, seed=8)
     st = ck._build_state(cfg, np.arange(100, dtype=np.uint64))
     with pytest.raises(ValueError):
@@ -234,3 +234,72 @@ def test_ss_rejects_plain_state(cfg, ss_cfg):
     state = ck._build_state(plain13, keys)
     with pytest.raises(ValueError, match="does not match config"):
         ck.merge_states([state], ss_cfg)
+
+
+def test_collision_delete_caveat_pinned():
+    """Pin the reference's fingerprint-granularity Delete semantics
+    (cuckoofilter/src/cuckoofilter.h:214-245: Delete removes a matching
+    tag, so deleting a never-inserted key whose (bucket, tag) collides
+    with an inserted key's erases that key): the collateral false
+    negative MUST happen, and deleting non-colliding keys MUST leave
+    every still-inserted key found (exact zero-FN)."""
+    small = ck.CuckooConfig(n_capacity=2_000, num_shards=1, seed=4)
+    rng = np.random.default_rng(12)
+    keys = np.unique(as_u64(rng.integers(0, 2**63, 2_000, dtype=np.int64)))
+    nb = small.num_buckets_per_shard
+    kb, kt = ck._derive(small, keys, nb)
+    pairs = set(zip(kb.tolist(), kt.tolist()))
+
+    # scan disjoint candidates for one that collides and many that don't
+    cand = np.unique(as_u64(rng.integers(0, 2**63, 400_000, dtype=np.int64)))
+    cand = np.setdiff1d(cand, keys)
+    cb, ct = ck._derive(small, cand, nb)
+    collides = np.fromiter(
+        ((b, t) in pairs for b, t in zip(cb.tolist(), ct.tolist())),
+        dtype=bool,
+        count=len(cand),
+    )
+    assert collides.any(), "test geometry produced no collision candidate"
+    collider = cand[collides][:1]
+    clean = cand[~collides][:1_000]
+
+    state = ck._build_state(small, keys)
+    assert ck._contains_in_state(small, state, keys).all()
+
+    # 1) colliding never-inserted delete erases the shared tag -> the
+    # real key it collided with goes false-negative (reference caveat)
+    after = ck.remove_states(state, small, collider)
+    vb, vt = collider[:1], None  # readability only
+    victim_mask = (kb == cb[collides][0]) & (kt == ct[collides][0])
+    victims = keys[victim_mask]
+    assert len(victims) >= 1
+    assert not ck._contains_in_state(small, after, victims).any(), (
+        "colliding delete should have erased the shared tag"
+    )
+
+    # 2) non-colliding deletes are exact: zero FN on every inserted key
+    after2 = ck.remove_states(state, small, clean)
+    assert ck._contains_in_state(small, after2, keys).all(), (
+        "disjoint-pair deletes must not disturb inserted keys"
+    )
+
+
+def test_cf16_flagless_layout():
+    """CF-16 (reference main-fpp.cpp:14): full 16-bit tags in the
+    flagless canonical-pair layout (ver 4). Zero FN, FPR near the
+    closed form 8/2^16, merge bit-identity, delete round-trip."""
+    cfg16 = ck.CuckooConfig(n_capacity=60_000, fp_bits=16, num_shards=1, seed=3)
+    rng = np.random.default_rng(5)
+    keys = np.unique(as_u64(rng.integers(0, 2**63, 60_000, dtype=np.int64)))
+    st = ck._build_state(cfg16, keys)
+    assert ck._contains_in_state(cfg16, st, keys).all()
+    probes = np.setdiff1d(
+        np.unique(as_u64(rng.integers(0, 2**63, 400_000, dtype=np.int64))), keys
+    )
+    fpr = ck._contains_in_state(cfg16, st, probes).mean()
+    assert fpr < 4 * 8 / 2**16, fpr  # closed form + generous slack
+    parts = [ck._build_state(cfg16, np.unique(p)) for p in np.array_split(keys, 4)]
+    assert ck.merge_states(parts, cfg16) == st
+    dead = keys[:10_000]
+    after = ck.remove_states(st, cfg16, dead)
+    assert ck._contains_in_state(cfg16, after, dead).mean() < 0.01

@@ -39,25 +39,39 @@ def main() -> int:
     probes = spark.range(10**10, 10**10 + n).select(F.col("id").alias("key")).cache()
     n_probes = probes.count()
 
+    # the reference's main-fpp.cpp:13-71 sweep, one row per config
+    # family it publishes: Bloom-8/12/16 (L_BF*), CF-8/12/16
+    # (CuckooFilterStable), BBF (plain pow2 SimdBlockFilter), BBF-Fixed
+    # (fastrange), Impala512, the three Prefix_Filter assemblies, bare
+    # TC_shortcut — plus the semisorted CF-13 space point
     filters = [
         ("PF[Bloom]", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
          pfm.PrefixFilterConfig(n_capacity=n, num_shards=32, seed=17)),
         ("PF[TC]", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
          pfm.PrefixFilterConfig(n_capacity=n, num_shards=32, seed=17, spare_kind="tc")),
+        ("PF[CF12]", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+         pfm.PrefixFilterConfig(n_capacity=n, num_shards=32, seed=17, spare_kind="cuckoo")),
         ("Bloom-8", bloom.build_bloom, bloom.ShardedBloom,
          bloom.BloomConfig(n_capacity=n, bits_per_key=8, num_shards=32, seed=17)),
         ("Bloom-12", bloom.build_bloom, bloom.ShardedBloom,
          bloom.BloomConfig(n_capacity=n, bits_per_key=12, num_shards=32, seed=17)),
         ("Bloom-16", bloom.build_bloom, bloom.ShardedBloom,
          bloom.BloomConfig(n_capacity=n, bits_per_key=16, num_shards=32, seed=17)),
-        ("BBF-256", bb.build_blocked_bloom, bb.ShardedBlockedBloom,
+        ("BBF", bb.build_blocked_bloom, bb.ShardedBlockedBloom,
+         bb.BlockedBloomConfig(n_capacity=n, bits_per_key=10, block_bytes=32,
+                               num_shards=32, seed=17, pow2_blocks=True)),
+        ("BBF-Fixed", bb.build_blocked_bloom, bb.ShardedBlockedBloom,
          bb.BlockedBloomConfig(n_capacity=n, bits_per_key=10, block_bytes=32, num_shards=32, seed=17)),
-        ("BBF-512", bb.build_blocked_bloom, bb.ShardedBlockedBloom,
+        ("Impala512", bb.build_blocked_bloom, bb.ShardedBlockedBloom,
          bb.BlockedBloomConfig(n_capacity=n, bits_per_key=12, block_bytes=64, num_shards=32, seed=17)),
         ("TC", tc.build_two_choice, tc.ShardedTwoChoice,
          tc.TwoChoiceConfig(n_capacity=n, num_shards=32, seed=17)),
+        ("CF-8", ck.build_cuckoo, ck.ShardedCuckoo,
+         ck.CuckooConfig(n_capacity=n, fp_bits=8, num_shards=32, seed=17)),
         ("CF-12", ck.build_cuckoo, ck.ShardedCuckoo,
          ck.CuckooConfig(n_capacity=n, num_shards=32, seed=17)),
+        ("CF-16", ck.build_cuckoo, ck.ShardedCuckoo,
+         ck.CuckooConfig(n_capacity=n, fp_bits=16, num_shards=32, seed=17)),
         ("CF-13-ss", ck.build_cuckoo, ck.ShardedCuckoo,
          ck.CuckooConfig(n_capacity=n, fp_bits=13, num_shards=32, seed=17,
                          semisort=True)),
@@ -96,6 +110,16 @@ def main() -> int:
                 f"| {name} | {size:,} | {fpr:.5f} | {bpi:.2f} | {opt:.2f} "
                 f"| {diff:.2f} | {ratio:.2f} |\n"
             )
+        f.write(
+            "\nNotes: plain CF rows store every tag in a uint16 slot, so "
+            "CF-8/12 spend 17 bits/item regardless of tag width (the "
+            "reference's bit-packed plain table spends fp_bits+overhead); "
+            "CF-13-ss is the bit-packed (PackedTable) layout and is the "
+            "space-efficient configuration here, matching the reference's "
+            "semisort recommendation. BBF rounds its block count up to a "
+            "power of two (simd-block.h sizing), hence its BPI overshoot "
+            "vs BBF-Fixed's exact fastrange count.\n"
+        )
     print("wrote BENCH/fpr_table.md")
     spark.stop()
     return 0
