@@ -844,18 +844,29 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash gate via planted duplicates: union the corpus with exact
-    copies of a deterministic subset (n_chars % 17 == 0). Exact copies
-    have identical 64-bit signatures, so the banded candidate join MUST
-    surface every planted pair at Hamming 0 — a recall floor the gate
-    can assert exactly. The planted count is DuckDB-mirrorable;
-    ``planted_found`` / ``hamming_ok`` are the self-asserted booleans.
-    Organic near-dup recall at wider Hamming distances stays covered by
-    the pytest suite (tests/test_operators.py)."""
+    """SimHash gate via planted duplicates, exact AND near.
+
+    Exact: union the corpus with exact copies of a deterministic subset
+    (n_chars % 17 == 0). Identical texts have identical 64-bit
+    signatures, so the banded join MUST surface every planted pair at
+    Hamming 0 — an exact recall floor (``planted_found``).
+
+    Near (organic recall, round-2 verdict item #7): for docs with ≥ 60
+    words (SimHash's documented stability floor is ~50) and
+    doc_id % 13 == 0, plant a seeded word-level edit — every 31st word
+    replaced by a marker token. The 4x16-bit banding carries a HARD
+    guarantee: any pair within Hamming ≤ 3 leaves at least one 16-bit
+    chunk intact (pigeonhole), so it MUST appear as a candidate.
+    ``near_recall_ok`` asserts exactly that: every planted near pair
+    whose true signature distance (recomputed independently via
+    bit_count(s1 XOR s2)) is ≤ 3 is present in the banded output with
+    the correct reported hamming. Wider distances are probabilistic and
+    not gated. Counts are DuckDB-mirrorable; booleans self-asserted."""
     from prefix_filter_spark.operators.dedup import simhash_pairs
+    from prefix_filter_spark.operators.text import simhash64
 
     # doc_id is int64 in the parquet; cast to string up front so the
-    # unionByName below is string-vs-string. Without the cast, Spark 4's
+    # unions below are string-vs-string. Without the cast, Spark 4's
     # default ANSI mode coerces the union to BIGINT and throws
     # CAST_INVALID_INPUT on '<id>~dup' (round-2 verdict finding #1).
     docs = _docs(spark, sf_dir).select(
@@ -867,7 +878,23 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("doc_id").cast("string"), F.lit("~dup")).alias("doc_id"),
         "text",
     )
-    pairs = simhash_pairs(docs.unionByName(planted), max_hamming=8)
+    near_src = _docs(spark, sf_dir).where(
+        (F.size(F.split("text", " ", -1)) >= 60) & (F.col("doc_id") % 13 == 0)
+    )
+    n_near = near_src.count()
+    near = near_src.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("~near")).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split("text", " ", -1),
+                lambda w, i: F.when(i % 31 == 30, F.lit("qzxnearmarker")).otherwise(w),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    pairs = simhash_pairs(
+        docs.unionByName(planted).unionByName(near), max_hamming=8
+    ).cache()
     stats = pairs.agg(
         F.sum(
             (
@@ -876,13 +903,49 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("found"),
         F.max("hamming").alias("hmax"),
-        F.count("*").alias("n_pairs"),
     ).collect()[0]
     found = stats["found"] or 0
     hmax = stats["hmax"] if stats["hmax"] is not None else 0
+
+    # independent ground truth for the near plants: per-doc signatures,
+    # base joined to its edited twin, popcount of the XOR
+    sig_base = simhash64(docs, 42).select(
+        F.col("doc_id").alias("bid"), F.col("simhash").alias("s1")
+    )
+    sig_near = simhash64(near, 42).select(
+        F.expr("substring(doc_id, 1, length(doc_id) - 5)").alias("bid"),
+        F.col("simhash").alias("s2"),
+    )
+    truth = sig_base.join(sig_near, "bid").select(
+        "bid", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("true_h")
+    )
+    found_near = pairs.where(
+        F.col("d2") == F.concat(F.col("d1"), F.lit("~near"))
+    ).select(F.col("d1").alias("bid"), F.col("hamming").alias("rep_h"))
+    check = (
+        truth.where(F.col("true_h") <= 3)
+        .join(found_near, "bid", "left")
+        .agg(
+            F.count("*").alias("n_guaranteed"),
+            F.sum((F.col("rep_h") == F.col("true_h")).cast("long")).alias("n_ok"),
+        )
+        .collect()[0]
+    )
+    pairs.unpersist()
+    n_guaranteed = check["n_guaranteed"] or 0
+    near_ok = (check["n_ok"] or 0) == n_guaranteed
     return spark.createDataFrame(
-        [(n_planted, bool(found == n_planted), bool(hmax <= 8))],
-        "n_planted bigint, planted_found boolean, hamming_ok boolean",
+        [
+            (
+                n_planted,
+                bool(found == n_planted),
+                bool(hmax <= 8),
+                n_near,
+                bool(near_ok),
+            )
+        ],
+        "n_planted bigint, planted_found boolean, hamming_ok boolean, "
+        "n_near bigint, near_recall_ok boolean",
     )
 
 
@@ -1238,8 +1301,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "simhash_pairs": """
-            SELECT count(*) AS n_planted,
-                   true AS planted_found, true AS hamming_ok
-            FROM documents WHERE n_chars % 17 = 0
+            SELECT (SELECT count(*) FROM documents WHERE n_chars % 17 = 0)
+                     AS n_planted,
+                   true AS planted_found, true AS hamming_ok,
+                   (SELECT count(*) FROM documents
+                    WHERE len(string_split(text, ' ')) >= 60
+                      AND doc_id % 13 = 0) AS n_near,
+                   true AS near_recall_ok
         """,
     }
