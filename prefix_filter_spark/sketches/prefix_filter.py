@@ -53,7 +53,7 @@ _VERSION = 2
 # state/config mismatch loudly (silent false negatives otherwise)
 _HDR = struct.Struct("<4sBBHIIQI")
 _SEED_MASK = 0xFFFFFFFFFFFFFFFF
-_SPARE_KIND_CODE = {"bloom": 0, "tc": 1, "cuckoo": 2}
+_SPARE_KIND_CODE = {"bloom": 0, "tc": 1, "cuckoo": 2, "bbf": 3, "impala512": 4}
 
 
 @dataclass(frozen=True)
@@ -64,10 +64,11 @@ class PrefixFilterConfig:
     l1_load: float = 0.95
     spare_bits_per_key: int = 10
     spare_ratio: float = 0.08  # expected evictions ~6.8% (wrappers.hpp:548-562) + margin
-    # pluggable spare, the reference's template parameter
-    # (Prefix_Filter<TC_shortcut> etc., example.cpp:4-5; the third
-    # published variant is Prefix_Filter<CuckooFilterStable<u64,12>>,
-    # "PF[CF12-Flex]", main-perf.cpp:16-31): "bloom" | "tc" | "cuckoo"
+    # pluggable spare, the reference's template parameter — all four of
+    # the reference's published assemblies are expressible
+    # (main-fpp.cpp:20-23: Prefix_Filter over SimdBlockFilterFixed /
+    # CuckooFilterStable<u64,12> / TC_shortcut / Impala512), plus the
+    # classic Bloom spare: "bloom" | "tc" | "cuckoo" | "bbf" | "impala512"
     spare_kind: str = "bloom"
 
     @property
@@ -100,6 +101,22 @@ class PrefixFilterConfig:
             seed=self.seed ^ 0x5A5A5A5A,
         )
 
+    def spare_bbf_config(self):
+        """Register-blocked spares: the reference's PF[BBF-Fixed]
+        (wrappers.hpp:564-569: L2 slots = 2x the eviction stream /
+        load) and PF[Impala512] (wrappers.hpp:578-593, 64B blocks).
+        We size from spare_ratio like the other spares; 10 bits/key
+        keeps the spare's FPR contribution below the L1 term."""
+        from prefix_filter_spark.sketches import blocked_bloom as bb
+
+        return bb.BlockedBloomConfig(
+            n_capacity=self.spare_capacity_per_shard,
+            bits_per_key=10,
+            block_bytes=64 if self.spare_kind == "impala512" else 32,
+            num_shards=1,
+            seed=self.seed ^ 0x5A5A5A5A,
+        )
+
     def spare_cuckoo_config(self):
         """The reference's PF[CF12-Flex] spare: CuckooFilterStable with
         12-bit tags, sized for the eviction stream at stable load
@@ -125,6 +142,10 @@ def _spare_build(cfg: PrefixFilterConfig, keys_u64: np.ndarray) -> bytes:
         from prefix_filter_spark.sketches import cuckoo as ck
 
         return ck._build_state(cfg.spare_cuckoo_config(), keys_u64)
+    if cfg.spare_kind in ("bbf", "impala512"):
+        from prefix_filter_spark.sketches import blocked_bloom as bb
+
+        return bb._build_state(cfg.spare_bbf_config(), keys_u64)
     return bloom._build_state(cfg.spare_bloom_config(), keys_u64)
 
 
@@ -137,6 +158,10 @@ def _spare_merge(cfg: PrefixFilterConfig, states: list[bytes]) -> bytes:
         from prefix_filter_spark.sketches import cuckoo as ck
 
         return ck.merge_states(states, cfg.spare_cuckoo_config())
+    if cfg.spare_kind in ("bbf", "impala512"):
+        from prefix_filter_spark.sketches import blocked_bloom as bb
+
+        return bb.merge_states(states)
     return bloom.merge_states(states)
 
 
@@ -149,6 +174,12 @@ def _spare_probe(cfg: PrefixFilterConfig, spare_state: bytes, keys_u64: np.ndarr
         from prefix_filter_spark.sketches import cuckoo as ck
 
         return ck._contains_in_state(cfg.spare_cuckoo_config(), spare_state, keys_u64)
+    if cfg.spare_kind in ("bbf", "impala512"):
+        from prefix_filter_spark.sketches import blocked_bloom as bb
+
+        bcfg = cfg.spare_bbf_config()
+        g = mix_with_seed(keys_u64, bcfg.seed + 0xBB0C)
+        return bb._contains_in_state(bcfg, spare_state, g)
     g = mix_with_seed(keys_u64, cfg.spare_bloom_config().seed + 0x5EED)
     return bloom._contains_in_state(spare_state, g)
 

@@ -141,6 +141,28 @@ def test_cuckoo_spare_variant(spark, keys_df):
     assert merged == full
 
 
+@pytest.mark.parametrize("kind", ["bbf", "impala512"])
+def test_blocked_spare_variants(spark, keys_df, kind):
+    """PF[BBF-Fixed] and PF[Impala512] — the reference's remaining two
+    Prefix_Filter assemblies (main-fpp.cpp:20,23; spare sizing
+    wrappers.hpp:564-569,578-593): register-blocked spares, OR-merge."""
+    cfg = pf.PrefixFilterConfig(
+        n_capacity=N_KEYS, num_shards=16, seed=11, spare_kind=kind
+    )
+    built = pf.ShardedPrefixFilter.from_df(cfg, pf.build_prefix_filter(keys_df, "key", cfg))
+    h = _hashes(spark, keys_df, "key", cfg.seed)
+    assert built.contains_h(h).all(), f"PF[{kind}] false negatives"
+    probes = spark.range(70_000_000, 70_000_000 + 200_000).select(F.col("id").alias("key"))
+    fpr = built.contains_h(_hashes(spark, probes, "key", cfg.seed)).mean()
+    assert fpr <= 0.008, fpr  # blocked spares trade ~2x spare FPR for speed
+    rng = np.random.default_rng(8)
+    keys = as_u64(rng.integers(0, 2**63, 20_000, dtype=np.int64))
+    full = pf._build_state(cfg, 2, np.unique(keys))
+    parts = [pf._build_state(cfg, 2, np.unique(p)) for p in np.array_split(keys, 4)]
+    merged = pf.merge_states(parts, cfg, 2)
+    assert merged == full
+
+
 def test_state_config_mismatch_raises(spark):
     import pytest as _pytest
     import numpy as np
