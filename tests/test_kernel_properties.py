@@ -126,3 +126,33 @@ def test_cuckoo_state_invariants(keys, rnd):
         parts = [ck._build_state(cfg, arr[:cut]), ck._build_state(cfg, arr[cut:])]
         rnd.shuffle(parts)
         assert ck.merge_states(parts, cfg) == state
+
+
+@settings(max_examples=30, deadline=None)
+@given(cuckoo_keys_strategy, st.sampled_from([16, 13]), st.randoms())
+def test_cuckoo_flagless_state_invariants(keys, fp_bits, rnd):
+    """The flagless layouts (CF-16 ver 4, semisort ver 3) satisfy the
+    same invariants as the flagged layout: zero FN, arrival-order-free
+    placement, split-merge bit-identity — under adversarial key sets."""
+    from prefix_filter_spark.hashing import as_u64
+    from prefix_filter_spark.sketches import cuckoo as ck
+
+    cfg = ck.CuckooConfig(
+        n_capacity=4_000, fp_bits=fp_bits, num_shards=16, seed=3,
+        semisort=(fp_bits == 13),
+    )
+    arr = as_u64(np.array(sorted(set(keys)), dtype=np.uint64))
+    state = ck._build_state(cfg, arr)
+    if len(arr):
+        assert ck._contains_in_state(cfg, state, arr).all(), "false negative"
+    shuffled = list(arr)
+    rnd.shuffle(shuffled)
+    assert (
+        ck._build_state(cfg, np.unique(as_u64(np.array(shuffled, dtype=np.uint64))))
+        == state
+    )
+    if len(arr) >= 2:
+        cut = rnd.randrange(1, len(arr))
+        parts = [ck._build_state(cfg, arr[:cut]), ck._build_state(cfg, arr[cut:])]
+        rnd.shuffle(parts)
+        assert ck.merge_states(parts, cfg) == state
