@@ -503,6 +503,32 @@ def q_pf_cf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pf_bbf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix filter with the register-blocked spare — the reference's
+    PF[BBF-Fixed] assembly (/root/reference/main-fpp.cpp:20, spare
+    sizing Tests/wrappers.hpp:564-569)."""
+    from prefix_filter_spark.sketches import prefix_filter as pfm
+
+    return _membership_panel(
+        spark, sf_dir, pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+        lambda n: pfm.PrefixFilterConfig(n_capacity=n, num_shards=8, seed=42, spare_kind="bbf"),
+        0.008, "pfbbf",
+    )
+
+
+def q_pf_impala_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix filter with the 64B-block spare — the reference's
+    PF[Impala512] assembly (/root/reference/main-fpp.cpp:23, spare
+    sizing Tests/wrappers.hpp:578-593)."""
+    from prefix_filter_spark.sketches import prefix_filter as pfm
+
+    return _membership_panel(
+        spark, sf_dir, pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+        lambda n: pfm.PrefixFilterConfig(n_capacity=n, num_shards=8, seed=42, spare_kind="impala512"),
+        0.008, "pfimp",
+    )
+
+
 def q_doc_id_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-ID probes (north star: 'token-ID and doc-ID probes')."""
     from prefix_filter_spark.functions import register_contains_udf
@@ -977,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_filter_membership": q_prefix_filter_membership,
         "pf_tc_membership": q_pf_tc_membership,
         "pf_cf_membership": q_pf_cf_membership,
+        "pf_bbf_membership": q_pf_bbf_membership,
+        "pf_impala_membership": q_pf_impala_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
         "two_choice_membership": q_two_choice_membership,
         "cuckoo_membership": q_cuckoo_membership,
@@ -1171,6 +1199,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
         """,
         "pf_cf_membership": f"""
+            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
+                   true AS fpr_ok
+            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+        """,
+        "pf_bbf_membership": f"""
+            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
+                   true AS fpr_ok
+            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+        """,
+        "pf_impala_membership": f"""
             SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
                    true AS fpr_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
