@@ -529,6 +529,31 @@ def q_pf_impala_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-join runtime filter: fact side pruned map-side by an AMQ
+    filter on the dim keys before the join's shuffle; zero false
+    negatives make the result exactly the plain join (the oracle). The
+    reference's Contain path (Tests/wrappers.hpp:96-101) as a query
+    optimization."""
+    from prefix_filter_spark.operators import filter_join as fj
+
+    fact = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = fj.runtime_filter_join(spark, fact, dim, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_doc_id_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-ID probes (north star: 'token-ID and doc-ID probes')."""
     from prefix_filter_spark.functions import register_contains_udf
@@ -1018,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "ntok_quantiles": q_ntok_quantiles,
         "pf_join_probe": q_pf_join_probe,
+        "runtime_filter_join": q_runtime_filter_join,
         "value_quantiles": q_value_quantiles,
         "srp_ann_topk": q_srp_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -1287,6 +1313,14 @@ def oracle_sql() -> dict[str, str]:
         "pf_join_probe": f"""
             SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+        """,
+        "runtime_filter_join": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "value_quantiles": """
             SELECT q::double AS q, round(qv, 6) AS exact_quantile,
