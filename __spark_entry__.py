@@ -337,6 +337,46 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta) sketch set expressions: union / intersection /
+    difference of the distinct word sets of the even- and odd-doc_id
+    halves of the corpus, self-asserted against the exact counts (the
+    oracle). Capability HLL lacks: registers only union."""
+    from prefix_filter_spark.sketches import kmv
+
+    docs = _docs(spark, sf_dir)
+    from prefix_filter_spark.sources.tokenizer import words_col
+
+    words = docs.select(
+        (F.col("doc_id").cast("bigint") % 2 == 0).alias("even"),
+        F.explode(words_col("text")).alias("word"),
+    )
+    side_a = words.where("even").select("word")
+    side_b = words.where(~F.col("even")).select("word")
+
+    cfg = kmv.KmvConfig(k=4096, seed=42)
+    h = F.xxhash64("word", F.lit(7))
+    sa = kmv.sketch_bytes(side_a, h, cfg)
+    sb = kmv.sketch_bytes(side_b, h, cfg)
+
+    da, db = side_a.distinct(), side_b.distinct()
+    exact_union = da.union(db).distinct().count()
+    exact_inter = da.intersect(db).count()
+    exact_diff = da.subtract(db).count()
+
+    # tolerance scales with the union (the restricted sample covers the
+    # union's hash range); generous 4-sigma + small absolute slack
+    tol = 4 * cfg.rel_error() * exact_union + 2
+    ok_u = abs(kmv.union_estimate(sa, sb) - exact_union) <= tol
+    ok_i = abs(kmv.intersection_estimate(sa, sb) - exact_inter) <= tol
+    ok_d = abs(kmv.difference_estimate(sa, sb) - exact_diff) <= tol
+    return spark.createDataFrame(
+        [(exact_union, exact_inter, exact_diff, bool(ok_u), bool(ok_i), bool(ok_d))],
+        "exact_union bigint, exact_intersection bigint, exact_a_minus_b bigint,"
+        " kmv_union_ok boolean, kmv_inter_ok boolean, kmv_diff_ok boolean",
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefix_filter_spark.sketches import cms
 
@@ -1040,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_predictions": q_lang_predictions,
         "media_features": q_media_features,
         "hll_distinct": q_hll_distinct,
+        "kmv_set_ops": q_kmv_set_ops,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "ntok_quantiles": q_ntok_quantiles,
         "pf_join_probe": q_pf_join_probe,
@@ -1290,6 +1331,20 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": f"""
             SELECT count(DISTINCT w) AS exact_distinct, true AS hll_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+        """,
+        "kmv_set_ops": f"""
+            WITH a AS (SELECT DISTINCT unnest({_DUCK_WORDS}) AS w
+                       FROM documents WHERE doc_id % 2 = 0),
+                 b AS (SELECT DISTINCT unnest({_DUCK_WORDS}) AS w
+                       FROM documents WHERE doc_id % 2 = 1)
+            SELECT
+              (SELECT count(*) FROM (SELECT w FROM a UNION SELECT w FROM b))
+                AS exact_union,
+              (SELECT count(*) FROM (SELECT w FROM a INTERSECT SELECT w FROM b))
+                AS exact_intersection,
+              (SELECT count(*) FROM (SELECT w FROM a EXCEPT SELECT w FROM b))
+                AS exact_a_minus_b,
+              true AS kmv_union_ok, true AS kmv_inter_ok, true AS kmv_diff_ok
         """,
         "cms_heavy_hitters": f"""
             SELECT w AS word, count(*) AS cnt, true AS cms_ok

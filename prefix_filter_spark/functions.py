@@ -147,7 +147,42 @@ def register_sketch_sql(spark: SparkSession) -> None:
     kll_quantile = F.pandas_udf(T.DoubleType())(_grouped_quantile(_kll_cached))
     tdigest_quantile = F.pandas_udf(T.DoubleType())(_grouped_quantile(_td_cached))
 
+    from prefix_filter_spark.sketches import kmv
+
+    @F.pandas_udf(T.DoubleType())
+    def kmv_estimate(state: pd.Series) -> pd.Series:
+        return state.map(lambda s: kmv.estimate(bytes(s)) if s is not None else None)
+
+    def _kmv_pairwise(op):
+        """Binary set expression over two state columns (e.g. the
+        sketches of two crawl snapshots joined side by side)."""
+
+        def run(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    op(bytes(a), bytes(b)) if a is not None and b is not None else None
+                    for a, b in zip(sa, sb)
+                ],
+                dtype=object,
+            )
+
+        return run
+
+    kmv_union = F.pandas_udf(T.DoubleType())(_kmv_pairwise(kmv.union_estimate))
+    kmv_intersection = F.pandas_udf(T.DoubleType())(
+        _kmv_pairwise(kmv.intersection_estimate)
+    )
+    kmv_difference = F.pandas_udf(T.DoubleType())(
+        _kmv_pairwise(kmv.difference_estimate)
+    )
+    kmv_jaccard = F.pandas_udf(T.DoubleType())(_kmv_pairwise(kmv.jaccard_estimate))
+
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("cms_point", cms_point)
     spark.udf.register("kll_quantile", kll_quantile)
     spark.udf.register("tdigest_quantile", tdigest_quantile)
+    spark.udf.register("kmv_estimate", kmv_estimate)
+    spark.udf.register("kmv_union", kmv_union)
+    spark.udf.register("kmv_intersection", kmv_intersection)
+    spark.udf.register("kmv_difference", kmv_difference)
+    spark.udf.register("kmv_jaccard", kmv_jaccard)

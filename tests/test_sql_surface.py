@@ -3,7 +3,7 @@
 from pyspark.sql import functions as F
 
 from prefix_filter_spark.functions import register_sketch_sql
-from prefix_filter_spark.sketches import cms, hll, kll, prefix_filter as pf, tdigest
+from prefix_filter_spark.sketches import cms, hll, kll, kmv, prefix_filter as pf, tdigest
 
 
 def test_sql_estimates(spark):
@@ -26,6 +26,32 @@ def test_sql_estimates(spark):
     tdigest.build_tdigest(df, "v", tdigest.TDigestConfig()).createOrReplaceTempView("td_t")
     q = spark.sql("SELECT tdigest_quantile(state, 0.99) q FROM td_t").collect()[0]["q"]
     assert abs(q - 49_500) < 1_500
+
+
+def test_sql_kmv_set_ops(spark):
+    register_sketch_sql(spark)
+    cfg = kmv.KmvConfig(k=4096, seed=9)
+    # A = [0, 60k), B = [40k, 100k): intersection 20k, union 100k
+    a = spark.range(0, 60_000).select(F.xxhash64("id", F.lit(4)).alias("h"))
+    b = spark.range(40_000, 100_000).select(F.xxhash64("id", F.lit(4)).alias("h"))
+    kmv.build_kmv(a, "h", cfg).createOrReplaceTempView("kmv_a")
+    kmv.build_kmv(b, "h", cfg).createOrReplaceTempView("kmv_b")
+    row = spark.sql(
+        """
+        SELECT kmv_estimate(a.state) ea,
+               kmv_union(a.state, b.state) u,
+               kmv_intersection(a.state, b.state) i,
+               kmv_difference(a.state, b.state) d,
+               kmv_jaccard(a.state, b.state) j
+        FROM kmv_a a CROSS JOIN kmv_b b
+        """
+    ).collect()[0]
+    tol = 4 * cfg.rel_error() * (100_000 / 20_000) ** 0.5
+    assert abs(row["ea"] - 60_000) / 60_000 <= tol
+    assert abs(row["u"] - 100_000) / 100_000 <= tol
+    assert abs(row["i"] - 20_000) / 20_000 <= tol
+    assert abs(row["d"] - 40_000) / 40_000 <= tol
+    assert abs(row["j"] - 0.2) <= 0.2 * tol + 0.01
 
 
 def test_pf_diagnostics(spark):
