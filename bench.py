@@ -229,6 +229,41 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         srp_ann_topk(emb, q, k=5, bands=16).collect()
 
     times["srp_ann_topk"] = _timed_best(_srp_raw, name="srp_ann_topk")
+
+    # runtime-filter join: the Bloom-join prune path (filter build +
+    # map-side fact prune + broadcast join), measured end-to-end
+    def _rf_join():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.filter_join import runtime_filter_join
+
+        fact = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        dim = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        runtime_filter_join(spark, fact, dim, "l_orderkey", "o_orderkey").count()
+
+    times["rf_join"] = _timed_best(_rf_join, name="rf_join")
+
+    # kmv set ops: two sketch builds over the token stream + estimates
+    def _kmv():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.sketches import kmv
+        from prefix_filter_spark.sources.tokenizer import tokenize_documents
+
+        toks = tokenize_documents(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).select(
+            (F.col("doc_id").cast("bigint") % 2 == 0).alias("even"),
+            F.explode("tokens").alias("t"),
+        )
+        cfg = kmv.KmvConfig(k=4096, seed=42)
+        sa = kmv.sketch_bytes(toks.where("even").select("t"), "t", cfg)
+        sb = kmv.sketch_bytes(toks.where("not even").select("t"), "t", cfg)
+        kmv.intersection_estimate(sa, sb)
+
+    times["kmv_set_ops"] = _timed_best(_kmv, name="kmv_set_ops")
     return times
 
 
