@@ -91,6 +91,65 @@ def test_spark_build_matches_exact(spark):
     assert abs(est - 120_000) / 120_000 <= 4 * cfg.rel_error()
 
 
+def test_streaming_kmv_equals_batch(spark, tmp_path):
+    """KMV through foreach_batch_build: the order-independent merge
+    makes the streamed state byte-identical to the one-shot build."""
+    from prefix_filter_spark.streaming.build import foreach_batch_build
+
+    cfg = kmv.KmvConfig(k=512, seed=5)
+    keys = spark.range(20_000).select(F.xxhash64("id", F.lit(6)).alias("key"))
+    src = f"{tmp_path}/src"
+    for i in range(4):
+        keys.where(F.pmod(F.col("key"), F.lit(4)) == i).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = foreach_batch_build(
+        stream,
+        "key",
+        build_fn=lambda df, k: kmv.build_kmv(df, k, cfg),
+        merge_fn=kmv.merge_states,
+        state_path=f"{tmp_path}/state",
+        checkpoint_dir=f"{tmp_path}/ckpt",
+    )
+    q.awaitTermination(120)
+    streamed = kmv.merge_states(
+        [bytes(r["state"]) for r in spark.read.parquet(f"{tmp_path}/state").collect()]
+    )
+    batch = kmv.sketch_bytes(keys, "key", cfg)
+    assert streamed == batch
+
+
+def test_per_group_kmv(spark):
+    """Skew-safe per-group KMV: per-source distinct within bound."""
+    from prefix_filter_spark.operators.per_group import sketch_by_group
+
+    cfg = kmv.KmvConfig(k=1024, seed=8)
+    df = spark.range(120_000).select(
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        F.xxhash64((F.col("id") % 9_000), F.lit(2)).alias("v"),
+    )
+    out = sketch_by_group(
+        df,
+        "source",
+        "v",
+        acc_factory=lambda: kmv.KmvAccumulator(cfg),
+        merge_fn=kmv.merge_states,
+        salt_on="v",
+    ).toPandas()
+    assert len(out) == 3
+    assert (out["n_partials"] > 1).all()  # the salt actually fanned out
+    for s in out["state"]:
+        est = kmv.estimate(bytes(s))
+        # each source sees 3000 distinct of the 9000 residues
+        assert abs(est - 3_000) / 3_000 <= 4 * cfg.rel_error()
+
+
 def test_spark_partial_merge_equals_single_pass(spark):
     """Distributed build == one flat accumulator over the same hashes
     (merge correctness through the real partials path)."""
