@@ -82,6 +82,43 @@ def test_disjoint_and_identical_sets():
     assert kmv.jaccard_estimate(a, b) <= 0.02
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=400),
+    st.integers(min_value=2, max_value=6),
+    st.randoms(),
+)
+def test_property_partition_invariance(values, n_parts, rnd):
+    """Any partition of the stream into any number of chunks, merged in
+    any order/grouping, yields the same bytes as one flat pass — the
+    merge-associativity contract the tree merge relies on."""
+    cfg = kmv.KmvConfig(k=64, seed=3)
+    vals = np.array(values, dtype=np.int64)
+    flat = _acc_bytes(vals, cfg)
+
+    idx = np.arange(len(vals))
+    rnd.shuffle(idx)
+    parts = [
+        _acc_bytes(vals[chunk], cfg)
+        for chunk in np.array_split(idx, n_parts)
+    ]
+    rnd.shuffle(parts)
+    # random binary merge tree
+    while len(parts) > 1:
+        i = rnd.randrange(len(parts) - 1)
+        parts[i : i + 2] = [kmv.merge_states([parts[i], parts[i + 1]])]
+    assert parts[0] == flat
+    # exactness below k: distinct(values) <= 400 but k=64 — only assert
+    # exact when genuinely under k
+    n_distinct = len(np.unique(vals)) if len(vals) else 0
+    if n_distinct < cfg.k:
+        assert kmv.estimate(parts[0]) == float(n_distinct)
+
+
 def test_spark_build_matches_exact(spark):
     cfg = kmv.KmvConfig(k=2048, seed=42)
     n = 300_000
