@@ -89,6 +89,36 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "Python" not in plan  # dot product via zip_with/aggregate, JVM-side
 
 
+def test_runtime_filter_join_plan(spark):
+    """The pruned join: the fact side's filter probe runs map-side
+    (ArrowEvalPython before any exchange), the join is broadcast, and
+    nothing shuffles — the 100TB story is 'only survivors reach the
+    join', which requires zero exchanges below the probe."""
+    from prefix_filter_spark.operators.filter_join import runtime_filter_join
+
+    fact = spark.read.parquet(f"{SF}/lineitem.parquet")
+    dim = spark.read.parquet(f"{SF}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = _plan(runtime_filter_join(spark, fact, dim, "l_orderkey", "o_orderkey"))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmv_build_plan(spark):
+    """KMV partials are map-only; the only exchange moves tiny state
+    rows through the tree merge, never the data."""
+    from prefix_filter_spark.sketches import kmv
+
+    keys = spark.range(50_000).select(F.xxhash64("id", F.lit(5)).alias("h"))
+    plan = _plan(kmv.build_kmv(keys, "h", kmv.KmvConfig(k=512, seed=1)))
+    assert plan.count("Exchange hashpartitioning") == 1  # states only
+    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_minhash_lsh_plan_shape(spark, documents):
     """The full LSH dedup plan stays JVM-side (verification included):
     no Python nodes, no sort-merge joins, and the exchange count stays
