@@ -409,6 +409,38 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries summary over the word stream (sketches/mg.py):
+    exact top-10 words (DuckDB-matched), with a self-asserted boolean
+    pinning the deterministic MG contract — per-token two-sided bound
+    est <= true <= est + err, global err <= n/(k+1), and presence of
+    every top token whose true count clears the error bound (the
+    no-false-negative heavy-hitter guarantee)."""
+    from prefix_filter_spark.sketches import mg
+
+    words = _word_stream(spark, sf_dir)
+    cfg = mg.MgConfig(k=256)
+    state = mg.sketch_bytes(words, "word", cfg)
+    total, err, counts = mg.estimates(state)
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(10)
+    ).toPandas()
+    ok = err <= total / (cfg.k + 1)
+    for w, c in zip(top["word"], top["cnt"]):
+        est = counts.get(w)
+        if c > err:  # guaranteed present
+            ok = ok and est is not None
+        if est is not None:
+            ok = ok and est <= c <= est + err
+    top["mg_ok"] = bool(ok)
+    return spark.createDataFrame(top[["word", "cnt", "mg_ok"]]).orderBy(
+        F.desc("cnt"), "word"
+    )
+
+
 def _rank_interval_oks(
     df: DataFrame, col: str, checks: list[tuple[float, float]], eps: float = 0.025
 ) -> list[bool]:
@@ -1082,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "kmv_set_ops": q_kmv_set_ops,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
         "ntok_quantiles": q_ntok_quantiles,
         "pf_join_probe": q_pf_join_probe,
         "runtime_filter_join": q_runtime_filter_join,
@@ -1348,6 +1381,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_heavy_hitters": f"""
             SELECT w AS word, count(*) AS cnt, true AS cms_ok
+            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+            GROUP BY w ORDER BY cnt DESC, w LIMIT 10
+        """,
+        "mg_heavy_hitters": f"""
+            SELECT w AS word, count(*) AS cnt, true AS mg_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
             GROUP BY w ORDER BY cnt DESC, w LIMIT 10
         """,
