@@ -409,6 +409,21 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-split packing of the tokenized documents into
+    2048-token training packs (operators/packing.py): per-pack manifest
+    rows, computed by the distributed prefix-sum (no global window —
+    pinned in test_packing.py), DuckDB-matched against the exact
+    window-function cumsum."""
+    from prefix_filter_spark.operators.packing import pack_summary
+    from prefix_filter_spark.sources.tokenizer import words_col
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(words_col("text")).alias("n_tok")
+    )
+    return pack_summary(docs, "doc_id", "n_tok", budget=2048, num_buckets=8)
+
+
 def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries summary over the word stream (sketches/mg.py):
     exact top-10 words (DuckDB-matched), with a self-asserted boolean
@@ -1115,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": q_kmv_set_ops,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mg_heavy_hitters": q_mg_heavy_hitters,
+        "sequence_packing": q_sequence_packing,
         "ntok_quantiles": q_ntok_quantiles,
         "pf_join_probe": q_pf_join_probe,
         "runtime_filter_join": q_runtime_filter_join,
@@ -1388,6 +1404,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS word, count(*) AS cnt, true AS mg_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
             GROUP BY w ORDER BY cnt DESC, w LIMIT 10
+        """,
+        "sequence_packing": f"""
+            WITH t AS (SELECT doc_id, len({_DUCK_WORDS}) AS n_tok FROM documents),
+            c AS (SELECT doc_id, n_tok,
+                    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                  FROM t)
+            SELECT (off // 2048)::BIGINT AS pack_id, count(*) AS n_docs,
+                   sum(n_tok)::BIGINT AS n_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY 1 ORDER BY 1
         """,
         "ntok_quantiles": f"""
             WITH d AS (SELECT len({_DUCK_WORDS}) AS n_words FROM documents)
