@@ -424,6 +424,34 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_summary(docs, "doc_id", "n_tok", budget=2048, num_buckets=8)
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture over `source` strata
+    (operators/sampling.py): exactly ceil(frac_s * n_s) docs per source,
+    ranked by a shared-arithmetic order hash (LCG — expressible in both
+    engines, unlike xxhash64; the library default is xxhash64). Fracs
+    are binary-exact (0.5/0.25/0.125) so double-vs-decimal ceil() can
+    never disagree between Spark and DuckDB."""
+    from prefix_filter_spark.operators.sampling import stratified_sample_exact
+
+    docs = _docs(spark, sf_dir)
+    order = F.pmod(
+        F.col("doc_id") * F.lit(1103515245) + F.lit(12345), F.lit(2147483648)
+    )
+    fracs = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+    out = stratified_sample_exact(
+        docs, "source", fracs, order, "doc_id", default_frac=0.0625
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.min("n_total").alias("n_total"),
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries summary over the word stream (sketches/mg.py):
     exact top-10 words (DuckDB-matched), with a self-asserted boolean
@@ -1131,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "sequence_packing": q_sequence_packing,
+        "mixture_sample": q_mixture_sample,
         "ntok_quantiles": q_ntok_quantiles,
         "pf_join_probe": q_pf_join_probe,
         "runtime_filter_join": q_runtime_filter_join,
@@ -1404,6 +1433,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS word, count(*) AS cnt, true AS mg_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
             GROUP BY w ORDER BY cnt DESC, w LIMIT 10
+        """,
+        "mixture_sample": """
+            WITH r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents),
+            s AS (SELECT *,
+                    CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.125
+                                ELSE 0.0625 END::DOUBLE AS frac
+                  FROM r)
+            SELECT source, min(n)::BIGINT AS n_total, count(*) AS n_sampled,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM s WHERE rk <= ceil(frac * n)
+            GROUP BY source ORDER BY source
         """,
         "sequence_packing": f"""
             WITH t AS (SELECT doc_id, len({_DUCK_WORDS}) AS n_tok FROM documents),

@@ -1,0 +1,77 @@
+"""Deterministic sampling for training-data mixtures.
+
+Two regimes, both reproducible run-over-run (a training pipeline must
+be able to regenerate the exact same mixture):
+
+- ``bernoulli_sample`` — map-only hash-threshold sampling. Zero
+  shuffle, streams at scan speed, fraction is approximate (binomial
+  around ``frac``). This is the 100 TB default.
+- ``stratified_sample_exact`` — exactly ``ceil(frac_s * n_s)`` rows per
+  stratum, chosen by rank over a deterministic order hash. Costs one
+  shuffle on the stratum key plus a per-stratum sort; right when strata
+  are many and individually task-sized (the usual `source` layout).
+  A single giant stratum serializes its sort into one task — for that
+  shape use ``bernoulli_sample`` per stratum, or salt the stratum and
+  accept per-salt rounding.
+
+Mixture weighting: ``fracs`` maps stratum value -> sampling rate, the
+"2 epochs of wikipedia, 0.3 of common-crawl" knob; strata absent from
+the map fall back to ``default_frac`` (0 drops them, the usual intent
+for an explicit mixture).
+
+No reference-repo counterpart (the C++ library has no pipeline ops);
+this extends the training-data operator family per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bernoulli_sample(df: DataFrame, frac: float, hash_col: Column) -> DataFrame:
+    """Keep rows whose 64-bit hash falls under frac of the hash space.
+
+    ``hash_col`` should be a deterministic per-row hash, e.g.
+    ``F.xxhash64("doc_id", F.lit(seed))`` — the same seed reproduces
+    the same sample; a different seed draws an independent one.
+    Map-only: survives any scale, fraction accurate to O(1/sqrt(n)).
+    """
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError("frac must be in [0, 1]")
+    # xxhash64 is signed; shift into [0, 2^64) via unsigned reinterpret
+    bound = int(frac * float(2**64)) - 2**63
+    return df.where(hash_col <= F.lit(bound))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    fracs: dict[str, float] | float,
+    order_col: Column,
+    tie_col: str,
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Exactly ``ceil(frac * n_stratum)`` rows per stratum: rank rows by
+    (order_col, tie_col) within the stratum and keep the head.
+
+    ``order_col`` is the deterministic shuffle key (a hash of the row
+    id); ``tie_col`` must be unique per row so the result is total-order
+    stable. The output carries ``n_total`` (stratum size) alongside the
+    sampled rows, so downstream bookkeeping needs no second count.
+    """
+    if isinstance(fracs, dict):
+        frac_col = F.lit(default_frac)
+        for k, v in sorted(fracs.items()):
+            frac_col = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(
+                frac_col
+            )
+    else:
+        frac_col = F.lit(float(fracs))
+    w = Window.partitionBy(strata_col)
+    ranked = df.withColumn(
+        "_rk", F.row_number().over(w.orderBy(order_col, F.col(tie_col)))
+    ).withColumn("n_total", F.count("*").over(w))
+    return ranked.where(
+        F.col("_rk") <= F.ceil(frac_col * F.col("n_total"))
+    ).drop("_rk")

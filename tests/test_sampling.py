@@ -1,0 +1,77 @@
+"""Deterministic sampling: exact per-stratum counts, reproducibility,
+mixture weighting, and the map-only bernoulli fraction tolerance."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.operators.sampling import (
+    bernoulli_sample,
+    stratified_sample_exact,
+)
+
+
+def _mk(spark, n=6_000, n_src=6, parts=8):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % n_src).cast("string")).alias("source"),
+        (F.col("id") * 7 % 1000).alias("n_chars"),
+    ).repartition(parts)
+
+
+def test_exact_counts_per_stratum(spark):
+    df = _mk(spark)
+    fracs = {"s0": 0.5, "s1": 0.25, "s2": 0.1, "s3": 1.0}
+    out = stratified_sample_exact(
+        df, "source", fracs, F.xxhash64("doc_id", F.lit(3)), "doc_id"
+    )
+    got = out.groupBy("source").agg(F.count("*").alias("n")).toPandas()
+    got = dict(zip(got["source"], got["n"]))
+    # 1000 docs per source; strata outside the map default to frac 0
+    assert got == {"s0": 500, "s1": 250, "s2": 100, "s3": 1000}
+
+
+def test_reproducible_and_seed_sensitive(spark):
+    df = _mk(spark, n=2_000)
+    kw = dict(strata_col="source", fracs=0.3, tie_col="doc_id")
+    a = stratified_sample_exact(df, order_col=F.xxhash64("doc_id", F.lit(1)), **kw)
+    b = stratified_sample_exact(df, order_col=F.xxhash64("doc_id", F.lit(1)), **kw)
+    c = stratified_sample_exact(df, order_col=F.xxhash64("doc_id", F.lit(2)), **kw)
+    ids = lambda d: sorted(r["doc_id"] for r in d.select("doc_id").collect())
+    assert ids(a) == ids(b)
+    assert ids(a) != ids(c)  # different seed, different (same-sized) draw
+    assert len(ids(c)) == len(ids(a))
+
+
+def test_matches_pandas_reference(spark):
+    """Rank semantics match an exact pandas recompute row-for-row."""
+    df = _mk(spark, n=900, n_src=3, parts=5)
+    out = stratified_sample_exact(
+        df, "source", 0.2, F.xxhash64("doc_id", F.lit(9)), "doc_id"
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    pdf = df.withColumn("h", F.xxhash64("doc_id", F.lit(9))).toPandas()
+    keep = []
+    for _, g in pdf.groupby("source"):
+        g = g.sort_values(["h", "doc_id"])
+        keep.extend(g.head(int(np.ceil(0.2 * len(g))))["doc_id"])
+    assert got == sorted(keep)
+
+
+def test_bernoulli_fraction_and_determinism(spark):
+    df = _mk(spark, n=50_000)
+    h = F.xxhash64("doc_id", F.lit(4))
+    a = bernoulli_sample(df, 0.2, h).count()
+    b = bernoulli_sample(df, 0.2, h).count()
+    assert a == b
+    # binomial(50k, 0.2): 5 sigma ~ 0.009
+    assert abs(a / 50_000 - 0.2) < 0.01
+
+
+def test_bernoulli_plan_is_map_only(spark):
+    df = _mk(spark, n=100)
+    plan = (
+        bernoulli_sample(df, 0.5, F.xxhash64("doc_id", F.lit(1)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "Sort" not in plan
