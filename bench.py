@@ -264,6 +264,46 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         kmv.intersection_estimate(sa, sb)
 
     times["kmv_set_ops"] = _timed_best(_kmv, name="kmv_set_ops")
+
+    # round-3 additions: MG heavy hitters over the token stream, and the
+    # two training-pipeline ops (packing prefix-sum, mixture sampling)
+    def _mg():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.sketches import mg
+        from prefix_filter_spark.sources.tokenizer import words_col
+
+        words = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.explode(words_col("text")).alias("word")
+        )
+        mg.build_mg(words, "word", mg.MgConfig(k=256)).count()
+
+    times["mg_build"] = _timed_best(_mg, name="mg_build")
+
+    def _packing():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.packing import pack_summary
+        from prefix_filter_spark.sources.tokenizer import words_col
+
+        toks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.size(words_col("text")).alias("n_tok")
+        )
+        pack_summary(toks, "doc_id", "n_tok", budget=2048, num_buckets=32).count()
+
+    times["sequence_packing"] = _timed_best(_packing, name="sequence_packing")
+
+    def _mixture():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.sampling import stratified_sample_exact
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        stratified_sample_exact(
+            docs, "source", 0.25, F.xxhash64("doc_id", F.lit(3)), "doc_id"
+        ).count()
+
+    times["mixture_sample"] = _timed_best(_mixture, name="mixture_sample")
     return times
 
 

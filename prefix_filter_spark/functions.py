@@ -43,6 +43,13 @@ def _td_cached(state: bytes):
     return tdigest.TDigest.from_bytes(state)
 
 
+@functools.lru_cache(maxsize=64)
+def _mg_cached(state: bytes):
+    from prefix_filter_spark.sketches import mg
+
+    return mg.estimates(state)  # (total, err, counts)
+
+
 def register_contains_udf(
     spark: SparkSession, name: str, sketch, seed: int
 ) -> "ContainsFunction":
@@ -176,6 +183,30 @@ def register_sketch_sql(spark: SparkSession) -> None:
         _kmv_pairwise(kmv.difference_estimate)
     )
     kmv_jaccard = F.pandas_udf(T.DoubleType())(_kmv_pairwise(kmv.jaccard_estimate))
+
+    @F.pandas_udf(T.LongType())
+    def mg_estimate(state: pd.Series, token: pd.Series) -> pd.Series:
+        """Lower-bound count for a token (0 when absent — the MG lower
+        bound for any token outside the summary)."""
+        out = []
+        for s, t in zip(state, token):
+            if s is None or t is None:
+                out.append(None)
+            else:
+                out.append(_mg_cached(bytes(s))[2].get(t, 0))
+        return pd.Series(out, dtype=object)
+
+    @F.pandas_udf(T.LongType())
+    def mg_error(state: pd.Series) -> pd.Series:
+        return state.map(lambda s: _mg_cached(bytes(s))[1] if s is not None else None)
+
+    @F.pandas_udf(T.LongType())
+    def mg_total(state: pd.Series) -> pd.Series:
+        return state.map(lambda s: _mg_cached(bytes(s))[0] if s is not None else None)
+
+    spark.udf.register("mg_estimate", mg_estimate)
+    spark.udf.register("mg_error", mg_error)
+    spark.udf.register("mg_total", mg_total)
 
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("cms_point", cms_point)

@@ -135,3 +135,36 @@ def test_spark_build_bounds(spark):
     true_h = n // 5
     assert "h" in counts
     assert counts["h"] <= true_h <= counts["h"] + err
+
+
+def test_per_group_mg(spark):
+    """Skew-safe per-group heavy hitters: the planted dominant token of
+    each source is guaranteed present in that source's summary."""
+    from prefix_filter_spark.operators.per_group import sketch_by_group
+
+    cfg = mg.MgConfig(k=48)
+    df = spark.range(90_000).select(
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        F.when(
+            F.col("id") % 4 == 0,
+            F.concat(F.lit("HOT_s"), (F.col("id") % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 2_000).cast("string")))
+        .alias("tok"),
+    )
+    out = sketch_by_group(
+        df,
+        "source",
+        "tok",
+        acc_factory=lambda: mg.MgAccumulator(cfg),
+        merge_fn=mg.merge_states,
+        salt_on="tok",
+    ).toPandas()
+    assert len(out) == 3
+    for src, state in zip(out["group"], out["state"]):
+        total, err, counts = mg.estimates(bytes(state))
+        assert total == 30_000
+        assert err <= total / (cfg.k + 1)
+        hot = f"HOT_{src}"
+        assert hot in counts
+        assert counts[hot] <= 7_500 <= counts[hot] + err

@@ -72,3 +72,27 @@ def test_pf_diagnostics(spark):
     # at design load ~0.95 some PDs overflow, few are empty
     assert (j["overflowing_pds"] > 0).all()
     assert (j["empty_pds"] < j["num_pds"] * 0.05).all()
+
+
+def test_sql_mg_heavy_hitters(spark):
+    """MG over serialized state in plain SQL: lower-bound point lookups
+    with the deterministic error available as a column."""
+    from prefix_filter_spark.sketches import mg
+
+    register_sketch_sql(spark)
+    # token 'h' gets 25% of a 40k stream; tail spreads over 5k types
+    df = spark.range(40_000).select(
+        F.when(F.col("id") % 4 == 0, F.lit("h"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 5_000).cast("string")))
+        .alias("tok")
+    )
+    mg.build_mg(df, "tok", mg.MgConfig(k=64)).createOrReplaceTempView("mg_t")
+    row = spark.sql(
+        """SELECT mg_estimate(state, 'h') e, mg_estimate(state, 'absent') a,
+                  mg_error(state) err, mg_total(state) n FROM mg_t"""
+    ).collect()[0]
+    assert row["n"] == 40_000
+    assert row["err"] <= 40_000 / 65
+    assert row["a"] == 0
+    true_h = 10_000
+    assert row["e"] <= true_h <= row["e"] + row["err"]
