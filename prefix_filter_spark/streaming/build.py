@@ -187,3 +187,65 @@ def streaming_distinct_by_source(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+def streaming_heavy_hitters_by_source(
+    tokens: DataFrame,
+    *,
+    k: int = 256,
+    timeout: str = "NoTimeout",
+):
+    """Stateful streaming op: running Misra-Gries heavy-hitter summary
+    per `source`; state = the serialized MG counter map (bounded at k
+    counters regardless of stream length, so the state store never
+    grows with the data — the property that makes MG the streaming
+    heavy-hitter sketch).
+
+    Input stream schema: (source string, token string). Output per
+    batch: (source, n_total, err, top_token, top_est) — the running
+    leader with its deterministic bound est <= true <= est + err.
+    """
+    from prefix_filter_spark.sketches import mg
+
+    cfg = mg.MgConfig(k=k)
+
+    def update(key, pdfs, state: GroupState):
+        acc = mg.MgAccumulator(cfg)
+        for pdf in pdfs:
+            acc.update(pdf["token"].to_numpy())
+        new_state = acc.to_bytes()
+        if state.exists:
+            (blob,) = state.get
+            new_state = mg.merge_states([bytes(blob), new_state])
+        state.update((new_state,))
+        total, err, counts = mg.estimates(new_state)
+        top_token, top_est = (None, None)
+        if counts:
+            top_token = max(counts, key=lambda t: (counts[t], t))
+            top_est = counts[top_token]
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_total": [total],
+                "err": [err],
+                "top_token": [top_token],
+                "top_est": [top_est],
+            }
+        )
+
+    timeout_conf = getattr(GroupStateTimeout, timeout, None)
+    if timeout_conf is None:
+        raise ValueError(
+            f"unknown timeout {timeout!r}; expected a GroupStateTimeout "
+            "name (NoTimeout, ProcessingTimeTimeout, EventTimeTimeout)"
+        )
+    return tokens.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "source string, n_total long, err long, "
+            "top_token string, top_est long"
+        ),
+        stateStructType="state binary",
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )

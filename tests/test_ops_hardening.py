@@ -440,3 +440,55 @@ def test_streaming_epoch_marker_atomic_and_recovers(spark):
     }
     # same keys merged in twice through OR-merge filters: bit-identical
     assert before == after
+
+
+def test_streaming_stateful_mg_heavy_hitters(spark):
+    """MG state through applyInPandasWithState across multiple
+    micro-batches: bounded state, running deterministic bound, and the
+    planted per-source hot token leads the final batch output."""
+    from prefix_filter_spark.sketches import mg
+    from prefix_filter_spark.streaming.build import streaming_heavy_hitters_by_source
+
+    n = 30_000
+    tok = spark.range(n).select(
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        F.when(
+            F.col("id") % 4 == 0,
+            F.concat(F.lit("HOT_s"), (F.col("id") % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 1_500).cast("string")))
+        .alias("token"),
+        F.pmod(F.col("id"), F.lit(3)).alias("b"),
+    )
+    src_dir = f"{TMP}/mg_src"
+    for i in range(3):  # three files -> three micro-batches
+        tok.where(F.col("b") == i).drop("b").write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema("source string, token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = streaming_heavy_hitters_by_source(stream, k=48)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mg_by_source")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{TMP}/mg_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.sql(
+        """SELECT source, n_total, err, top_token, top_est FROM (
+             SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_total DESC) rn
+             FROM mg_by_source) WHERE rn = 1"""
+    ).toPandas()
+    assert len(final) == 3
+    for _, r in final.iterrows():
+        assert r["n_total"] == n // 3
+        assert r["err"] <= r["n_total"] / (48 + 1)
+        assert r["top_token"] == f"HOT_{r['source']}"
+        true_hot = n // 12
+        assert r["top_est"] <= true_hot <= r["top_est"] + r["err"]
