@@ -424,6 +424,34 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_summary(docs, "doc_id", "n_tok", budget=2048, num_buckets=8)
 
 
+def q_srp_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SRP embedding near-dup (operators/dedup.py
+    srp_near_dup_pairs): planted near-copies (first coordinate ×1.25 —
+    cosine ≈ 0.998 vs a 0.51 natural max, so the answer set is
+    unambiguous) must ALL be found through the band-bucket candidate
+    path and verified by exact cosine. Planting happens in the DOUBLE
+    domain on both engines, so values hash-match exactly. The DuckDB
+    oracle is the exact all-pairs scan."""
+    from prefix_filter_spark.operators.dedup import srp_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == F.lit(0), x * F.lit(1.25)).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    out = srp_near_dup_pairs(corpus, threshold=0.95, bands=8)
+    return out.select(
+        "v1", "v2", F.round("cosine", 6).alias("cosine")
+    ).orderBy("v1", "v2")
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted mixture over `source` strata
     (operators/sampling.py): exactly ceil(frac_s * n_s) docs per source,
@@ -1160,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "sequence_packing": q_sequence_packing,
         "mixture_sample": q_mixture_sample,
+        "srp_near_dup_pairs": q_srp_near_dup_pairs,
         "ntok_quantiles": q_ntok_quantiles,
         "pf_join_probe": q_pf_join_probe,
         "runtime_filter_join": q_runtime_filter_join,
@@ -1433,6 +1462,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS word, count(*) AS cnt, true AS mg_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
             GROUP BY w ORDER BY cnt DESC, w LIMIT 10
+        """,
+        "srp_near_dup_pairs": """
+            WITH base AS (
+              SELECT vec_id, list_transform(embedding, x -> x::double) d
+              FROM embeddings),
+            planted AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     [CASE WHEN i = 1 THEN d[i] * 1.25 ELSE d[i] END
+                      for i in range(1, len(d) + 1)] AS d
+              FROM base),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+            p AS (
+              SELECT a.vec_id v1, b.vec_id v2,
+                     list_dot_product(a.d, b.d)
+                       / (sqrt(list_dot_product(a.d, a.d))
+                          * sqrt(list_dot_product(b.d, b.d))) AS c
+              FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+            SELECT v1, v2, round(c, 6) AS cosine
+            FROM p WHERE c >= 0.95 ORDER BY v1, v2
         """,
         "mixture_sample": """
             WITH r AS (

@@ -364,9 +364,77 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8, seed: int = 42) -> Data
     ).where(F.col("hamming") <= max_hamming)
 
 
+def srp_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 64,
+    bands: int = 16,
+    dim: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """Embedding near-duplicates at scale: SRP band buckets generate the
+    candidate pairs, exact cosine verifies candidates ONLY — the same
+    bucket-then-verify shape as ``minhash_lsh_pairs``, for vectors.
+
+    The all-pairs twin below (``embedding_near_dups``) is O(n²) and is
+    the oracle/verifier role; this one touches only bucket-mates. Recall
+    per pair at angle θ is 1-(1-(1-θ/π)^(n_bits/bands))^bands — at
+    cosine ≥ 0.9 with 16×4-bit bands the miss probability is ~1e-13,
+    and on fixed data + seed the outcome is deterministic (gated by
+    exact-oracle hash match at three SFs). Hot buckets are quadratic,
+    inherent to LSH banding (same documented caveat as MinHash-LSH).
+    """
+    from prefix_filter_spark.operators.similarity import (
+        cosine_expr,
+        srp_signature_udf,
+    )
+
+    sig = srp_signature_udf(dim, n_bits, seed)
+    bits_per_band = n_bits // bands
+    sigs = embeddings.select("vec_id", sig(F.col("embedding")).alias("_sig"))
+    banded = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), b * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("v"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("vec_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .distinct()
+    )
+    # verification joins attach vectors to CANDIDATES only (ids ride the
+    # bucket join, never the vectors); AQE sizes the join strategy
+    e1 = embeddings.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    e2 = embeddings.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    return (
+        pairs.join(e1, "v1")
+        .join(e2, "v2")
+        .select("v1", "v2", cosine_expr(F.col("e1"), F.col("e2")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicates (exact all-pairs; the ANN path
-    in operators.similarity scales this via SRP-LSH bucketing)."""
+    in operators.similarity scales this via SRP-LSH bucketing — see
+    ``srp_near_dup_pairs`` for the bucketed scale path)."""
     from prefix_filter_spark.operators.similarity import cosine_expr
 
     a = embeddings.alias("a")

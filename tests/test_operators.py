@@ -210,3 +210,34 @@ def test_ivf_ann_recall_and_determinism(spark):
                     .select("query_id", "vec_id").collect()))
     got = set((r[0], r[1]) for r in a)
     assert len(exact & got) / len(exact) >= 0.7
+
+
+def test_srp_near_dup_equals_exact_all_pairs(spark):
+    """The banded scale path finds exactly the pairs the O(n^2) exact
+    operator finds (planted near-copies over isotropic noise), at a
+    candidate count far below all-pairs."""
+    import numpy as np
+
+    from prefix_filter_spark.operators.dedup import (
+        embedding_near_dups,
+        srp_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((400, 64))
+    near = base[:80].copy()
+    near[:, 0] *= 1.25  # cosine ~0.998 vs natural max ~0.5
+    rows = [(i, base[i].tolist()) for i in range(400)] + [
+        (10_000 + i, near[i].tolist()) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["v1"], r["v2"])
+        for r in srp_near_dup_pairs(emb, threshold=0.95, bands=8).collect()
+    }
+    want = {
+        (r["v1"], r["v2"])
+        for r in embedding_near_dups(emb, threshold=0.95).collect()
+    }
+    assert want == {(i, 10_000 + i) for i in range(80)}
+    assert got == want
