@@ -424,6 +424,46 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_summary(docs, "doc_id", "n_tok", budget=2048, num_buckets=8)
 
 
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimation (operators/join_stats.py): exact
+    distinct-key counts + true join size (DuckDB-matched), with a
+    self-asserted boolean that the KMV estimates — computed WITHOUT
+    joining or shuffling the data — land within their published bounds
+    (4 sigma, overlap error scaled by union/intersection)."""
+    import math
+
+    from prefix_filter_spark.operators.join_stats import estimate_join
+    from prefix_filter_spark.sketches import kmv
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cfg = kmv.KmvConfig(k=4096, seed=17)
+    est = estimate_join(li, "l_orderkey", od, "o_orderkey", cfg)
+
+    da = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    db = od.select(F.countDistinct("o_orderkey")).collect()[0][0]
+    shared = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .join(od.select(F.col("o_orderkey").alias("k")).distinct(), "k")
+        .count()
+    )
+    join_rows = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    union = da + db - shared
+    tol = 4 * cfg.rel_error() * math.sqrt(union / max(shared, 1))
+    ok = (
+        abs(est.distinct_a - da) / da <= 4 * cfg.rel_error()
+        and abs(est.distinct_b - db) / db <= 4 * cfg.rel_error()
+        and abs(est.overlap - shared) / max(shared, 1) <= tol
+        and abs(est.est_join_rows - join_rows) / max(join_rows, 1) <= 2 * tol
+    )
+    return spark.createDataFrame(
+        [(int(da), int(db), int(shared), int(join_rows), bool(ok))],
+        "n_keys_lineitem long, n_keys_orders long, n_shared long, "
+        "join_rows long, kmv_ok boolean",
+    )
+
+
 def q_srp_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SRP embedding near-dup (operators/dedup.py
     srp_near_dup_pairs): planted near-copies (first coordinate ×1.25 —
@@ -1189,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "mixture_sample": q_mixture_sample,
         "srp_near_dup_pairs": q_srp_near_dup_pairs,
+        "join_cardinality": q_join_cardinality,
         "ntok_quantiles": q_ntok_quantiles,
         "pf_join_probe": q_pf_join_probe,
         "runtime_filter_join": q_runtime_filter_join,
@@ -1462,6 +1503,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS word, count(*) AS cnt, true AS mg_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
             GROUP BY w ORDER BY cnt DESC, w LIMIT 10
+        """,
+        "join_cardinality": """
+            SELECT
+              (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_keys_lineitem,
+              (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_keys_orders,
+              (SELECT count(*) FROM
+                 (SELECT DISTINCT l_orderkey FROM lineitem) a
+                 JOIN (SELECT DISTINCT o_orderkey FROM orders) b
+                   ON a.l_orderkey = b.o_orderkey) AS n_shared,
+              (SELECT count(*) FROM lineitem JOIN orders
+                 ON l_orderkey = o_orderkey) AS join_rows,
+              true AS kmv_ok
         """,
         "srp_near_dup_pairs": """
             WITH base AS (
