@@ -424,6 +424,22 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_summary(docs, "doc_id", "n_tok", budget=2048, num_buckets=8)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): docs
+    with doc_id % 17 == 0 stand in as the held-out benchmark; every
+    other doc sharing >= 1 distinct 3-gram with it is flagged with its
+    exact shared count. Filter-pruned map-side, exact-verified — the
+    DuckDB oracle is the plain shingle intersection."""
+    from prefix_filter_spark.operators.decontaminate import contaminated_docs
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    return contaminated_docs(spark, corpus, bench, n=3, min_hits=1).orderBy(
+        "doc_id"
+    )
+
+
 def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-join cardinality estimation (operators/join_stats.py): exact
     distinct-key counts + true join size (DuckDB-matched), with a
@@ -1230,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "srp_near_dup_pairs": q_srp_near_dup_pairs,
         "join_cardinality": q_join_cardinality,
+        "decontaminate": q_decontaminate,
         "ntok_quantiles": q_ntok_quantiles,
         "pf_join_probe": q_pf_join_probe,
         "runtime_filter_join": q_runtime_filter_join,
@@ -1503,6 +1520,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS word, count(*) AS cnt, true AS mg_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
             GROUP BY w ORDER BY cnt DESC, w LIMIT 10
+        """,
+        "decontaminate": f"""
+            WITH w AS (SELECT doc_id, {_DUCK_WORDS} ws FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws)-1)]) AS s
+                   FROM w),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+            corp AS (SELECT * FROM sh WHERE doc_id % 17 <> 0)
+            SELECT doc_id, count(*) AS n_shared
+            FROM corp JOIN bench USING (s)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "join_cardinality": """
             SELECT
