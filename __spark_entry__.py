@@ -424,6 +424,26 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_summary(docs, "doc_id", "n_tok", budget=2048, num_buckets=8)
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/text.py
+    repetition_scores — map-only Catalyst), aggregated per source;
+    DuckDB mirrors the per-doc duplicate-n-gram fractions exactly."""
+    from prefix_filter_spark.operators.text import repetition_scores
+
+    r = repetition_scores(_docs(spark, sf_dir))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dup_word_frac"), 6).alias("avg_dup_word"),
+            F.round(F.avg("dup_2gram_frac"), 6).alias("avg_dup_2gram"),
+            F.round(F.avg("dup_3gram_frac"), 6).alias("avg_dup_3gram"),
+            F.round(F.max("dup_3gram_frac"), 6).alias("max_dup_3gram"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py): docs
     with doc_id % 17 == 0 stand in as the held-out benchmark; every
@@ -1247,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_near_dup_pairs": q_srp_near_dup_pairs,
         "join_cardinality": q_join_cardinality,
         "decontaminate": q_decontaminate,
+        "repetition_scores": q_repetition_scores,
         "ntok_quantiles": q_ntok_quantiles,
         "pf_join_probe": q_pf_join_probe,
         "runtime_filter_join": q_runtime_filter_join,
@@ -1520,6 +1541,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT w AS word, count(*) AS cnt, true AS mg_ok
             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
             GROUP BY w ORDER BY cnt DESC, w LIMIT 10
+        """,
+        "repetition_scores": f"""
+            WITH t AS (SELECT source, {_DUCK_WORDS} ws FROM documents),
+            g AS (
+              SELECT source,
+                round(CASE WHEN len(ws) > 0
+                  THEN 1.0 - len(list_distinct(ws))::double / len(ws)
+                  ELSE 0 END, 6) AS dw,
+                round(CASE WHEN len(ws) >= 2
+                  THEN 1.0 - len(list_distinct(
+                    [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                  ))::double / (len(ws) - 1) ELSE 0 END, 6) AS d2,
+                round(CASE WHEN len(ws) >= 3
+                  THEN 1.0 - len(list_distinct(
+                    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws)-1)]
+                  ))::double / (len(ws) - 2) ELSE 0 END, 6) AS d3
+              FROM t)
+            SELECT source, count(*) AS n_docs,
+                   round(avg(dw), 6) AS avg_dup_word,
+                   round(avg(d2), 6) AS avg_dup_2gram,
+                   round(avg(d3), 6) AS avg_dup_3gram,
+                   round(max(d3), 6) AS max_dup_3gram
+            FROM g GROUP BY source ORDER BY source
         """,
         "decontaminate": f"""
             WITH w AS (SELECT doc_id, {_DUCK_WORDS} ws FROM documents),

@@ -83,6 +83,43 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    §A1.1: high duplicate-n-gram fractions mark boilerplate/spam):
+    fraction of duplicate words, 2-grams, and 3-grams per doc.
+
+    Pure Catalyst (map-only, zero shuffle, zero Python): dup_frac_n =
+    1 - distinct_ngrams / total_ngrams, exactly mirrorable in the
+    DuckDB oracle. Filter on these upstream of dedup — dropping a
+    repetitive doc is cheaper than MinHashing it.
+    """
+    ws = words_col("text")
+
+    def ngrams(n: int):
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(arr):
+        return F.when(
+            F.size(arr) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(arr)) / F.size(arr),
+        ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(ws).alias("n_words"),
+        F.round(dup_frac(ws), 6).alias("dup_word_frac"),
+        F.round(dup_frac(ngrams(2)), 6).alias("dup_2gram_frac"),
+        F.round(dup_frac(ngrams(3)), 6).alias("dup_3gram_frac"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Exact content fingerprint: md5 of the normalized word join.
 

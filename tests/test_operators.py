@@ -241,3 +241,34 @@ def test_srp_near_dup_equals_exact_all_pairs(spark):
     }
     assert want == {(i, 10_000 + i) for i in range(80)}
     assert got == want
+
+
+def test_repetition_scores_reference(spark):
+    """Hand-computed duplicate-n-gram fractions on crafted docs."""
+    from prefix_filter_spark.operators.text import repetition_scores
+
+    rows = [
+        (1, "a a a a", "s"),              # words: 4 total / 1 distinct
+        (2, "a b a b a", "s"),            # 2-grams: 4 total / 2 distinct
+        (3, "x y z w", "s"),              # no repetition at all
+        (4, "solo", "s"),                 # too short for any n-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    assert got[1]["dup_word_frac"] == 0.75
+    assert got[1]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert got[2]["dup_2gram_frac"] == 0.5
+    assert got[2]["dup_3gram_frac"] == round(1 - 2 / 3, 6)
+    assert got[3]["dup_word_frac"] == 0.0
+    assert got[3]["dup_3gram_frac"] == 0.0
+    assert got[4]["dup_2gram_frac"] == 0.0 and got[4]["n_words"] == 1
+
+
+def test_repetition_plan_is_map_only(spark, documents):
+    from prefix_filter_spark.operators.text import repetition_scores
+
+    plan = (
+        repetition_scores(documents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
