@@ -304,6 +304,20 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         ).count()
 
     times["mixture_sample"] = _timed_best(_mixture, name="mixture_sample")
+
+    def _decontam():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.decontaminate import contaminated_docs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        contaminated_docs(
+            spark,
+            docs.where(F.col("doc_id") % 17 != 0),
+            docs.where(F.col("doc_id") % 17 == 0),
+        ).count()
+
+    times["decontaminate"] = _timed_best(_decontam, name="decontaminate")
     return times
 
 

@@ -47,13 +47,21 @@ def pack_assignments(
     weight_col: str,
     budget: int,
     num_buckets: int | None = None,
+    partition_col: str | None = None,
 ) -> DataFrame:
-    """Add ``tok_offset`` (global exclusive prefix sum of ``weight_col``
-    in ``order_col`` order) and ``pack_id`` (= tok_offset // budget).
+    """Add ``tok_offset`` (exclusive prefix sum of ``weight_col`` in
+    ``order_col`` order) and ``pack_id`` (= tok_offset // budget).
 
     ``order_col`` must be unique per row (e.g. doc_id) — it defines the
     global concatenation order. ``weight_col`` must be a non-negative
     integral token count.
+
+    ``partition_col`` switches to GROUPED packing (the curriculum /
+    per-mixture-source shard shape): offsets and pack ids are computed
+    independently within each group, namespaced by the group value.
+    Driver state grows to one row per (group, bucket) — fine for
+    mixture-source cardinalities (10s-1000s); for millions of groups
+    run per-group jobs instead (documented limit).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
@@ -77,16 +85,21 @@ def pack_assignments(
     ).cast("int")
     with_b = df.withColumn("_bucket", bucket)
 
+    grp_keys = [partition_col] if partition_col else []
     totals = (
-        with_b.groupBy("_bucket")
+        with_b.groupBy(*grp_keys, "_bucket")
         .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
         .collect()
     )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for r in sorted(totals, key=lambda r: r["_bucket"]):
-        offsets[r["_bucket"]] = acc
-        acc += int(r["w"])
+    # exclusive prefix offsets per group (group = () when ungrouped)
+    offsets: dict[tuple, int] = {}
+    acc_by_group: dict[tuple, int] = {}
+    for r in sorted(
+        totals, key=lambda r: (tuple(r[k] for k in grp_keys), r["_bucket"])
+    ):
+        g = tuple(r[k] for k in grp_keys)
+        offsets[(g, r["_bucket"])] = acc_by_group.get(g, 0)
+        acc_by_group[g] = acc_by_group.get(g, 0) + int(r["w"])
 
     cols = [f.name for f in with_b.schema.fields]
     # StructType.add mutates in place — build a fresh schema instead
@@ -96,16 +109,21 @@ def pack_assignments(
     )
 
     def assign(batches):
-        consumed: dict[int, int] = {}
+        consumed: dict[tuple, int] = {}
         for pdf in batches:
             if not len(pdf):
                 continue
+            gvals = (
+                list(zip(*(pdf[k] for k in grp_keys)))
+                if grp_keys
+                else [()] * len(pdf)
+            )
             offs = []
-            for b, w in zip(pdf["_bucket"], pdf[weight_col]):
-                b = int(b)
-                base = offsets[b] + consumed.get(b, 0)
+            for g, b, w in zip(gvals, pdf["_bucket"], pdf[weight_col]):
+                key = (g, int(b))
+                base = offsets[key] + consumed.get(key, 0)
                 offs.append(base)
-                consumed[b] = consumed.get(b, 0) + int(w)
+                consumed[key] = consumed.get(key, 0) + int(w)
             out = pdf[cols].copy()
             out["tok_offset"] = pd.Series(offs, index=pdf.index, dtype="int64")
             out["pack_id"] = out["tok_offset"] // budget

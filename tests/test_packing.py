@@ -84,3 +84,33 @@ def test_no_global_window_in_plan(spark):
     plan = pack_assignments(df, "doc_id", "n_tok", budget=100, num_buckets=4)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "MapInPandas" in plan
+
+
+def test_grouped_packing_matches_per_group_cumsum(spark):
+    """partition_col: packs computed independently per group — equal to
+    the exact per-group cumsum, regardless of bucketing."""
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(4_000),
+            "source": [f"s{i % 5}" for i in range(4_000)],
+            "n_tok": rng.integers(1, 700, size=4_000).astype("int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf.sample(frac=1, random_state=2)).repartition(9)
+    got = (
+        pack_assignments(df, "doc_id", "n_tok", budget=1500, num_buckets=7,
+                         partition_col="source")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want_parts = []
+    for _, g in pdf.groupby("source"):
+        g = g.sort_values("doc_id").copy()
+        g["tok_offset"] = g["n_tok"].cumsum().shift(1, fill_value=0).astype("int64")
+        g["pack_id"] = g["tok_offset"] // 1500
+        want_parts.append(g)
+    want = pd.concat(want_parts).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "tok_offset", "pack_id"]],
+        want[["doc_id", "tok_offset", "pack_id"]],
+    )
