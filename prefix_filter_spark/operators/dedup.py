@@ -431,6 +431,127 @@ def srp_near_dup_pairs(
     )
 
 
+def semdedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    seed: int = 29,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the corpus, compare pairs only
+    WITHIN a cluster, exact-cosine verify. Returns
+    (v1, v2, cluster_id, cosine) with v1 < v2 and cosine >= threshold.
+
+    The third embedding-dedup shape beside ``srp_near_dup_pairs``
+    (probabilistic band buckets) and ``embedding_near_dups`` (exact
+    O(n²) oracle). Where SRP banding gives a per-pair recall guarantee,
+    SemDeDup gives a cost guarantee: candidate work is Σ|c_i|² — with k
+    clusters of balanced size that is n²/k, and k scales with n (the
+    paper uses k=50,000 at 5B embeddings), so per-cluster work stays
+    bounded. Plan at 100TB: one pandas-UDF assignment pass over the
+    corpus (no shuffle — centroids ride a broadcast), ONE shuffle on
+    cluster_id for the self-join, cosine verify inside the join. Skewed
+    (oversized) clusters are the documented failure mode — mitigate by
+    raising nlist, exactly as the paper does.
+
+    Recall caveat (vs the reference-exact oracle): a true pair is
+    missed only when its members straddle a cluster boundary; near-dups
+    (cosine ≥ 0.95) almost always share an argmax centroid. Gated by an
+    exact-oracle comparison + recall self-assert on planted dups.
+    """
+    from prefix_filter_spark.operators.similarity import (
+        cosine_expr,
+        ivf_assign_udf,
+        ivf_train_centroids,
+    )
+
+    spark = embeddings.sparkSession
+    cents = ivf_train_centroids(embeddings, nlist=nlist, seed=seed)
+    corpus = embeddings.withColumn(
+        "cluster_id", ivf_assign_udf(cents, spark, nprobe=1)(F.col("embedding"))[0]
+    )
+    a, b = corpus.alias("a"), corpus.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.col("a.cluster_id").alias("cluster_id"),
+            cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup_drop_ids(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    seed: int = 29,
+) -> DataFrame:
+    """SemDeDup keep/drop decision: of each near-dup pair, DROP the
+    member closer to its cluster centroid (the paper keeps the example
+    with the LOWEST centroid similarity — the least redundant one),
+    ties broken by larger vec_id. Returns distinct (vec_id) to drop.
+
+    A local pairwise rule rather than connected components — every
+    group of mutual near-dups keeps at least its centroid-farthest
+    member, and the rule is a pure function of (data, seed), so
+    resumable and merge-order-free like every operator here.
+    """
+    from prefix_filter_spark.operators.similarity import (
+        cosine_expr,
+        ivf_assign_udf,
+        ivf_train_centroids,
+    )
+
+    spark = embeddings.sparkSession
+    cents = ivf_train_centroids(embeddings, nlist=nlist, seed=seed)
+    assign = ivf_assign_udf(cents, spark, nprobe=1)
+
+    @F.pandas_udf("double")
+    def _centroid_sim(emb, cid):
+        import numpy as np
+        import pandas as pd
+
+        c = cents.astype(np.float64)
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x * c[cid.to_numpy()]).sum(axis=1))
+
+    corpus = embeddings.withColumn(
+        "cluster_id", assign(F.col("embedding"))[0]
+    ).withColumn("csim", _centroid_sim(F.col("embedding"), F.col("cluster_id")))
+    a, b = corpus.alias("a"), corpus.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            cosine_expr(F.col("a.embedding"), F.col("b.embedding")) >= threshold
+        )
+        .select(
+            F.when(
+                (F.col("a.csim") > F.col("b.csim"))
+                | (
+                    (F.col("a.csim") == F.col("b.csim"))
+                    & (F.col("a.vec_id") > F.col("b.vec_id"))
+                ),
+                F.col("a.vec_id"),
+            )
+            .otherwise(F.col("b.vec_id"))
+            .alias("vec_id")
+        )
+    )
+    return pairs.distinct()
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicates (exact all-pairs; the ANN path
     in operators.similarity scales this via SRP-LSH bucketing — see

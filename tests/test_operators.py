@@ -243,6 +243,75 @@ def test_srp_near_dup_equals_exact_all_pairs(spark):
     assert got == want
 
 
+def test_semdedup_equals_exact_all_pairs(spark):
+    """The cluster-scoped path (SemDeDup) finds exactly the pairs the
+    O(n^2) exact operator finds on planted near-copies — near-dups land
+    in the same k-means cluster — and the output is deterministic."""
+    import numpy as np
+
+    from prefix_filter_spark.operators.dedup import (
+        embedding_near_dups,
+        semdedup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((400, 64))
+    near = base[:80].copy()
+    near[:, 0] *= 1.25
+    rows = [(i, base[i].tolist()) for i in range(400)] + [
+        (10_000 + i, near[i].tolist()) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["v1"], r["v2"])
+        for r in semdedup_pairs(emb, threshold=0.95, nlist=8).collect()
+    }
+    want = {
+        (r["v1"], r["v2"])
+        for r in embedding_near_dups(emb, threshold=0.95).collect()
+    }
+    assert want == {(i, 10_000 + i) for i in range(80)}
+    assert got == want
+    again = {
+        (r["v1"], r["v2"])
+        for r in semdedup_pairs(emb, threshold=0.95, nlist=8).collect()
+    }
+    assert again == got, "semdedup must be deterministic"
+
+
+def test_semdedup_drop_rule(spark):
+    """Drop the centroid-CLOSER member of each near-dup pair (the paper
+    keeps the least-redundant example); at least one member of every
+    pair survives, and drops are a subset of pair members."""
+    import numpy as np
+
+    from prefix_filter_spark.operators.dedup import (
+        semdedup_drop_ids,
+        semdedup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((400, 64))
+    near = base[:80].copy()
+    near[:, 0] *= 1.25
+    rows = [(i, base[i].tolist()) for i in range(400)] + [
+        (10_000 + i, near[i].tolist()) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = [
+        (r["v1"], r["v2"])
+        for r in semdedup_pairs(emb, threshold=0.95, nlist=8).collect()
+    ]
+    drops = {r["vec_id"] for r in semdedup_drop_ids(emb, threshold=0.95, nlist=8).collect()}
+    members = {v for p in pairs for v in p}
+    assert drops, "planted dups must produce drops"
+    assert drops <= members
+    for v1, v2 in pairs:
+        assert not (v1 in drops and v2 in drops), (
+            f"pair ({v1},{v2}) lost both members"
+        )
+
+
 def test_repetition_scores_reference(spark):
     """Hand-computed duplicate-n-gram fractions on crafted docs."""
     from prefix_filter_spark.operators.text import repetition_scores
