@@ -590,6 +590,30 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM perplexity filter (operators/lm_score.py):
+    train a smoothed bigram LM on the reference split (doc_id % 10 != 0),
+    score the held-out split. Exact integer counts + double log
+    arithmetic — DuckDB reproduces the model bit-for-bit (hash-matched),
+    no bound or self-assert needed."""
+    from prefix_filter_spark.operators.lm_score import (
+        lm_perplexity,
+        train_bigram_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    held_out = docs.where(F.col("doc_id") % 10 == 0)
+    uni, bg, v = train_bigram_counts(train)
+    out = lm_perplexity(held_out, uni, bg, v, alpha=0.5)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.round("perplexity", 4).alias("perplexity"),
+    ).orderBy("doc_id")
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted mixture over `source` strata
     (operators/sampling.py): exactly ceil(frac_s * n_s) docs per source,
@@ -1328,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "srp_near_dup_pairs": q_srp_near_dup_pairs,
         "semdedup_pairs": q_semdedup_pairs,
+        "lm_perplexity": q_lm_perplexity,
         "join_cardinality": q_join_cardinality,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
@@ -1691,6 +1716,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT v1, v2, round(c, 6) AS cosine,
                    true AS semdedup_recall_ok
             FROM p WHERE c >= 0.95 ORDER BY v1, v2
+        """,
+        "lm_perplexity": f"""
+            WITH w AS (SELECT doc_id, {_DUCK_WORDS} ws FROM documents),
+            tbg AS (
+              SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                     unnest(ws[2:len(ws)]) AS w2
+              FROM w WHERE doc_id % 10 <> 0 AND len(ws) >= 2),
+            cb AS (SELECT w1, w2, count(*) AS c_bg FROM tbg GROUP BY w1, w2),
+            cu AS (SELECT w1, count(*) AS c_u FROM tbg GROUP BY w1),
+            v AS (SELECT count(DISTINCT x) AS v
+                  FROM (SELECT unnest(ws) AS x
+                        FROM w WHERE doc_id % 10 <> 0)),
+            sbg AS (
+              SELECT doc_id,
+                     unnest(ws[1:len(ws)-1]) AS w1,
+                     unnest(ws[2:len(ws)]) AS w2
+              FROM w WHERE doc_id % 10 = 0 AND len(ws) >= 2),
+            nll AS (
+              SELECT doc_id,
+                     -log2((coalesce(c_bg, 0) + 0.5)
+                           / (coalesce(c_u, 0) + 0.5 * v.v)) AS nll
+              FROM sbg
+              LEFT JOIN cb USING (w1, w2)
+              LEFT JOIN cu USING (w1), v)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(nll), 6) AS avg_nll,
+                   round(pow(2.0, avg(nll)), 4) AS perplexity
+            FROM nll GROUP BY doc_id ORDER BY doc_id
         """,
         "mixture_sample": """
             WITH r AS (

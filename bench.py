@@ -331,6 +331,22 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         semdedup_pairs(emb, threshold=0.95, nlist=16).count()
 
     times["semdedup_pairs"] = _timed_best(_semdedup, name="semdedup_pairs")
+
+    def _lm():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.lm_score import (
+            lm_perplexity,
+            train_bigram_counts,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        uni, bg, v = train_bigram_counts(docs.where(F.col("doc_id") % 10 != 0))
+        lm_perplexity(
+            docs.where(F.col("doc_id") % 10 == 0), uni, bg, v
+        ).count()
+
+    times["lm_perplexity"] = _timed_best(_lm, name="lm_perplexity")
     return times
 
 

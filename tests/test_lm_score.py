@@ -1,0 +1,93 @@
+"""N-gram LM perplexity scoring (operators/lm_score.py) — hand-computed
+reference values plus the CCNet-shaped invariants."""
+
+import math
+
+from prefix_filter_spark.operators.lm_score import (
+    lm_perplexity,
+    perplexity_buckets,
+    train_bigram_counts,
+)
+
+
+def _score(spark, train_rows, score_rows, alpha=0.5):
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+    uni, bg, v = train_bigram_counts(train)
+    return v, {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["perplexity"])
+        for r in lm_perplexity(score, uni, bg, v, alpha=alpha).collect()
+    }
+
+
+def test_hand_computed_bigram_lm(spark):
+    """ref 'a b a b': c(a,b)=2, c(b,a)=1, prefix counts a=2 b=1, V=2.
+    p(b|a) = (2+.5)/(2+1) = 2.5/3;  p(b|b) = (0+.5)/(1+1) = 0.25."""
+    v, out = _score(spark, [(1, "a b a b")], [(10, "a b"), (11, "b b")])
+    assert v == 2
+    n, nll, ppx = out[10]
+    assert n == 1
+    assert abs(nll - (-math.log2(2.5 / 3))) < 1e-12
+    assert abs(ppx - 3 / 2.5) < 1e-12
+    n, nll, ppx = out[11]
+    assert n == 1
+    assert abs(nll - 2.0) < 1e-12
+    assert abs(ppx - 4.0) < 1e-12
+
+
+def test_smoothing_sums_to_one(spark):
+    """Σ_w p(w|u) = 1 exactly: prefix counts are continuation totals, so
+    add-alpha mass is conserved — the property that makes perplexities
+    comparable across docs."""
+    spark_df = spark.createDataFrame(
+        [(1, "a b a c a b b a")], "doc_id long, text string"
+    )
+    uni, bg, vocab = train_bigram_counts(spark_df)
+    cu = {r["w1"]: r["c_u"] for r in uni.collect()}
+    cb = {(r["w1"], r["w2"]): r["c_bg"] for r in bg.collect()}
+    alpha = 0.5
+    for u in cu:
+        # V smoothing slots, of which the observed successors are a
+        # subset; summing over exactly V candidate words must give 1
+        seen = {w for (uu, w) in cb if uu == u}
+        total = sum(
+            (cb[(u, w)] + alpha) / (cu[u] + alpha * vocab) for w in seen
+        ) + (vocab - len(seen)) * alpha / (cu[u] + alpha * vocab)
+        assert abs(total - 1.0) < 1e-12, (u, total)
+
+
+def test_train_docs_score_lower_than_noise(spark):
+    """Docs drawn from the training distribution get lower perplexity
+    than word salad over unseen words — the filter's entire point."""
+    train = [(i, "the cat sat on the mat and the dog ran") for i in range(8)]
+    v, out = _score(
+        spark,
+        train,
+        [(100, "the cat sat on the mat"), (101, "qq ww ee rr tt yy")],
+    )
+    assert out[100][2] < out[101][2]
+
+
+def test_perplexity_buckets(spark):
+    """head/middle/tail split at the two cutoffs (CCNet §4.3)."""
+    train = [(1, "a b a b a b")]
+    t = spark.createDataFrame(train, "doc_id long, text string")
+    uni, bg, v = train_bigram_counts(t)
+    scores = lm_perplexity(
+        spark.createDataFrame(
+            [(10, "a b a b"), (11, "b b"), (12, "zz yy")],
+            "doc_id long, text string",
+        ),
+        uni,
+        bg,
+        v,
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in scores.withColumn(
+            "bucket", perplexity_buckets(scores, (1.5, 3.0))
+        ).collect()
+    }
+    # ppx: doc10 ~1.16 (in-distribution), doc12 = 2.0 (unseen context ->
+    # uniform over V=2), doc11 = 6.0 (seen context, unseen successor)
+    assert got == {10: "head", 12: "middle", 11: "tail"}
