@@ -590,6 +590,51 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs
+    (operators/components.py): the step between pair generation and
+    keep-one-per-cluster. Planted 3-chains over synthetic unique-word
+    docs (A~B at jaccard 54/62≈0.871, B~C at 52/64≈0.8125, A~C at
+    50/66≈0.758 < 0.8 — so {A,B,C} is connected ONLY through B,
+    exercising multi-hop propagation), unioned with the real corpus
+    (organic ≥0.8 pairs join their own components). Oracle: the same
+    pairs fed through a DuckDB recursive CTE computing min-reachable
+    labels — a full hash match, no self-asserts."""
+    from prefix_filter_spark.operators.components import connected_components
+    from prefix_filter_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = _docs(spark, sf_dir).where(F.col("doc_id") % 17 == 0).select("doc_id")
+    idx = F.sequence(F.lit(0), F.lit(59))
+
+    def _w(tag_rules):
+        # tag_rules: list of (bound, letter); default letter 'w'
+        def word(i):
+            expr = F.concat(F.lit("w"), F.col("doc_id"), F.lit("x"), i)
+            for bound, letter in reversed(tag_rules):
+                expr = F.when(
+                    i < F.lit(bound),
+                    F.concat(F.lit(letter), F.col("doc_id"), F.lit("x"), i),
+                ).otherwise(expr)
+            return expr
+
+        return F.array_join(F.transform(idx, word), " ")
+
+    # two-step selects: text must use the BASE id (Spark 4's lateral
+    # column aliasing would otherwise resolve doc_id to the shifted one)
+    def _plant(offset, rules):
+        return base.select("doc_id", _w(rules).alias("text")).select(
+            (F.col("doc_id") + F.lit(offset)).alias("doc_id"), "text"
+        )
+
+    pa = _plant(1_000_000, [])
+    pb = _plant(2_000_000, [(4, "b")])
+    pc = _plant(3_000_000, [(4, "b"), (8, "c")])
+    corpus = docs.unionByName(pa).unionByName(pb).unionByName(pc)
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.8)
+    return connected_components(pairs, src="d1", dst="d2").orderBy("node")
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style n-gram LM perplexity filter (operators/lm_score.py):
     train a smoothed bigram LM on the reference split (doc_id % 10 != 0),
@@ -1353,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_near_dup_pairs": q_srp_near_dup_pairs,
         "semdedup_pairs": q_semdedup_pairs,
         "lm_perplexity": q_lm_perplexity,
+        "dup_components": q_dup_components,
         "join_cardinality": q_join_cardinality,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
@@ -1716,6 +1762,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT v1, v2, round(c, 6) AS cosine,
                    true AS semdedup_recall_ok
             FROM p WHERE c >= 0.95 ORDER BY v1, v2
+        """,
+        "dup_components": f"""
+            WITH RECURSIVE
+            base AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0),
+            pa AS (SELECT base.doc_id + 1000000 AS doc_id,
+                     array_to_string(
+                       ['w' || base.doc_id || 'x' || i
+                        for i in range(0, 60)], ' ') AS text
+                   FROM base),
+            pb AS (SELECT base.doc_id + 2000000 AS doc_id,
+                     array_to_string(
+                       [CASE WHEN i < 4 THEN 'b' || base.doc_id || 'x' || i
+                             ELSE 'w' || base.doc_id || 'x' || i END
+                        for i in range(0, 60)], ' ') AS text
+                   FROM base),
+            pc AS (SELECT base.doc_id + 3000000 AS doc_id,
+                     array_to_string(
+                       [CASE WHEN i < 4 THEN 'b' || base.doc_id || 'x' || i
+                             WHEN i < 8 THEN 'c' || base.doc_id || 'x' || i
+                             ELSE 'w' || base.doc_id || 'x' || i END
+                        for i in range(0, 60)], ' ') AS text
+                   FROM base),
+            corpus AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT * FROM pa
+                       UNION ALL SELECT * FROM pb
+                       UNION ALL SELECT * FROM pc),
+            w AS (SELECT doc_id, {_DUCK_WORDS} ws FROM corpus),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws)-1)]) AS s
+                   FROM w),
+            cnts AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+            p AS (SELECT a.doc_id da, b.doc_id db, count(*) shared
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            e0 AS (SELECT da u, db v
+                   FROM p JOIN cnts ca ON ca.doc_id = da
+                          JOIN cnts cb ON cb.doc_id = db
+                   WHERE shared::double / (ca.n + cb.n - shared) >= 0.8),
+            edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+            r AS (SELECT u AS node, u AS comp
+                  FROM (SELECT DISTINCT u FROM edges)
+                  UNION
+                  SELECT e.v AS node, r.comp
+                  FROM r JOIN edges e ON e.u = r.node
+                  WHERE r.comp < e.v)
+            SELECT node, min(comp) AS component
+            FROM r GROUP BY node ORDER BY node
         """,
         "lm_perplexity": f"""
             WITH w AS (SELECT doc_id, {_DUCK_WORDS} ws FROM documents),

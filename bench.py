@@ -347,6 +347,28 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         ).count()
 
     times["lm_perplexity"] = _timed_best(_lm, name="lm_perplexity")
+
+    def _components():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.components import (
+            connected_components,
+        )
+
+        # deterministic edge stream: chains of 4 within id-blocks
+        edges = (
+            spark.range(200_000)
+            .select(
+                F.col("id").alias("d1"),
+                F.when(F.col("id") % 4 != 3, F.col("id") + 1)
+                .otherwise(F.col("id"))
+                .alias("d2"),
+            )
+            .where(F.col("d1") != F.col("d2"))
+        )
+        connected_components(edges).count()
+
+    times["dup_components"] = _timed_best(_components, name="dup_components")
     return times
 
 

@@ -1,0 +1,140 @@
+"""Distributed connected components over near-duplicate pairs.
+
+The step every dedup pipeline needs between pair generation
+(minhash_lsh_pairs / simhash_pairs / srp_near_dup_pairs /
+semdedup_pairs) and the keep-one-per-cluster decision: near-dup PAIRS
+are edges; the unit of deduplication is the connected COMPONENT (A~B,
+B~C ⇒ {A,B,C} even when A~C never surfaced as a pair).
+
+Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+"Connected Components in MapReduce and Beyond") — the standard
+shuffle-based CC for data too big for one machine:
+
+- large-star: every node u connects its strictly-larger neighbors to
+  m(u) = min(Γ(u) ∪ {u}).
+- small-star: every node u connects its smaller-or-equal neighbors
+  (and itself) to m(u).
+
+Each round is two groupBy-min aggregations plus a join — no
+collect_list, so a hot node (a giant dup cluster) never materializes
+its neighbor list in one task. Converges in O(log² n) rounds to a
+star forest: every node points at its component's minimum id.
+
+Determinism: every step is a min — the result is a pure function of
+the edge set, independent of partitioning, merge order, or executor
+count (property: CC(edges) == CC(shuffle(edges))).
+
+Scale notes: each round's output is localCheckpoint'ed to truncate
+the iterative lineage (swap for checkpoint(dir) on a real cluster);
+rounds are counted, and the loop stops on a fixpoint detected by an
+order-free edge-set fingerprint (count + sum of xxhash64) — one tiny
+aggregate per round, no driver-side edge materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected form: (s, b) with s < b, distinct, no loops."""
+    return (
+        edges.select(
+            F.least("u", "v").alias("s"), F.greatest("u", "v").alias("b")
+        )
+        .where(F.col("s") != F.col("b"))
+        .distinct()
+    )
+
+
+def _fingerprint(canon: DataFrame) -> tuple[int, int]:
+    row = canon.agg(
+        F.count("*").alias("n"),
+        # decimal(38,0) sum: exact and ANSI-overflow-free for any count
+        F.coalesce(
+            F.sum(F.xxhash64("s", "b").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(canon: DataFrame) -> DataFrame:
+    sym = canon.select(F.col("s").alias("u"), F.col("b").alias("v")).union(
+        canon.select(F.col("b").alias("u"), F.col("s").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.where(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(canon: DataFrame) -> DataFrame:
+    # orient every edge toward its larger endpoint b; Γ(b) here is b's
+    # smaller neighborhood, so m = min over it (always ≤ b)
+    mins = canon.groupBy("b").agg(F.min("s").alias("m"))
+    attach = canon.join(mins, "b").select(
+        F.col("s").alias("u"), F.col("m").alias("v")
+    )
+    selfs = mins.select(F.col("b").alias("u"), F.col("m").alias("v"))
+    return attach.union(selfs)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``pairs``; component = the
+    smallest node id reachable from it. Raises if ``max_iter`` rounds
+    (default 25 ≫ the O(log² n) bound for any feasible n) pass without
+    a fixpoint — that means a bug, not a big graph."""
+    canon = _canon(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+    prev = _fingerprint(canon)
+    for _ in range(max_iter):
+        canon = _canon(_small_star(_canon(_large_star(canon)))).localCheckpoint(
+            eager=True
+        )
+        cur = _fingerprint(canon)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # star forest: every non-root points at its root; roots are the
+    # component minima and belong to their own component
+    members = canon.select(F.col("b").alias("node"), F.col("s").alias("component"))
+    roots = canon.select(F.col("s").alias("node"), F.col("s").alias("component"))
+    return members.union(roots).distinct()
+
+
+def dedup_keep_list(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """The pipeline's final answer: every id in ``all_ids`` with its
+    component and a ``keep`` flag — keep the component minimum (one
+    survivor per dup cluster), keep everything untouched by any pair."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        all_ids.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("component"),
+            (F.col("component").isNull() | (F.col("component") == F.col("node")))
+            .alias("keep"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Connected components (operators/components.py) vs a pure-Python
+union-find reference, plus the keep-list contract."""
+
+import random
+
+from prefix_filter_spark.operators.components import (
+    connected_components,
+    dedup_keep_list,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def _spark_components(spark, edges):
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_hand_graphs(spark):
+    # chain, clique, two components, duplicate/reversed edges, self-loop
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> comp 1
+        (10, 11), (11, 10), (10, 10),    # dup + reversed + loop -> comp 10
+        (20, 21), (21, 22), (20, 22),    # triangle -> comp 20
+    ]
+    got = _spark_components(spark, edges)
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    want = _uf_components(edges)
+    got = _spark_components(spark, edges)
+    assert got == want
+
+
+def test_partitioning_invariance(spark):
+    """CC is a pure function of the edge set — shuffled input and a
+    different partition count give the identical mapping."""
+    rng = random.Random(11)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+    edges = [(u, v) for u, v in edges if u != v]
+    a = _spark_components(spark, edges)
+    shuffled = list(edges)
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame(shuffled, "d1 long, d2 long").repartition(7)
+    b = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert a == b
+
+
+def test_dedup_keep_list(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "d1 long, d2 long")
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 9]], "doc_id long")
+    got = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in dedup_keep_list(pairs, ids).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        5: (5, True),                       # untouched by any pair
+        7: (7, True), 9: (7, False),
+    }
