@@ -590,6 +590,61 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py). Iterative
+    and data-dependent (each round's rewrite depends on the previous
+    argmax), so there is NO SQL-expressible oracle — the driver records
+    a rows-only check here. Correctness is pinned two ways instead:
+    pytest equivalence vs a sequential pure-Python reference
+    (tests/test_bpe.py), and the same reference re-run IN THIS GATE on
+    the collected word counts (vocabulary-sized — tiny at every SF),
+    surfaced as the self-asserted ``ref_match`` column."""
+    from collections import Counter
+
+    from prefix_filter_spark.operators.bpe import END, train_bpe, word_counts
+
+    docs = _docs(spark, sf_dir)
+    n_merges = 10
+    got = train_bpe(docs, num_merges=n_merges)
+
+    wc = {r["w"]: r["cnt"] for r in word_counts(docs).collect()}
+    vocab = {tuple(list(w) + [END]): c for w, c in wc.items()}
+    want = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), total = max(
+            pc.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1])
+        )
+        if total < 2:
+            break
+        want.append((a, b, total))
+        nv: dict = {}
+        for syms, c in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nv[tuple(res)] = nv.get(tuple(res), 0) + c
+        vocab = nv
+    ref_match = bool(got == want)
+    rows = [
+        (i, a, b, total, ref_match)
+        for i, (a, b, total) in enumerate(got)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, total long, ref_match boolean"
+    ).orderBy("rank")
+
+
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-dup pairs
     (operators/components.py): the step between pair generation and
@@ -1399,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": q_semdedup_pairs,
         "lm_perplexity": q_lm_perplexity,
         "dup_components": q_dup_components,
+        "bpe_train": q_bpe_train,
         "join_cardinality": q_join_cardinality,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,

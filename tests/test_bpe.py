@@ -1,0 +1,111 @@
+"""Distributed BPE training (operators/bpe.py) vs a sequential
+pure-Python reference — the naive-vs-optimized cross-check strategy the
+reference repo uses for its kernels (SURVEY.md §5)."""
+
+from collections import Counter
+
+from prefix_filter_spark.operators.bpe import (
+    END,
+    encode_bpe,
+    train_bpe,
+    word_counts,
+)
+
+
+def _ref_bpe(word_cnt: dict[str, int], num_merges: int):
+    """Sequential reference: Sennrich et al. alg. 1 with the same
+    deterministic tie-break (max by (count, left, right))."""
+    vocab = {tuple(list(w) + [END]): c for w, c in word_cnt.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), total = max(
+            pairs.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1])
+        )
+        if total < 2:
+            break
+        merges.append((a, b, total))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + c
+        vocab = new_vocab
+    return merges, vocab
+
+
+def _corpus(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_matches_reference_on_classic_example(spark):
+    """The canonical low/lower/newest/widest example."""
+    texts = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = _corpus(spark, [" ".join(texts)])
+    wc = {r["w"]: r["cnt"] for r in word_counts(docs).collect()}
+    want, _ = _ref_bpe(wc, 10)
+    got = train_bpe(docs, num_merges=10)
+    assert got == want
+    # ('t', '</w>') and ('e', 's') both occur 9 times; the documented
+    # (count, left, right) tie-break picks 't' > 'e'
+    assert got[0][0:2] == ("t", END)
+
+
+def test_matches_reference_on_messy_corpus(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "aaa aaaa aa aaa",
+        "repeat repeat repeat repeated repeating",
+        "xyz",
+    ]
+    docs = _corpus(spark, texts)
+    wc = {r["w"]: r["cnt"] for r in word_counts(docs).collect()}
+    want, ref_vocab = _ref_bpe(wc, 25)
+    got = train_bpe(docs, num_merges=25)
+    assert got == want
+
+    # encoding the training words must reproduce the final vocab's
+    # symbol sequences (lowest-rank-first == iterative retraining)
+    enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in encode_bpe(docs, got).collect()
+    }
+    ref_seq = {}
+    for syms, _ in ref_vocab.items():
+        # reconstruct the word from its symbols
+        w = "".join(syms).removesuffix(END)
+        ref_seq[w] = list(syms)
+    for i, t in enumerate(texts):
+        want_toks = []
+        for w in t.split(" "):
+            want_toks.extend(ref_seq[w])
+        assert enc[i] == want_toks, (i, enc[i], want_toks)
+
+
+def test_partitioning_invariance(spark):
+    texts = ["the quick brown fox " * 3, "the slow brown dog " * 5]
+    a = train_bpe(_corpus(spark, texts), num_merges=8)
+    b = train_bpe(_corpus(spark, texts).repartition(13), num_merges=8)
+    assert a == b
+
+
+def test_early_stop_when_no_repeats(spark):
+    # every pair unique -> total < 2 everywhere -> no merges
+    docs = _corpus(spark, ["ab cd ef"])
+    assert train_bpe(docs, num_merges=5) == []
