@@ -44,6 +44,36 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _pii_oracle_sql() -> str:
+    """PII oracle — the regex constants are interpolated from
+    operators/pii.py so the two engines can never drift apart."""
+    from prefix_filter_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0
+                      THEN text || ' contact u' || doc_id
+                           || '@example.com or 10.0.' || (doc_id % 200)
+                           || '.7 call 555-123-4567'
+                      ELSE text END AS text
+          FROM documents),
+        low AS (SELECT doc_id, lower(text) AS t FROM planted)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_email,
+               len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ipv4,
+               len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phone,
+               (len(regexp_extract_all(t, '{EMAIL_RE}'))
+                + len(regexp_extract_all(t, '{IPV4_RE}'))
+                + len(regexp_extract_all(t, '{PHONE_RE}'))) > 0 AS has_pii,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                     t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{IPV4_RE}', '<IP>', 'g'),
+                     '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+        FROM low ORDER BY doc_id
+    """
+
+
 # --------------------------------------------------------------------------
 # relational / pipeline queries (exact, strong oracles)
 # --------------------------------------------------------------------------
@@ -588,6 +618,35 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("v1", "v2")
     )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (operators/pii.py): plant a deterministic
+    email/IPv4/phone suffix on doc_id % 13 == 0, return per-doc counts
+    plus the md5 of the redacted text — the oracle recomputes both with
+    RE2's regexp_extract_all/regexp_replace, so pattern-dialect drift
+    between Java regex and RE2 reddens the gate immediately."""
+    from prefix_filter_spark.operators.pii import pii_signals, redact_pii
+
+    docs = _docs(spark, sf_dir)
+    suffix = F.concat(
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 call 555-123-4567"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), suffix))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sig = pii_signals(planted)
+    red = redact_pii(planted).select(
+        "doc_id", F.md5("text").alias("redacted_md5")
+    )
+    return sig.join(red, "doc_id").orderBy("doc_id")
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1455,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dup_components": q_dup_components,
         "bpe_train": q_bpe_train,
+        "pii_scrub": q_pii_scrub,
         "join_cardinality": q_join_cardinality,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
@@ -1819,6 +1879,7 @@ def oracle_sql() -> dict[str, str]:
                    true AS semdedup_recall_ok
             FROM p WHERE c >= 0.95 ORDER BY v1, v2
         """,
+        "pii_scrub": _pii_oracle_sql(),
         "dup_components": f"""
             WITH RECURSIVE
             base AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0),

@@ -369,6 +369,16 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         connected_components(edges).count()
 
     times["dup_components"] = _timed_best(_components, name="dup_components")
+
+    def _pii():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.pii import redact_pii
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        redact_pii(docs).agg(F.sum(F.length("text"))).collect()
+
+    times["pii_scrub"] = _timed_best(_pii, name="pii_scrub")
     return times
 
 
