@@ -620,6 +620,53 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (operators/quantize.py):
+    per-vector scale, code checksum, and reconstruction error —
+    hash-matched against DuckDB recomputing the identical round(x/scale)
+    arithmetic in double (both engines round half-away-from-zero). The
+    error bound max_abs_err <= scale/2 is asserted in-gate on every
+    vector, not assumed."""
+    from prefix_filter_spark.operators.quantize import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qd = quantize_embeddings(emb)
+    recon_err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q"),
+            lambda a, c: F.abs(a - c.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    # two-step select: rounding `scale` in the SAME select would let
+    # Spark 4's lateral column alias shadow the true input column inside
+    # recon_err/bound_ok (same trap as q_dup_components' planted ids)
+    pre = qd.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+        ).alias("q_sum"),
+        recon_err.alias("err_raw"),
+        (recon_err <= F.col("scale") / 2 + F.lit(1e-12)).alias("bound_ok"),
+    )
+    out = pre.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "q_sum",
+        F.round("err_raw", 6).alias("max_abs_err"),
+        "bound_ok",
+    )
+    n_bad = out.where(~F.col("bound_ok")).count()
+    assert n_bad == 0, f"{n_bad} vectors violate the scale/2 bound"
+    return out.orderBy("vec_id")
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact (operators/pii.py): plant a deterministic
     email/IPv4/phone suffix on doc_id % 13 == 0, return per-doc counts
@@ -1515,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "bpe_train": q_bpe_train,
         "pii_scrub": q_pii_scrub,
+        "quantize_embeddings": q_quantize_embeddings,
         "join_cardinality": q_join_cardinality,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
@@ -1880,6 +1928,28 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE c >= 0.95 ORDER BY v1, v2
         """,
         "pii_scrub": _pii_oracle_sql(),
+        "quantize_embeddings": """
+            WITH e AS (SELECT vec_id,
+                         list_transform(embedding, x -> x::double) d
+                       FROM embeddings),
+            s AS (SELECT vec_id, d,
+                    list_max(list_transform(d, x -> abs(x))) / 127.0 AS scale
+                  FROM e),
+            q AS (SELECT vec_id, d, scale,
+                    CASE WHEN scale > 0
+                         THEN list_transform(d, x -> round(x / scale))
+                         ELSE list_transform(d, x -> 0.0) END AS qc
+                  FROM s),
+            err AS (SELECT vec_id, scale, qc,
+                      list_max([abs(d[i] - qc[i] * scale)
+                                for i in range(1, len(d) + 1)]) AS e
+                    FROM q)
+            SELECT vec_id, round(scale, 6) AS scale,
+                   list_sum(qc)::BIGINT AS q_sum,
+                   round(e, 6) AS max_abs_err,
+                   e <= scale / 2 + 1e-12 AS bound_ok
+            FROM err ORDER BY vec_id
+        """,
         "dup_components": f"""
             WITH RECURSIVE
             base AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0),

@@ -379,6 +379,18 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         redact_pii(docs).agg(F.sum(F.length("text"))).collect()
 
     times["pii_scrub"] = _timed_best(_pii, name="pii_scrub")
+
+    def _quant():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.quantize import quantize_embeddings
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        quantize_embeddings(emb).agg(
+            F.sum(F.aggregate("q", F.lit(0), lambda a, v: a + v))
+        ).collect()
+
+    times["quantize_embeddings"] = _timed_best(_quant, name="quantize_embeddings")
     return times
 
 

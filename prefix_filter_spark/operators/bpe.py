@@ -107,8 +107,12 @@ def train_bpe(
     )
     # the per-round union of (touched, untouched) branches SUMS their
     # partition counts — without this coalesce the count doubles every
-    # round (2^r tasks by round r); pin it to the initial layout
-    n_parts = vocab.rdd.getNumPartitions()
+    # round (2^r tasks by round r); cap it at the session's shuffle
+    # width (coalesce never raises a smaller layout, so this is purely
+    # a ceiling — no extra shuffle)
+    n_parts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         top = (

@@ -119,6 +119,50 @@ def test_kmv_build_plan(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_pii_redact_is_map_only(spark, documents):
+    """PII redaction must stay a scan-speed projection: zero exchanges,
+    zero Python nodes."""
+    from prefix_filter_spark.operators.pii import redact_pii
+
+    plan = _plan(redact_pii(documents))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_lm_perplexity_stays_jvm_side(spark, documents):
+    """LM scoring: bigram explode is pure Catalyst (no self-join, no
+    Python); the only exchanges are the two count aggs + the final
+    doc average."""
+    from pyspark.sql import functions as F
+
+    from prefix_filter_spark.operators.lm_score import (
+        lm_perplexity,
+        train_bigram_counts,
+    )
+
+    uni, bg, v = train_bigram_counts(documents.where(F.col("doc_id") % 2 == 0))
+    plan = _plan(lm_perplexity(documents, uni, bg, v))
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_python_nodes_bounded(spark):
+    """SemDeDup's only Python is the Arrow-batched centroid-assignment
+    UDF (once per join side) — never row-at-a-time."""
+    import numpy as np
+
+    from prefix_filter_spark.operators.dedup import semdedup_pairs
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = _plan(semdedup_pairs(emb, nlist=4))
+    assert "BatchEvalPython" not in plan
+    # the self-join materializes the assignment UDF once per branch
+    # (2 sides x pre/post-filter split) — constant, never per-row
+    assert plan.count("ArrowEvalPython") <= 4, plan
+
+
 def test_minhash_lsh_plan_shape(spark, documents):
     """The full LSH dedup plan stays JVM-side (verification included):
     no Python nodes, no sort-merge joins, and the exchange count stays

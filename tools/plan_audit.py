@@ -102,6 +102,9 @@ def main() -> int:
         ("pii_redact", None,
          "map-only: scan -> regexp_replace projection, zero exchanges, "
          "zero Python nodes"),
+        ("quantize_embeddings", None,
+         "map-only: scan -> transform/aggregate projection, zero "
+         "exchanges, zero Python nodes"),
         ("decontaminate", None,
          "corpus shingles probe the benchmark filter map-side "
          "(ArrowEvalPython BEFORE any exchange); only survivors reach "
@@ -225,9 +228,17 @@ def main() -> int:
 
         return redact_pii(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
+    def _quant_df():
+        from prefix_filter_spark.operators.quantize import quantize_embeddings
+
+        return quantize_embeddings(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        )
+
     direct = {"prefix_filter_build": lambda: _pf_build_df()[0],
               "lm_perplexity": _lm_df,
               "pii_redact": _pii_df,
+              "quantize_embeddings": _quant_df,
               "prefix_filter_probe": _pf_probe_df,
               "runtime_filter_join": _rf_join_df,
               "kmv_build": _kmv_build_df,
