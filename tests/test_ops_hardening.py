@@ -121,11 +121,19 @@ def test_streaming_foreach_batch_equals_batch(spark):
     must equal the one-shot batch build (merge associativity live)."""
     from prefix_filter_spark.streaming.build import foreach_batch_build
 
+    import shutil
+
     cfg = bloom.BloomConfig(n_capacity=20_000, bits_per_key=10, num_shards=4, seed=5)
     keys = spark.range(20_000).select(F.col("id").alias("key"))
+    for d in ("stream_src", "stream_state", "stream_ckpt"):
+        shutil.rmtree(f"{TMP}/{d}", ignore_errors=True)
     src_dir = f"{TMP}/stream_src"
     for i in range(4):
-        keys.where(F.pmod("key", F.lit(4)) == i).write.mode(
+        # coalesce(1): exactly ONE file per slice -> exactly 4
+        # micro-batches. Without it each write emits up to 32 part
+        # files (128 batches), and awaitTermination(120) can time out
+        # SILENTLY, reading partial state — a flaky one-bit mismatch.
+        keys.where(F.pmod("key", F.lit(4)) == i).coalesce(1).write.mode(
             "overwrite" if i == 0 else "append"
         ).parquet(src_dir)
 
@@ -142,7 +150,8 @@ def test_streaming_foreach_batch_equals_batch(spark):
         state_path=f"{TMP}/stream_state",
         checkpoint_dir=f"{TMP}/stream_ckpt",
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(240)
+    assert finished, "stream did not drain — state below would be partial"
 
     got = {
         r["shard_id"]: bytes(r["state"])

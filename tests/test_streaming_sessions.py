@@ -1,6 +1,7 @@
 """Streaming sessionization (streaming/sessions.py): the closed-session
 stream equals the batch lag-split twin on the same input."""
 
+import shutil
 import time
 
 from pyspark.sql import Window as W
@@ -28,6 +29,8 @@ def _batch_sessions(ev, gap_s=1800):
 
 
 def test_stream_equals_batch(spark):
+    # a stale checkpoint would make the stream skip "processed" files
+    shutil.rmtree(TMP, ignore_errors=True)
     ev = (
         spark.read.parquet("/root/testdata/sf0.01/events.parquet")
         # parquet reads ts as TIMESTAMP_NTZ; unix_micros/watermarks
