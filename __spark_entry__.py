@@ -620,6 +620,23 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/ordering.py): global rank
+    + scale-path (shard, shard_rank) for epoch 1, both derived from the
+    same LCG order key, hash-matched against DuckDB recomputing the
+    identical integer arithmetic and window ranks."""
+    from prefix_filter_spark.operators.ordering import (
+        epoch_order,
+        epoch_shards,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    out = epoch_shards(epoch_order(docs, epoch=1), epoch=1, num_shards=8)
+    return out.select("doc_id", "epoch_rank", "shard", "shard_rank").orderBy(
+        "doc_id"
+    )
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization (operators/quantize.py):
     per-vector scale, code checksum, and reconstruction error —
@@ -1563,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "pii_scrub": q_pii_scrub,
         "quantize_embeddings": q_quantize_embeddings,
+        "epoch_order": q_epoch_order,
         "join_cardinality": q_join_cardinality,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
@@ -1928,6 +1946,19 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE c >= 0.95 ORDER BY v1, v2
         """,
         "pii_scrub": _pii_oracle_sql(),
+        "epoch_order": """
+            WITH h AS (
+              SELECT doc_id,
+                     ((doc_id + 506952113) * 1103515245 + 12345)
+                       % 2147483648 AS hv
+              FROM documents)
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY hv, doc_id) AS epoch_rank,
+                   hv % 8 AS shard,
+                   row_number() OVER (PARTITION BY hv % 8
+                                      ORDER BY hv, doc_id) AS shard_rank
+            FROM h ORDER BY doc_id
+        """,
         "quantize_embeddings": """
             WITH e AS (SELECT vec_id,
                          list_transform(embedding, x -> x::double) d
