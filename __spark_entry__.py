@@ -620,6 +620,19 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass ANALYZE-style column stats (operators/profile.py) over
+    documents — exact mode so DuckDB hash-matches every cell; min/max
+    restricted to integer/string columns (float rendering differs
+    between engines, documented in the operator)."""
+    from prefix_filter_spark.operators.profile import table_profile
+
+    docs = _docs(spark, sf_dir)
+    return table_profile(docs, ["doc_id", "source", "n_chars"]).orderBy(
+        "column"
+    )
+
+
 def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle (operators/ordering.py): global rank
     + scale-path (shard, shard_rank) for epoch 1, both derived from the
@@ -1581,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "quantize_embeddings": q_quantize_embeddings,
         "epoch_order": q_epoch_order,
+        "table_profile": q_table_profile,
         "join_cardinality": q_join_cardinality,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
@@ -1946,6 +1960,25 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE c >= 0.95 ORDER BY v1, v2
         """,
         "pii_scrub": _pii_oracle_sql(),
+        "table_profile": """
+            SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   min(doc_id)::varchar AS min_value,
+                   max(doc_id)::varchar AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars),
+                   min(n_chars)::varchar, max(n_chars)::varchar
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source),
+                   min(source)::varchar, max(source)::varchar
+            FROM documents
+            ORDER BY "column"
+        """,
         "epoch_order": """
             WITH h AS (
               SELECT doc_id,
