@@ -40,6 +40,54 @@ _SHINGLE_SQL = f"""
 """
 
 
+_CHAIN_CC_SQL = f"""
+            WITH RECURSIVE
+            base AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0),
+            pa AS (SELECT base.doc_id + 1000000 AS doc_id,
+                     array_to_string(
+                       ['w' || base.doc_id || 'x' || i
+                        for i in range(0, 60)], ' ') AS text
+                   FROM base),
+            pb AS (SELECT base.doc_id + 2000000 AS doc_id,
+                     array_to_string(
+                       [CASE WHEN i < 4 THEN 'b' || base.doc_id || 'x' || i
+                             ELSE 'w' || base.doc_id || 'x' || i END
+                        for i in range(0, 60)], ' ') AS text
+                   FROM base),
+            pc AS (SELECT base.doc_id + 3000000 AS doc_id,
+                     array_to_string(
+                       [CASE WHEN i < 4 THEN 'b' || base.doc_id || 'x' || i
+                             WHEN i < 8 THEN 'c' || base.doc_id || 'x' || i
+                             ELSE 'w' || base.doc_id || 'x' || i END
+                        for i in range(0, 60)], ' ') AS text
+                   FROM base),
+            corpus AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT * FROM pa
+                       UNION ALL SELECT * FROM pb
+                       UNION ALL SELECT * FROM pc),
+            w AS (SELECT doc_id, {_DUCK_WORDS} ws FROM corpus),
+            sh AS (SELECT DISTINCT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                             for i in range(1, len(ws)-1)]) AS s
+                   FROM w),
+            cnts AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+            p AS (SELECT a.doc_id da, b.doc_id db, count(*) shared
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            e0 AS (SELECT da u, db v
+                   FROM p JOIN cnts ca ON ca.doc_id = da
+                          JOIN cnts cb ON cb.doc_id = db
+                   WHERE shared::double / (ca.n + cb.n - shared) >= 0.8),
+            edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+            r AS (SELECT u AS node, u AS comp
+                  FROM (SELECT DISTINCT u FROM edges)
+                  UNION
+                  SELECT e.v AS node, r.comp
+                  FROM r JOIN edges e ON e.u = r.node
+                  WHERE r.comp < e.v)
+"""
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -781,19 +829,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over near-dup pairs
-    (operators/components.py): the step between pair generation and
-    keep-one-per-cluster. Planted 3-chains over synthetic unique-word
-    docs (A~B at jaccard 54/62≈0.871, B~C at 52/64≈0.8125, A~C at
+def _planted_chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real corpus ∪ planted 3-chains over synthetic unique-word docs
+    (A~B at jaccard 54/62≈0.871, B~C at 52/64≈0.8125, A~C at
     50/66≈0.758 < 0.8 — so {A,B,C} is connected ONLY through B,
-    exercising multi-hop propagation), unioned with the real corpus
-    (organic ≥0.8 pairs join their own components). Oracle: the same
-    pairs fed through a DuckDB recursive CTE computing min-reachable
-    labels — a full hash match, no self-asserts."""
-    from prefix_filter_spark.operators.components import connected_components
-    from prefix_filter_spark.operators.dedup import ngram_jaccard_pairs
-
+    exercising multi-hop propagation). Shared by the dup_components
+    and leakage_split gates; the DuckDB oracles rebuild it 1:1."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     base = _docs(spark, sf_dir).where(F.col("doc_id") % 17 == 0).select("doc_id")
     idx = F.sequence(F.lit(0), F.lit(59))
@@ -821,9 +862,40 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = _plant(1_000_000, [])
     pb = _plant(2_000_000, [(4, "b")])
     pc = _plant(3_000_000, [(4, "b"), (8, "c")])
-    corpus = docs.unionByName(pa).unionByName(pb).unionByName(pc)
+    return docs.unionByName(pa).unionByName(pb).unionByName(pc)
+
+
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs
+    (operators/components.py): the step between pair generation and
+    keep-one-per-cluster, on the planted-chain corpus (organic ≥0.8
+    pairs join their own components). Oracle: the same pairs fed
+    through a DuckDB recursive CTE computing min-reachable labels — a
+    full hash match, no self-asserts."""
+    from prefix_filter_spark.operators.components import connected_components
+    from prefix_filter_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = _planted_chain_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.8)
     return connected_components(pairs, src="d1", dst="d2").orderBy("node")
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split (operators/components.py
+    leakage_safe_split): whole near-dup COMPONENTS go to one side — a
+    per-doc split would put one planted twin in train and its copy in
+    test, silently inflating eval. Same planted-chain corpus and
+    recursive-CTE oracle as dup_components, plus the deterministic
+    LCG component-hash assignment recomputed by DuckDB."""
+    from prefix_filter_spark.operators.components import leakage_safe_split
+    from prefix_filter_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = _planted_chain_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.8)
+    out = leakage_safe_split(
+        pairs, corpus.select("doc_id"), test_frac=0.2, seed=17
+    )
+    return out.orderBy("doc_id")
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1595,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "epoch_order": q_epoch_order,
         "table_profile": q_table_profile,
+        "leakage_split": q_leakage_split,
         "join_cardinality": q_join_cardinality,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
@@ -2014,53 +2087,21 @@ def oracle_sql() -> dict[str, str]:
                    e <= scale / 2 + 1e-12 AS bound_ok
             FROM err ORDER BY vec_id
         """,
-        "dup_components": f"""
-            WITH RECURSIVE
-            base AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0),
-            pa AS (SELECT base.doc_id + 1000000 AS doc_id,
-                     array_to_string(
-                       ['w' || base.doc_id || 'x' || i
-                        for i in range(0, 60)], ' ') AS text
-                   FROM base),
-            pb AS (SELECT base.doc_id + 2000000 AS doc_id,
-                     array_to_string(
-                       [CASE WHEN i < 4 THEN 'b' || base.doc_id || 'x' || i
-                             ELSE 'w' || base.doc_id || 'x' || i END
-                        for i in range(0, 60)], ' ') AS text
-                   FROM base),
-            pc AS (SELECT base.doc_id + 3000000 AS doc_id,
-                     array_to_string(
-                       [CASE WHEN i < 4 THEN 'b' || base.doc_id || 'x' || i
-                             WHEN i < 8 THEN 'c' || base.doc_id || 'x' || i
-                             ELSE 'w' || base.doc_id || 'x' || i END
-                        for i in range(0, 60)], ' ') AS text
-                   FROM base),
-            corpus AS (SELECT doc_id, text FROM documents
-                       UNION ALL SELECT * FROM pa
-                       UNION ALL SELECT * FROM pb
-                       UNION ALL SELECT * FROM pc),
-            w AS (SELECT doc_id, {_DUCK_WORDS} ws FROM corpus),
-            sh AS (SELECT DISTINCT doc_id,
-                     unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                             for i in range(1, len(ws)-1)]) AS s
-                   FROM w),
-            cnts AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-            p AS (SELECT a.doc_id da, b.doc_id db, count(*) shared
-                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-            e0 AS (SELECT da u, db v
-                   FROM p JOIN cnts ca ON ca.doc_id = da
-                          JOIN cnts cb ON cb.doc_id = db
-                   WHERE shared::double / (ca.n + cb.n - shared) >= 0.8),
-            edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-            r AS (SELECT u AS node, u AS comp
-                  FROM (SELECT DISTINCT u FROM edges)
-                  UNION
-                  SELECT e.v AS node, r.comp
-                  FROM r JOIN edges e ON e.u = r.node
-                  WHERE r.comp < e.v)
+        "dup_components": _CHAIN_CC_SQL + """
             SELECT node, min(comp) AS component
             FROM r GROUP BY node ORDER BY node
+        """,
+        "leakage_split": _CHAIN_CC_SQL + """
+            , comp AS (SELECT node, min(comp) AS component
+                       FROM r GROUP BY node),
+            wc AS (SELECT c.doc_id,
+                          coalesce(comp.component, c.doc_id) AS component
+                   FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id)
+            SELECT doc_id, component,
+                   CASE WHEN ((component + 17) * 1103515245 + 12345)
+                             % 2147483648 < 429496729
+                        THEN 'test' ELSE 'train' END AS split
+            FROM wc ORDER BY doc_id
         """,
         "lm_perplexity": f"""
             WITH w AS (SELECT doc_id, {_DUCK_WORDS} ws FROM documents),

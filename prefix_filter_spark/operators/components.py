@@ -117,6 +117,48 @@ def connected_components(
     return members.union(roots).distinct()
 
 
+def leakage_safe_split(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    test_frac: float = 0.1,
+    id_col: str = "doc_id",
+    src: str = "d1",
+    dst: str = "d2",
+    seed: int = 17,
+) -> DataFrame:
+    """Train/test split that cannot leak near-duplicates across the
+    boundary: the unit of assignment is the CONNECTED COMPONENT of the
+    near-dup graph, not the document — if A~B and A lands in test, B
+    lands in test too (splitting per-doc puts one twin in train and one
+    in test, silently inflating eval scores; this is the standard
+    decontamination guard for heldout sets).
+
+    Returns (id_col, component, split) with split ∈ {'train','test'};
+    singletons (untouched by any pair) are their own component. The
+    assignment hash is LCG arithmetic over the component id (seeded,
+    deterministic, DuckDB-mirrorable), so the split is a pure function
+    of (edge set, seed) — reshuffling data or adding executors cannot
+    move a document across the boundary.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    with_comp = (
+        all_ids.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("component"),
+        )
+    )
+    h = F.pmod(
+        (F.col("component") + F.lit(seed)) * F.lit(1103515245) + F.lit(12345),
+        F.lit(2_147_483_648),
+    )
+    cut = int(test_frac * 2_147_483_648)
+    return with_comp.withColumn(
+        "split", F.when(h < F.lit(cut), F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
 def dedup_keep_list(
     pairs: DataFrame,
     all_ids: DataFrame,

@@ -76,6 +76,28 @@ def test_partitioning_invariance(spark):
     assert a == b
 
 
+def test_leakage_safe_split(spark):
+    """No component straddles the train/test boundary, every id gets a
+    split, and the fractions are roughly honored on many singletons."""
+    from prefix_filter_spark.operators.components import leakage_safe_split
+
+    edges = [(i, i + 1) for i in range(0, 200, 2)]  # 100 pairs
+    ids = spark.createDataFrame(
+        [(i,) for i in range(1000)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    out = leakage_safe_split(pairs, ids, test_frac=0.2).collect()
+    assert len(out) == 1000
+    split_of = {}
+    for r in out:
+        split_of.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in split_of.values()), (
+        "a component straddles the split boundary"
+    )
+    frac = sum(1 for r in out if r["split"] == "test") / len(out)
+    assert 0.1 < frac < 0.3, frac
+
+
 def test_dedup_keep_list(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "d1 long, d2 long")
     ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 9]], "doc_id long")
