@@ -102,6 +102,12 @@ def main() -> int:
         ("pii_redact", None,
          "map-only: scan -> regexp_replace projection, zero exchanges, "
          "zero Python nodes"),
+        ("table_profile", None,
+         "ONE parquet scan + ONE aggregate for all columns (Expand for "
+         "multi-distinct), map-side unpivot; zero Python nodes"),
+        ("epoch_shards", None,
+         "scale path: one hash exchange + parallel per-shard windows — "
+         "never a global sort"),
         ("quantize_embeddings", None,
          "map-only: scan -> transform/aggregate projection, zero "
          "exchanges, zero Python nodes"),
@@ -235,10 +241,29 @@ def main() -> int:
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         )
 
+    def _profile_df():
+        from prefix_filter_spark.operators.profile import table_profile
+
+        return table_profile(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            ["doc_id", "source", "n_chars"],
+        )
+
+    def _epoch_df():
+        from prefix_filter_spark.operators.ordering import epoch_shards
+
+        return epoch_shards(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            epoch=1,
+            num_shards=8,
+        )
+
     direct = {"prefix_filter_build": lambda: _pf_build_df()[0],
               "lm_perplexity": _lm_df,
               "pii_redact": _pii_df,
               "quantize_embeddings": _quant_df,
+              "table_profile": _profile_df,
+              "epoch_shards": _epoch_df,
               "prefix_filter_probe": _pf_probe_df,
               "runtime_filter_join": _rf_join_df,
               "kmv_build": _kmv_build_df,
