@@ -106,7 +106,7 @@ def _pii_oracle_sql() -> str:
                            || '.7 call 555-123-4567'
                       ELSE text END AS text
           FROM documents),
-        low AS (SELECT doc_id, lower(text) AS t FROM planted)
+        src AS (SELECT doc_id, text AS t FROM planted)
         SELECT doc_id,
                len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_email,
                len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ipv4,
@@ -118,7 +118,7 @@ def _pii_oracle_sql() -> str:
                      t, '{EMAIL_RE}', '<EMAIL>', 'g'),
                      '{IPV4_RE}', '<IP>', 'g'),
                      '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
-        FROM low ORDER BY doc_id
+        FROM src ORDER BY doc_id
     """
 
 
@@ -2055,8 +2055,8 @@ def oracle_sql() -> dict[str, str]:
         "epoch_order": """
             WITH h AS (
               SELECT doc_id,
-                     ((doc_id + 506952113) * 1103515245 + 12345)
-                       % 2147483648 AS hv
+                     (((doc_id + 506952113) % 2147483648)
+                       * 1103515245 + 12345) % 2147483648 AS hv
               FROM documents)
             SELECT doc_id,
                    row_number() OVER (ORDER BY hv, doc_id) AS epoch_rank,
@@ -2098,7 +2098,8 @@ def oracle_sql() -> dict[str, str]:
                           coalesce(comp.component, c.doc_id) AS component
                    FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id)
             SELECT doc_id, component,
-                   CASE WHEN ((component + 17) * 1103515245 + 12345)
+                   CASE WHEN (((component + 17) % 2147483648)
+                              * 1103515245 + 12345)
                              % 2147483648 < 429496729
                         THEN 'test' ELSE 'train' END AS split
             FROM wc ORDER BY doc_id
@@ -2125,11 +2126,16 @@ def oracle_sql() -> dict[str, str]:
                            / (coalesce(c_u, 0) + 0.5 * v.v)) AS nll
               FROM sbg
               LEFT JOIN cb USING (w1, w2)
-              LEFT JOIN cu USING (w1), v)
+              LEFT JOIN cu USING (w1), v),
+            -- quantize each nll to 1e-9 and sum exact integers: the
+            -- same order-free deterministic reduction as the Spark op
+            nq AS (SELECT doc_id,
+                          CAST(round(nll * 1e9) AS BIGINT) AS nll_q
+                   FROM nll)
             SELECT doc_id, count(*) AS n_bigrams,
-                   round(avg(nll), 6) AS avg_nll,
-                   round(pow(2.0, avg(nll)), 4) AS perplexity
-            FROM nll GROUP BY doc_id ORDER BY doc_id
+                   round(sum(nll_q) / (count(*) * 1e9), 6) AS avg_nll,
+                   round(pow(2.0, sum(nll_q) / (count(*) * 1e9)), 4) AS perplexity
+            FROM nq GROUP BY doc_id ORDER BY doc_id
         """,
         "mixture_sample": """
             WITH r AS (

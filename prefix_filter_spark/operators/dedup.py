@@ -389,6 +389,11 @@ def srp_near_dup_pairs(
         srp_signature_udf,
     )
 
+    if n_bits % bands != 0:
+        # same guard as srp_ann_topk: a non-dividing band count would
+        # silently ignore the top n_bits % bands signature bits and
+        # lower candidate recall below the documented per-pair bound
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
     sig = srp_signature_udf(dim, n_bits, seed)
     bits_per_band = n_bits // bands
     sigs = embeddings.select("vec_id", sig(F.col("embedding")).alias("_sig"))

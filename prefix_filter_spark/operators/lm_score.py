@@ -88,7 +88,16 @@ def lm_perplexity(
     """Score docs under the trained LM: (doc_id, n_bigrams, avg_nll,
     perplexity). avg_nll is the mean negative log2 probability of the
     doc's bigrams; unseen words/bigrams fall back to the add-alpha
-    floor (left joins; coalesce(count, 0))."""
+    floor (left joins; coalesce(count, 0)).
+
+    Deterministic reduction: a plain F.avg over doubles is partial-
+    aggregation-order dependent (partitioning can flip the last ulp,
+    which flips a round() at a boundary and reddens the hash gate on
+    bigger SFs). Instead each bigram's nll is quantized to 1e-9
+    (``round(nll * 1e9) -> bigint``) and summed as exact integers — a
+    commutative, associative reduction, so avg_nll is a pure function
+    of the data regardless of partitioning or executor count. The 1e-9
+    quantum is far below any meaningful perplexity difference."""
     bg = _bigrams(docs, text_col)
     scored = (
         bg.join(bigrams, ["w1", "w2"], "left")
@@ -106,10 +115,14 @@ def lm_perplexity(
             ).alias("nll"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    quant = scored.select(
+        "doc_id", F.round(F.col("nll") * F.lit(1e9), 0).cast("long").alias("nll_q")
+    )
+    avg = F.sum("nll_q").cast("double") / (F.count("*") * F.lit(1e9))
+    return quant.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.avg("nll").alias("avg_nll"),
-        F.pow(F.lit(2.0), F.avg("nll")).alias("perplexity"),
+        avg.alias("avg_nll"),
+        F.pow(F.lit(2.0), avg).alias("perplexity"),
     )
 
 

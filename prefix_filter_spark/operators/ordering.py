@@ -34,9 +34,18 @@ _EPOCH_MIX = 2_654_435_761  # Knuth multiplicative constant
 
 def epoch_hash(id_col: Column, epoch: int) -> Column:
     """Deterministic per-epoch order key in [0, 2^31) — pure integer
-    arithmetic, identical in Spark and DuckDB."""
+    arithmetic, identical in Spark and DuckDB.
+
+    The id is reduced into 31 bits BEFORE the multiply: ``x*A`` would
+    overflow LongType for ids above ~8.4e9 (throws under the session's
+    ANSI default, silently wraps otherwise) — exactly the 64-bit hashed
+    doc-id scale this targets. ``pmod(x, M)*A + C`` peaks at ~2.4e18,
+    inside int64, and ``(x mod M)*A + C mod M == x*A + C mod M`` in
+    exact arithmetic, so small-id outputs (and the DuckDB oracle, which
+    promotes to HUGEINT) are unchanged."""
     mixed = id_col + F.lit(int(epoch) * _EPOCH_MIX % _LCG_M)
-    return F.pmod(mixed * F.lit(_LCG_A) + F.lit(_LCG_C), F.lit(_LCG_M))
+    reduced = F.pmod(mixed, F.lit(_LCG_M))
+    return F.pmod(reduced * F.lit(_LCG_A) + F.lit(_LCG_C), F.lit(_LCG_M))
 
 
 def epoch_order(

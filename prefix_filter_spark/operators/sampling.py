@@ -39,8 +39,12 @@ def bernoulli_sample(df: DataFrame, frac: float, hash_col: Column) -> DataFrame:
     """
     if not 0.0 <= frac <= 1.0:
         raise ValueError("frac must be in [0, 1]")
-    # xxhash64 is signed; shift into [0, 2^64) via unsigned reinterpret
-    bound = int(frac * float(2**64)) - 2**63
+    if frac >= 1.0:
+        return df  # keep everything; 2^63 as a bound would not fit int64
+    # xxhash64 is signed; shift into [0, 2^64) via unsigned reinterpret.
+    # Clamp: a double product that rounds up to 2^64 must not produce a
+    # bound outside LongType.
+    bound = min(int(frac * float(2**64)), 2**64 - 1) - 2**63
     return df.where(hash_col <= F.lit(bound))
 
 

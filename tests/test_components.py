@@ -110,3 +110,25 @@ def test_dedup_keep_list(spark):
         5: (5, True),                       # untouched by any pair
         7: (7, True), 9: (7, False),
     }
+
+
+def test_leakage_split_survives_64bit_ids(spark):
+    """Round-3 regression: (component + seed) * A overflowed int64 for
+    ids above ~8.4e9 under the session's ANSI default. The pmod-first
+    LCG must run on 2^62-scale ids and match a pure-Python recompute."""
+    from prefix_filter_spark.operators.components import leakage_safe_split
+
+    base = 2**62
+    ids = spark.createDataFrame(
+        [(base + i,) for i in range(40)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(base + i, base + i + 1) for i in range(0, 20, 2)], "d1 long, d2 long"
+    )
+    out = leakage_safe_split(pairs, ids, test_frac=0.25, seed=17).collect()
+    assert len(out) == 40
+    M, A, C = 2**31, 1103515245, 12345
+    cut = int(0.25 * M)
+    for r in out:
+        h = (((r["component"] + 17) % M) * A + C) % M
+        assert r["split"] == ("test" if h < cut else "train")

@@ -54,3 +54,21 @@ def test_repartition_invariance(spark):
     b = {(r["doc_id"], r["shard"], r["shard_rank"])
          for r in epoch_shards(docs.repartition(11), 1, 8).collect()}
     assert a == b
+
+
+def test_epoch_hash_survives_64bit_ids(spark):
+    """Round-3 regression: (id * A) overflowed int64 for ids above
+    ~8.4e9 (ANSI throw). The pmod-first form must (a) run on huge ids
+    and (b) keep small-id outputs identical to the direct formula."""
+    from pyspark.sql import functions as F
+
+    from prefix_filter_spark.operators.ordering import epoch_hash
+
+    big = [(2**62 + i,) for i in range(50)] + [(i,) for i in range(50)]
+    df = spark.createDataFrame(big, "doc_id long")
+    out = df.select("doc_id", epoch_hash(F.col("doc_id"), 3).alias("h")).collect()
+    assert len(out) == 100
+    M, A, C, MIX = 2**31, 1103515245, 12345, 2654435761
+    add = 3 * MIX % M
+    for r in out:
+        assert r["h"] == ((r["doc_id"] + add) * A + C) % M  # exact Python ref

@@ -39,6 +39,22 @@ def test_redaction_is_clean(spark):
     again = pii_signals(red)
     assert again.where(F.col("has_pii")).count() == 0
     texts = {r["doc_id"]: r["text"] for r in red.collect()}
-    assert texts[1] == "mail me at <EMAIL> today"
+    assert texts[1] == "Mail me at <EMAIL> today"
     assert texts[5] == "combo <EMAIL> <IP> <PHONE>"
     assert texts[4] == "no pii here just words"
+
+
+def test_redaction_preserves_case(spark):
+    """Redaction must only rewrite PII spans — a clean document comes
+    back byte-identical (round-3 regression: lower() destroyed the case
+    of every document), and mixed-case PII is still caught via (?i)."""
+    rows = [
+        (1, "No PII Here: Just CamelCase And UPPERCASE words."),
+        (2, "Write USER.Name@EXAMPLE.Com or Admin@Test.ORG please"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = {r["doc_id"]: r["text"] for r in redact_pii(df).collect()}
+    assert texts[1] == "No PII Here: Just CamelCase And UPPERCASE words."
+    assert texts[2] == "Write <EMAIL> or <EMAIL> please"
+    sig = {r["doc_id"]: r["n_email"] for r in pii_signals(df).collect()}
+    assert sig == {1: 0, 2: 2}

@@ -75,3 +75,12 @@ def test_bernoulli_plan_is_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan and "Sort" not in plan
+
+
+def test_bernoulli_frac_one_keeps_all(spark):
+    """frac=1.0 must keep every row (round-3 regression: the bound
+    2^63 did not fit LongType and the lit() failed)."""
+    df = _mk(spark, n=500)
+    h = F.xxhash64("doc_id", F.lit(4))
+    assert bernoulli_sample(df, 1.0, h).count() == 500
+    assert bernoulli_sample(df, 0.0, h).count() == 0
