@@ -1059,6 +1059,90 @@ def _membership_panel(spark, sf_dir, build, handle_cls, cfg_factory, fpr_bound, 
     )
 
 
+def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated membership panel — ONE gate row per filter kind
+    (round-3 verdict item #1: ten single-row gates wasted the driver's
+    50-query window). Same assertions per kind as the individual
+    panels: zero false negatives on every inserted key, and empirical
+    FPR on 50k disjoint probes under the kind's bound. The word stream
+    is scanned and deduplicated ONCE for all ten builds (the individual
+    panels each re-scanned it — at 100 TB the scan dominates, so the
+    shared-scan shape is also the right production pattern).
+
+    Kinds: Bloom, blocked-Bloom, two-choice, cuckoo (CF-12-stable),
+    and the five reference prefix-filter assemblies (Bloom / TC / CF /
+    BBF / Impala512 spares) per /root/reference/main-perf.cpp:16-31,
+    plus the doc-id probe panel (north star: 'token-ID and doc-ID
+    probes'; FP probe skipped there — ids, not words — so its bound
+    check is trivially true)."""
+    from prefix_filter_spark.functions import register_contains_udf
+    from prefix_filter_spark.sketches import blocked_bloom as bb
+    from prefix_filter_spark.sketches import bloom
+    from prefix_filter_spark.sketches import cuckoo as ckm
+    from prefix_filter_spark.sketches import prefix_filter as pfm
+    from prefix_filter_spark.sketches import two_choice as tc
+
+    pf_cfg = lambda spare: (
+        lambda n: pfm.PrefixFilterConfig(
+            n_capacity=n, num_shards=8, seed=42, spare_kind=spare
+        )
+    )
+    kinds = [
+        ("bloom", bloom.build_bloom, bloom.ShardedBloom,
+         lambda n: bloom.BloomConfig(n_capacity=n, bits_per_key=12, num_shards=8, seed=42),
+         lambda cfg: cfg.theoretical_fpr() * 1.5 + 1e-4, "zz"),
+        ("blocked_bloom", bb.build_blocked_bloom, bb.ShardedBlockedBloom,
+         lambda n: bb.BlockedBloomConfig(n_capacity=n, bits_per_key=10, num_shards=8, seed=42),
+         0.05, "bbf"),
+        ("two_choice", tc.build_two_choice, tc.ShardedTwoChoice,
+         lambda n: tc.TwoChoiceConfig(n_capacity=n, num_shards=8, seed=42),
+         0.02, "tc"),
+        ("cuckoo", ckm.build_cuckoo, ckm.ShardedCuckoo,
+         lambda n: ckm.CuckooConfig(n_capacity=n, num_shards=8, seed=42),
+         0.01, "ck"),
+        ("pf_bloom", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+         lambda n: pfm.PrefixFilterConfig(n_capacity=n, num_shards=8, seed=42),
+         0.006, "qq"),
+        ("pf_tc", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+         pf_cfg("tc"), 0.006, "pftc"),
+        ("pf_cf", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+         pf_cfg("cuckoo"), 0.006, "pfcf"),
+        ("pf_bbf", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+         pf_cfg("bbf"), 0.008, "pfbbf"),
+        ("pf_impala", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+         pf_cfg("impala512"), 0.008, "pfimp"),
+    ]
+    words = _word_stream(spark, sf_dir).distinct().cache()
+    n = words.count()
+    probes = spark.range(30_000_000, 30_000_000 + 50_000)
+    rows = []
+    for kind, build, handle_cls, cfg_factory, fpr_bound, prefix in kinds:
+        cfg = cfg_factory(max(n, 1024))
+        bound = fpr_bound(cfg) if callable(fpr_bound) else fpr_bound
+        handle = handle_cls.from_df(cfg, build(words, "word", cfg))
+        fn = register_contains_udf(spark, f"{prefix}_contains_all", handle, cfg.seed)
+        found = words.where(fn("word")).count()
+        neg = probes.select(
+            F.concat(F.lit(f"{prefix}_"), F.col("id").cast("string")).alias("word")
+        )
+        fp = neg.where(fn("word")).count()
+        rows.append((kind, n, n - found, bool(fp / 50_000 <= bound)))
+    words.unpersist()
+    docs = _docs(spark, sf_dir).select("doc_id")
+    nd = docs.count()
+    cfg = pfm.PrefixFilterConfig(n_capacity=max(nd, 1024), num_shards=8, seed=42)
+    handle = pfm.ShardedPrefixFilter.from_df(
+        cfg, pfm.build_prefix_filter(docs, "doc_id", cfg)
+    )
+    fn = register_contains_udf(spark, "pf_docid_all", handle, cfg.seed)
+    found = docs.where(fn("doc_id")).count()
+    rows.append(("doc_id", nd, nd - found, True))
+    return spark.createDataFrame(
+        rows,
+        "kind string, n_probed bigint, false_negatives bigint, fpr_ok boolean",
+    ).orderBy("kind")
+
+
 def q_blocked_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefix_filter_spark.sketches import blocked_bloom as bb
 
@@ -1620,12 +1704,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry of driver-gated queries. The driver gates the FIRST 50
+    entries (round-3 finding), so the dict is kept at <= 48: the ten
+    single-row membership gates are consolidated into
+    ``filters_membership`` (one row per filter kind, same assertions),
+    and the seven queries that fell past the cap in round 3
+    (simhash_pairs, srp_ann_topk, ivf_ann_topk, runtime_filter_join,
+    pf_join_probe, ntok_quantiles, value_quantiles) are registered
+    early. The individual q_*_membership callables remain available as
+    API and for pytest."""
     return {
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "events_json_props": q_events_json_props,
+        "simhash_pairs": q_simhash_pairs,
+        "srp_ann_topk": q_srp_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "runtime_filter_join": q_runtime_filter_join,
+        "pf_join_probe": q_pf_join_probe,
+        "ntok_quantiles": q_ntok_quantiles,
+        "value_quantiles": q_value_quantiles,
+        "filters_membership": q_filters_membership,
         "lang_source_matrix": q_lang_source_matrix,
         "token_stats": q_token_stats,
         "tokenized_sequences": q_tokenized_sequences,
@@ -1637,16 +1738,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "embedding_topk": q_embedding_topk,
-        "bloom_membership": q_bloom_membership,
-        "prefix_filter_membership": q_prefix_filter_membership,
-        "pf_tc_membership": q_pf_tc_membership,
-        "pf_cf_membership": q_pf_cf_membership,
-        "pf_bbf_membership": q_pf_bbf_membership,
-        "pf_impala_membership": q_pf_impala_membership,
-        "blocked_bloom_membership": q_blocked_bloom_membership,
-        "two_choice_membership": q_two_choice_membership,
-        "cuckoo_membership": q_cuckoo_membership,
-        "doc_id_membership": q_doc_id_membership,
         "per_source_distinct": q_per_source_distinct,
         "top_events_per_user": q_top_events_per_user,
         "salted_source_counts": q_salted_source_counts,
@@ -1671,13 +1762,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality": q_join_cardinality,
         "decontaminate": q_decontaminate,
         "repetition_scores": q_repetition_scores,
-        "ntok_quantiles": q_ntok_quantiles,
-        "pf_join_probe": q_pf_join_probe,
-        "runtime_filter_join": q_runtime_filter_join,
-        "value_quantiles": q_value_quantiles,
-        "srp_ann_topk": q_srp_ann_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -1839,54 +1923,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
             FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
         """,
-        "bloom_membership": f"""
-            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
+        "filters_membership": f"""
+            WITH w AS (SELECT count(DISTINCT x) AS nw
+                       FROM (SELECT unnest({_DUCK_WORDS}) AS x FROM documents)),
+                 d AS (SELECT count(*) AS nd FROM documents)
+            SELECT k.kind,
+                   CASE WHEN k.kind = 'doc_id' THEN d.nd ELSE w.nw END AS n_probed,
+                   0::BIGINT AS false_negatives,
                    true AS fpr_ok
-            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
-        """,
-        "prefix_filter_membership": f"""
-            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
-                   true AS fpr_ok
-            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
-        """,
-        "pf_tc_membership": f"""
-            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
-                   true AS fpr_ok
-            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
-        """,
-        "pf_cf_membership": f"""
-            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
-                   true AS fpr_ok
-            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
-        """,
-        "pf_bbf_membership": f"""
-            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
-                   true AS fpr_ok
-            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
-        """,
-        "pf_impala_membership": f"""
-            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
-                   true AS fpr_ok
-            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
-        """,
-        "blocked_bloom_membership": f"""
-            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
-                   true AS fpr_ok
-            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
-        """,
-        "two_choice_membership": f"""
-            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
-                   true AS fpr_ok
-            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
-        """,
-        "cuckoo_membership": f"""
-            SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives,
-                   true AS fpr_ok
-            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
-        """,
-        "doc_id_membership": """
-            SELECT count(*) AS n_probed, 0::BIGINT AS false_negatives
-            FROM documents
+            FROM (VALUES ('bloom'), ('blocked_bloom'), ('two_choice'),
+                         ('cuckoo'), ('pf_bloom'), ('pf_tc'), ('pf_cf'),
+                         ('pf_bbf'), ('pf_impala'), ('doc_id')) AS k(kind),
+                 w, d
+            ORDER BY kind
         """,
         "per_source_distinct": f"""
             SELECT source, count(DISTINCT w) AS exact_distinct, true AS hll_ok
