@@ -122,6 +122,74 @@ def _pii_oracle_sql() -> str:
     """
 
 
+def _bpe_train_oracle_sql(n_merges: int = 10) -> str:
+    """Pure-SQL BPE training oracle (closes the round-3 'no_oracle'
+    gap): the merge table is a pure function of the word-count table,
+    so unroll ``n_merges`` rounds as chained CTEs.
+
+    Representation trick: each word is a string of sentinel-wrapped
+    symbols (``\\x1f a \\x1f\\x1f b \\x1f …``), so applying merge (a,b) is
+    ``replace(ws, S||a||S||S||b||S, S||a||b||S)`` — SQL replace scans
+    left-to-right over non-overlapping matches, which is EXACTLY the
+    greedy i+=2 walk of the Spark rewrite and the Sennrich reference.
+    Argmax tie-break (total, a, b) mirrors Spark's struct max via
+    ORDER BY total DESC, a DESC, b DESC LIMIT 1; a round whose best
+    pair has total < 2 yields an empty single-row CTE, and the LEFT
+    JOIN + coalesce makes every later round a no-op — the same early
+    stop as train_bpe."""
+    S = "e'\\x1F'"
+    SS = f"{S} || {S}"
+    parts = [
+        f"""
+        WITH wc AS (
+          SELECT w, count(*) AS cnt
+          FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+          GROUP BY w),
+        v0 AS (
+          SELECT cnt,
+                 {S} || array_to_string(
+                          list_transform(range(1, length(w) + 1),
+                                         i -> substring(w, i, 1)),
+                          {SS})
+                     || {S} || {S} || '</w>' || {S} AS ws
+          FROM wc)"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"""
+        p{k} AS (
+          SELECT pr.a AS a, pr.b AS b, sum(cnt_) AS total FROM (
+            SELECT cnt AS cnt_,
+                   unnest(list_transform(range(1, len(syms)),
+                          i -> struct_pack(a := syms[i], b := syms[i+1]))) AS pr
+            FROM (SELECT cnt,
+                         string_split(substring(ws, 2, length(ws) - 2), {SS}) AS syms
+                  FROM v{k}))
+          GROUP BY 1, 2),
+        m{k} AS (
+          SELECT a, b, total FROM p{k} WHERE total >= 2
+          ORDER BY total DESC, a DESC, b DESC LIMIT 1),
+        v{k + 1} AS (
+          SELECT v.cnt,
+                 coalesce(replace(v.ws,
+                                  {S} || m.a || {SS} || m.b || {S},
+                                  {S} || m.a || m.b || {S}),
+                          v.ws) AS ws
+          FROM v{k} v LEFT JOIN m{k} m ON true)"""
+        )
+        parts.append(
+            f"""
+        r{k} AS (SELECT {k} AS rank, a AS "left", b AS "right",
+                        total::BIGINT AS total, true AS ref_match
+                 FROM m{k})"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM r{k}" for k in range(n_merges)
+    )
+    parts.append(f"\n        SELECT * FROM ({union}) ORDER BY rank")
+    return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
+
+
 # --------------------------------------------------------------------------
 # relational / pipeline queries (exact, strong oracles)
 # --------------------------------------------------------------------------
@@ -775,14 +843,16 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training (operators/bpe.py). Iterative
-    and data-dependent (each round's rewrite depends on the previous
-    argmax), so there is NO SQL-expressible oracle — the driver records
-    a rows-only check here. Correctness is pinned two ways instead:
-    pytest equivalence vs a sequential pure-Python reference
-    (tests/test_bpe.py), and the same reference re-run IN THIS GATE on
-    the collected word counts (vocabulary-sized — tiny at every SF),
-    surfaced as the self-asserted ``ref_match`` column."""
+    """Distributed BPE tokenizer training (operators/bpe.py). Training
+    is iterative, but the merge table is a pure function of the word
+    counts, so the DuckDB oracle (_bpe_train_oracle_sql) unrolls the
+    ten merge rounds as chained CTEs and hash-matches the full
+    (rank, left, right, total) table — this closed the round-3
+    'no_oracle' gap. Correctness is additionally pinned by pytest
+    equivalence vs a sequential pure-Python reference
+    (tests/test_bpe.py) and by the same reference re-run IN THIS GATE
+    on the collected word counts (vocabulary-sized — tiny at every
+    SF), surfaced as the ``ref_match`` column."""
     from collections import Counter
 
     from prefix_filter_spark.operators.bpe import END, train_bpe, word_counts
@@ -2082,6 +2152,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE c >= 0.95 ORDER BY v1, v2
         """,
         "pii_scrub": _pii_oracle_sql(),
+        "bpe_train": _bpe_train_oracle_sql(10),
         "table_profile": """
             SELECT 'doc_id' AS "column", count(*) AS n_rows,
                    count(*) - count(doc_id) AS n_nulls,
