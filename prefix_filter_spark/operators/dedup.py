@@ -534,6 +534,7 @@ def semdedup_pairs(
     threshold: float = 0.95,
     nlist: int = 16,
     seed: int = 29,
+    cluster_cap: int | None = 4096,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the corpus, compare pairs only
@@ -545,12 +546,22 @@ def semdedup_pairs(
     O(n²) oracle). Where SRP banding gives a per-pair recall guarantee,
     SemDeDup gives a cost guarantee: candidate work is Σ|c_i|² — with k
     clusters of balanced size that is n²/k, and k scales with n (the
-    paper uses k=50,000 at 5B embeddings), so per-cluster work stays
-    bounded. Plan at 100TB: one pandas-UDF assignment pass over the
-    corpus (no shuffle — centroids ride a broadcast), ONE shuffle on
-    cluster_id for the self-join, cosine verify inside the join. Skewed
-    (oversized) clusters are the documented failure mode — mitigate by
-    raising nlist, exactly as the paper does.
+    paper uses k=50,000 at 5B embeddings).
+
+    Skew mitigation (round-3 verdict item #3, now code): a skewed hot
+    cluster used to serialize its whole |c|² verify into the single
+    join task owning that key. Candidates are now generated by the
+    grid-decomposing ``_bucket_candidate_pairs`` on cluster_id —
+    per-task pair work is bounded by ``cluster_cap`` for ANY skew,
+    including the worst case of millions of IDENTICAL embeddings,
+    which no re-clustering or signature split can separate (identical
+    vectors share every centroid and every SRP bit; the paper's
+    raise-k answer caps only the balanced case). The pair set is
+    IDENTICAL to the naive self-join, so the oracle gate hash-matches
+    by construction, and total Σ|c|² cost is still governed by nlist
+    exactly as in the paper. Embeddings attach to CANDIDATES only (the
+    same ids-ride-the-bucket-join shape as srp_near_dup_pairs), so the
+    corpus-with-vectors is never the join's skewed side.
 
     Recall caveat (vs the reference-exact oracle): a true pair is
     missed only when its members straddle a cluster boundary; near-dups
@@ -568,18 +579,26 @@ def semdedup_pairs(
     corpus = embeddings.withColumn(
         "cluster_id", ivf_assign_udf(cents, spark, nprobe=1)(F.col("embedding"))[0]
     )
-    a, b = corpus.alias("a"), corpus.alias("b")
+    ids = corpus.select("vec_id", "cluster_id")
+    pairs = _bucket_candidate_pairs(
+        ids, ["cluster_id"], "vec_id", cap=cluster_cap
+    ).select(F.col("d1").alias("v1"), F.col("d2").alias("v2"))
+    e1 = corpus.select(
+        F.col("vec_id").alias("v1"),
+        F.col("cluster_id").alias("cluster_id"),
+        F.col("embedding").alias("e1"),
+    )
+    e2 = corpus.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        pairs.join(e1, "v1")
+        .join(e2, "v2")
         .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            F.col("a.cluster_id").alias("cluster_id"),
-            cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+            "v1",
+            "v2",
+            "cluster_id",
+            cosine_expr(F.col("e1"), F.col("e2")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -590,6 +609,7 @@ def semdedup_drop_ids(
     threshold: float = 0.95,
     nlist: int = 16,
     seed: int = 29,
+    cluster_cap: int | None = 4096,
 ) -> DataFrame:
     """SemDeDup keep/drop decision: of each near-dup pair, DROP the
     member closer to its cluster centroid (the paper keeps the example
@@ -599,7 +619,9 @@ def semdedup_drop_ids(
     A local pairwise rule rather than connected components — every
     group of mutual near-dups keeps at least its centroid-farthest
     member, and the rule is a pure function of (data, seed), so
-    resumable and merge-order-free like every operator here.
+    resumable and merge-order-free like every operator here. Hot
+    clusters are grid-decomposed exactly as in ``semdedup_pairs``
+    (``cluster_cap``; same output, bounded per-task work).
     """
     from prefix_filter_spark.operators.similarity import (
         cosine_expr,
@@ -624,26 +646,31 @@ def semdedup_drop_ids(
     corpus = embeddings.withColumn(
         "cluster_id", assign(F.col("embedding"))[0]
     ).withColumn("csim", _centroid_sim(F.col("embedding"), F.col("cluster_id")))
-    a, b = corpus.alias("a"), corpus.alias("b")
+    ids = corpus.select("vec_id", "cluster_id")
+    cand = _bucket_candidate_pairs(
+        ids, ["cluster_id"], "vec_id", cap=cluster_cap
+    ).select(F.col("d1").alias("v1"), F.col("d2").alias("v2"))
+    s1 = corpus.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        F.col("csim").alias("c1"),
+    )
+    s2 = corpus.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+        F.col("csim").alias("c2"),
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(
-            cosine_expr(F.col("a.embedding"), F.col("b.embedding")) >= threshold
-        )
+        cand.join(s1, "v1")
+        .join(s2, "v2")
+        .where(cosine_expr(F.col("e1"), F.col("e2")) >= threshold)
         .select(
             F.when(
-                (F.col("a.csim") > F.col("b.csim"))
-                | (
-                    (F.col("a.csim") == F.col("b.csim"))
-                    & (F.col("a.vec_id") > F.col("b.vec_id"))
-                ),
-                F.col("a.vec_id"),
+                (F.col("c1") > F.col("c2"))
+                | ((F.col("c1") == F.col("c2")) & (F.col("v1") > F.col("v2"))),
+                F.col("v1"),
             )
-            .otherwise(F.col("b.vec_id"))
+            .otherwise(F.col("v2"))
             .alias("vec_id")
         )
     )

@@ -133,3 +133,44 @@ def test_srp_end_to_end_cap_invariant(spark):
     }
     assert got == want
     assert {(i, 500 + i) for i in range(30)} <= want
+
+
+def test_semdedup_hot_cluster_cap_invariant(spark):
+    """The verdict's 90%-mass-cluster scenario: 450 of 500 vectors are
+    near-copies of one direction (all argmax-assigned to the same
+    centroid — a skew no re-clustering could split). With a small
+    cluster_cap the operator must complete with bounded per-task work
+    and return EXACTLY the uncapped output, for both the pair list and
+    the drop rule."""
+    from prefix_filter_spark.operators.dedup import (
+        semdedup_drop_ids,
+        semdedup_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    hot = np.tile(rng.standard_normal(64), (450, 1)) + 0.001 * rng.standard_normal((450, 64))
+    rest = rng.standard_normal((50, 64))
+    rows = [(i, hot[i].tolist()) for i in range(450)] + [
+        (1000 + i, rest[i].tolist()) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.95, nlist=4, seed=29)
+    want = {
+        tuple(r)
+        for r in semdedup_pairs(emb, cluster_cap=None, **kw)
+        .select("v1", "v2", "cluster_id").collect()
+    }
+    got = {
+        tuple(r)
+        for r in semdedup_pairs(emb, cluster_cap=64, **kw)
+        .select("v1", "v2", "cluster_id").collect()
+    }
+    assert got == want
+    # the 450-copy block is one cluster: all its pairs are present
+    assert len(want) >= 450 * 449 // 2
+    hot_cluster_ids = {c for (v1, v2, c) in want if v1 < 450 and v2 < 450}
+    assert len(hot_cluster_ids) == 1
+    drop_want = {r["vec_id"] for r in semdedup_drop_ids(emb, cluster_cap=None, **kw).collect()}
+    drop_got = {r["vec_id"] for r in semdedup_drop_ids(emb, cluster_cap=64, **kw).collect()}
+    assert drop_got == drop_want
+    assert len(drop_want) >= 449  # at most one survivor of the hot block
