@@ -49,16 +49,27 @@ def _timed(fn):
 _TRIALS: dict[str, list[float]] = {}
 
 
-def _timed_best(fn, repeats: int = 2, name: str | None = None):
-    """Best-of-N, with all trials recorded: the reference aggregates a
-    median of 9 runs (smart_tests.hpp:20); this sandbox's hypervisor
-    steal makes single shots meaningless (BENCH/BASELINE.md noise
-    calibration), so the headline stays best-of while the JSON also
-    carries the raw trials + their median."""
-    ts = [_timed(fn) for _ in range(repeats)]
+_BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", 5))
+_HEAVY_CUTOFF_S = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_S", 3.0))
+
+
+def _timed_best(fn, repeats: int | None = None, name: str | None = None):
+    """MEDIAN-of-N (round-4; the reference medians ROUNDS=9 full runs,
+    smart_tests.hpp:20 + Generate-median-csv.py:176-186): N = 5 by
+    default (SPARK_GRAFT_BENCH_TRIALS), adaptively cut to 3 for heavy
+    rows (median of first 3 >= 3s) so the full bench stays inside the
+    driver's run window. All raw trials are recorded in _TRIALS and
+    land in BENCH/last_run.json, so best-of and spread stay readable;
+    the headline `queries` values are the medians."""
+    import statistics
+
+    reps = _BENCH_TRIALS if repeats is None else repeats
+    ts = [_timed(fn) for _ in range(min(3, reps))]
+    if reps > 3 and statistics.median(ts) < _HEAVY_CUTOFF_S:
+        ts += [_timed(fn) for _ in range(reps - 3)]
     if name is not None:
         _TRIALS[name] = [round(t, 3) for t in ts]
-    return min(ts)
+    return statistics.median(ts)
 
 
 def _keys_df(spark, n, offset=0):
@@ -370,6 +381,22 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
 
     times["dup_components"] = _timed_best(_components, name="dup_components")
 
+    # BPE encode (round-4 vectorized lockstep kernel): merges trained
+    # ONCE outside the timed region (training is its own iterative
+    # protocol), the row times the encode pass over the corpus
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from prefix_filter_spark.operators.bpe import encode_udf, train_bpe
+
+    _docs_bpe = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _merges = train_bpe(_docs_bpe.limit(2000), num_merges=100)
+    _enc = encode_udf(_merges, spark, vectorized=True)
+
+    def _bpe_encode():
+        _docs_bpe.select(F.explode(_enc(F.col("text"))).alias("t")).count()
+
+    times["bpe_encode"] = _timed_best(_bpe_encode, name="bpe_encode")
+
     def _pii():
         from pyspark.sql import functions as F
 
@@ -515,10 +542,10 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         # reference median-of-R protocol (Generate-median-csv.py:176-186):
-        # all trials recorded, median reported alongside the best-of
-        "queries_median": {
-            k: round(statistics.median(v), 3) for k, v in _TRIALS.items()
-        },
+        # `queries` above ARE the medians (round 4); best-of and every
+        # raw trial stay readable here
+        "queries_best": {k: round(min(v), 3) for k, v in _TRIALS.items()},
+        "trial_counts": {k: len(v) for k, v in _TRIALS.items()},
         "trials": dict(_TRIALS),
         "sf": sf_dir,
         "throughput": throughput,

@@ -135,16 +135,220 @@ def train_bpe(
     return merges
 
 
-def encode_udf(merges: list[tuple[str, str, int]], spark):
+def _encode_tables(merges: list[tuple[str, str, int]]):
+    """Integer lookup tables for the vectorized encoder: symbol-id
+    space over every merge operand/output (+END), sorted pair keys
+    (a_id * M + b_id) with their rank and merged-symbol id. Characters
+    outside the merge table get the id M + codepoint at encode time —
+    collision-free, never mergeable, decoded back via chr()."""
+    import numpy as np
+
+    sym2id: dict[str, int] = {}
+
+    def sid(s: str) -> int:
+        v = sym2id.get(s)
+        if v is None:
+            v = len(sym2id)
+            sym2id[s] = v
+        return v
+
+    sid(END)
+    pairs = []
+    for rank, (a, b, _) in enumerate(merges):
+        pairs.append((sid(a), sid(b), rank, sid(a + b)))
+    M = len(sym2id)
+    keys = np.array([a * M + b for a, b, _, _ in pairs], dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    ranks = np.array([p[2] for p in pairs], dtype=np.int64)[order]
+    mids = np.array([p[3] for p in pairs], dtype=np.int64)[order]
+    syms = np.array(list(sym2id), dtype=object)  # id -> string
+    # single-char symbols, for the vectorized initial char -> id map
+    cps = np.array(
+        sorted(ord(s) for s in sym2id if len(s) == 1), dtype=np.int64
+    )
+    cp_ids = np.array(
+        [sym2id[chr(c)] for c in cps.tolist()], dtype=np.int64
+    )
+    # dense O(1) gather tables when the pair-key space is small enough
+    # (M^2 <= 2^24 = 128MB for the two int64 tables): one fancy-index
+    # instead of a binary search per position per iteration. Vocab-scale
+    # merge tables (M ~ 50k) fall back to searchsorted.
+    if 0 < M * M <= (1 << 24):
+        INF = np.int64(1 << 62)
+        rank_tab = np.full(M * M, INF, dtype=np.int64)
+        mid_tab = np.zeros(M * M, dtype=np.int64)
+        rank_tab[keys] = ranks
+        mid_tab[keys] = mids
+    else:
+        rank_tab = mid_tab = None
+    return syms, M, keys, ranks, mids, cps, cp_ids, rank_tab, mid_tab
+
+
+def encode_words_numpy(
+    words: list[str], merges: list[tuple[str, str, int]], tables=None
+) -> list[list[str]]:
+    """Vectorized BPE encode of a word batch: the classic
+    lowest-rank-first merge loop run in LOCKSTEP over every word at
+    once with NumPy (round-3 verdict item #4 — the per-row Python loop
+    was a throughput cliff when encoding a full corpus).
+
+    One iteration per merge DEPTH (bounded by the longest word's
+    length, ~20–30, independent of vocabulary size): compute every
+    adjacent pair's rank via searchsorted on the integer pair-key
+    table, take each word's min (segment reduceat), merge the
+    leftmost-nonoverlapping occurrences of that word's best pair
+    (alternating selection inside candidate runs handles overlapping
+    repeats like 'aaaa'), compact, repeat. Equivalent to the per-word
+    reference loop: merging word u never affects word v, and within a
+    word the min-rank-first order is exactly what the loop does.
+    """
+    import numpy as np
+
+    if tables is None:
+        tables = _encode_tables(merges)
+    syms, M, keys, ranks, mids, cps, cp_ids, rank_tab, mid_tab = tables
+    INF = np.int64(1 << 62)
+
+    if not words:
+        return []
+    lens = np.fromiter(map(len, words), count=len(words), dtype=np.int64)
+    flat = np.frombuffer(
+        "".join(words).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    # char -> symbol id (vectorized): known single-char symbols map into
+    # the merge-id space, everything else to the inert M + codepoint
+    if len(cps):
+        pos_c = np.clip(np.searchsorted(cps, flat), 0, len(cps) - 1)
+        known = cps[pos_c] == flat
+        char_ids = np.where(known, cp_ids[pos_c], M + flat)
+    else:
+        char_ids = M + flat
+    # interleave the END token after each word
+    n_words = len(words)
+    N = int(lens.sum()) + n_words
+    T = np.empty(N, dtype=np.int64)
+    W = np.repeat(np.arange(n_words, dtype=np.int64), lens + 1)
+    ends = np.cumsum(lens + 1) - 1
+    T[ends] = 0  # END's symbol id (always 0: first id assigned)
+    mask = np.ones(N, dtype=bool)
+    mask[ends] = False
+    T[mask] = char_ids
+
+    # finished words (no mergeable pair left) are COMPACTED out of the
+    # working arrays each iteration — typical batches finish most words
+    # in the first few rounds, so later iterations touch a shrinking
+    # tail instead of the full batch
+    done_T: list = []
+    done_W: list = []
+    while len(T) and len(keys):
+        a, b = T[:-1], T[1:]
+        valid = (W[:-1] == W[1:]) & (a < M) & (b < M)
+        kq = np.where(valid, a * M + b, -1)
+        if rank_tab is not None:
+            kq_c = np.where(valid, kq, 0)
+            rank = np.where(valid, rank_tab[kq_c], INF)
+            merged = mid_tab[kq_c]
+        else:
+            idx_c = np.clip(np.searchsorted(keys, kq), 0, len(keys) - 1)
+            hit = valid & (keys[idx_c] == kq)
+            rank = np.where(hit, ranks[idx_c], INF)
+            merged = np.where(hit, mids[idx_c], 0)
+        starts = np.flatnonzero(np.r_[True, W[1:] != W[:-1]])
+        # a fully-merged word has ONE token and therefore an EMPTY
+        # adjacent-space segment (start == next start, or == len(rank)
+        # for the last word, which would overflow reduceat). Pad with
+        # an INF sentinel: every segment becomes non-empty, the
+        # sentinel can never be a candidate (rank < INF required).
+        rank_pad = np.append(rank, INF)
+        wmin = np.minimum.reduceat(rank_pad, starts)
+        seg_len = np.diff(np.r_[starts, len(rank_pad)])
+        # candidates: this word's min rank, and finite
+        cand = (rank_pad == np.repeat(wmin, seg_len)) & (rank_pad < INF)
+        cand = cand[:-1]
+        p = np.flatnonzero(cand)
+        if len(p) == 0:
+            done_T.append(T)
+            done_W.append(W)
+            break
+        # leftmost-nonoverlapping inside runs of consecutive candidates
+        ar = np.arange(len(p))
+        new_run = np.r_[True, np.diff(p) != 1]
+        start_idx = np.maximum.accumulate(np.where(new_run, ar, 0))
+        sel = p[(ar - start_idx) % 2 == 0]
+        T[sel] = merged[sel]
+        keep = np.ones(len(T), dtype=bool)
+        keep[sel + 1] = False
+        # words whose best pair is INF are done: move them out
+        tok_seg = np.diff(np.r_[starts, len(T)])
+        fin_tok = np.repeat(wmin == INF, tok_seg)
+        if fin_tok.any():
+            fdone = fin_tok & keep
+            done_T.append(T[fdone])
+            done_W.append(W[fdone])
+            keep &= ~fin_tok
+        T, W = T[keep], W[keep]
+    else:
+        done_T.append(T)
+        done_W.append(W)
+
+    T = np.concatenate(done_T) if done_T else T
+    W = np.concatenate(done_W) if done_W else W
+    order = np.argsort(W, kind="stable")  # within-word order preserved
+    T, W = T[order], W[order]
+
+    # vectorized decode (the Python per-token loop here was the batch's
+    # dominant cost, bigger than all merge iterations combined)
+    known = T < M
+    toks = np.empty(len(T), dtype=object)
+    toks[known] = syms[T[known]]
+    ext = T[~known] - M
+    if len(ext):
+        toks[~known] = np.array([chr(c) for c in ext.tolist()], dtype=object)
+    starts = np.flatnonzero(np.r_[True, W[1:] != W[:-1]])
+    bounds = np.r_[starts, len(T)]
+    return [
+        toks[bounds[k] : bounds[k + 1]].tolist() for k in range(n_words)
+    ]
+
+
+def encode_udf(merges: list[tuple[str, str, int]], spark, vectorized: bool = True):
     """Pandas UDF: text -> array<string> of BPE tokens. The ranked merge
-    list rides a broadcast; encoding uses the classic lowest-rank-first
-    algorithm with a per-batch word cache (words repeat a lot)."""
+    list rides a broadcast. ``vectorized=True`` (default) encodes each
+    Arrow batch's UNIQUE words in one NumPy lockstep pass
+    (encode_words_numpy) — the corpus-scale path; ``vectorized=False``
+    keeps the per-word Python reference loop (the naive twin the tests
+    compare against, same strategy as the reference repo's
+    naive-vs-optimized kernels)."""
     ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
-    bc = spark.sparkContext.broadcast(ranks)
+    bc = spark.sparkContext.broadcast(merges)
+
+    if vectorized:
+
+        @F.pandas_udf("array<string>")
+        def _encode(text: pd.Series) -> pd.Series:
+            ms = bc.value
+            tables = _encode_tables(ms)
+            doc_words = [
+                [w for w in (t or "").lower().split(" ") if w] for t in text
+            ]
+            uniq = list({w: None for ws in doc_words for w in ws})
+            enc = dict(
+                zip(uniq, encode_words_numpy(uniq, ms, tables=tables))
+            )
+            out = []
+            for ws in doc_words:
+                toks: list[str] = []
+                for w in ws:
+                    toks.extend(enc[w])
+                out.append(toks)
+            return pd.Series(out)
+
+        return _encode
 
     @F.pandas_udf("array<string>")
-    def _encode(text: pd.Series) -> pd.Series:
-        r = bc.value
+    def _encode_ref(text: pd.Series) -> pd.Series:
+        r = {(a, b): i for i, (a, b, _) in enumerate(bc.value)}
         cache: dict[str, list[str]] = {}
 
         def enc_word(w: str) -> list[str]:
@@ -172,7 +376,7 @@ def encode_udf(merges: list[tuple[str, str, int]], spark):
             out.append(toks)
         return pd.Series(out)
 
-    return _encode
+    return _encode_ref
 
 
 def encode_bpe(

@@ -24,11 +24,14 @@ Determinism: every step is a min — the result is a pure function of
 the edge set, independent of partitioning, merge order, or executor
 count (property: CC(edges) == CC(shuffle(edges))).
 
-Scale notes: each round's output is localCheckpoint'ed to truncate
-the iterative lineage (swap for checkpoint(dir) on a real cluster);
-rounds are counted, and the loop stops on a fixpoint detected by an
-order-free edge-set fingerprint (count + sum of xxhash64) — one tiny
-aggregate per round, no driver-side edge materialization.
+Scale notes: each round's output is checkpointed to truncate the
+iterative lineage — ``localCheckpoint`` in local mode, reliable
+``checkpoint(dir)`` when ``checkpoint_dir`` is passed (the real-
+cluster path: survives executor loss); rounds are counted, and the
+loop stops on a fixpoint detected by an order-free edge-set
+fingerprint (count + sum of xxhash64) — one tiny aggregate per round
+over the just-checkpointed blocks, no driver-side edge
+materialization.
 """
 
 from __future__ import annotations
@@ -89,19 +92,45 @@ def connected_components(
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = the
     smallest node id reachable from it. Raises if ``max_iter`` rounds
     (default 25 ≫ the O(log² n) bound for any feasible n) pass without
-    a fixpoint — that means a bug, not a big graph."""
-    canon = _canon(
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
+    a fixpoint — that means a bug, not a big graph.
+
+    ``checkpoint_dir``: on a real cluster pass a (durable, shared) path
+    — per-round truncation then uses reliable ``checkpoint`` instead of
+    ``localCheckpoint``, so the iteration survives executor loss (a
+    localCheckpoint lives in executor block storage; losing one
+    executor aborts the lineage-free job). Local mode defaults to the
+    cheaper localCheckpoint.
+
+    Round cost (trimmed in round 4): large-star's output is already
+    loop-free with every edge oriented big->small, so it feeds
+    small-star directly as (s, b) = (m, v) WITHOUT the intermediate
+    canon distinct — duplicates are harmless under the min
+    aggregations and are removed by the round's single final distinct.
+    One shuffle fewer per round; the convergence fingerprint (count +
+    order-free hash sum) runs on the checkpointed output, so it costs
+    one tiny job over cached blocks."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    canon = _truncate(
+        _canon(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    )
     prev = _fingerprint(canon)
     for _ in range(max_iter):
-        canon = _canon(_small_star(_canon(_large_star(canon)))).localCheckpoint(
-            eager=True
-        )
+        ls = _large_star(canon)  # (u, v) with u > v strictly
+        half = ls.select(F.col("v").alias("s"), F.col("u").alias("b"))
+        canon = _truncate(_canon(_small_star(half)))
         cur = _fingerprint(canon)
         if cur == prev:
             break

@@ -109,3 +109,65 @@ def test_early_stop_when_no_repeats(spark):
     # every pair unique -> total < 2 everywhere -> no merges
     docs = _corpus(spark, ["ab cd ef"])
     assert train_bpe(docs, num_merges=5) == []
+
+
+def test_vectorized_encode_equals_reference_loop(spark):
+    """encode_udf(vectorized=True) — the NumPy lockstep batch encoder —
+    must produce bit-identical token arrays to the per-word Python
+    reference loop (vectorized=False), including overlapping-repeat
+    words ('aaaa') and characters outside the merge table."""
+    from prefix_filter_spark.operators.bpe import encode_udf
+
+    texts = [
+        "the cat sat on the mat",
+        "aaa aaaa aaaaaaa a",
+        "repeat repeat repeated repeating",
+        "unseen zz qqq xyzzy",
+        "low lower newest widest " * 4,
+    ]
+    docs = _corpus(spark, texts)
+    merges = train_bpe(docs, num_merges=30)
+    assert len(merges) > 10
+    from pyspark.sql import functions as F
+
+    fast = encode_udf(merges, spark, vectorized=True)
+    ref = encode_udf(merges, spark, vectorized=False)
+    out = docs.select(
+        "doc_id",
+        fast(F.col("text")).alias("a"),
+        ref(F.col("text")).alias("b"),
+    ).collect()
+    for r in out:
+        assert r["a"] == r["b"], r["doc_id"]
+
+
+def test_encode_words_numpy_fuzz():
+    """Pure-python fuzz of the lockstep encoder vs the sequential
+    reference on random words over a small alphabet (no Spark)."""
+    import random
+
+    from prefix_filter_spark.operators.bpe import encode_words_numpy
+
+    def ref_encode(w, merges):
+        r = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+        s = list(w) + [END]
+        while len(s) >= 2:
+            best = min(
+                range(len(s) - 1),
+                key=lambda i: r.get((s[i], s[i + 1]), 1 << 30),
+            )
+            if (s[best], s[best + 1]) not in r:
+                break
+            s[best : best + 2] = [s[best] + s[best + 1]]
+        return s
+
+    rng = random.Random(7)
+    wc: dict[str, int] = {}
+    for _ in range(300):
+        w = "".join(rng.choice("abcd") for _ in range(rng.randrange(1, 12)))
+        wc[w] = wc.get(w, 0) + rng.randrange(1, 8)
+    merges, _ = _ref_bpe(wc, 40)
+    words = list(wc) + ["aaaaaa", "ü§9", "zzz"]
+    got = encode_words_numpy(words, merges)
+    want = [ref_encode(w, merges) for w in words]
+    assert got == want

@@ -132,3 +132,27 @@ def test_leakage_split_survives_64bit_ids(spark):
     for r in out:
         h = (((r["component"] + 17) % M) * A + C) % M
         assert r["split"] == ("test" if h < cut else "train")
+
+
+def test_checkpoint_dir_reliable_path(spark, tmp_path):
+    """The real-cluster truncation path: checkpoint_dir switches the
+    per-round lineage cut to reliable checkpoint(dir). Output must be
+    identical to the localCheckpoint path and checkpoint files must
+    actually land in the directory."""
+    import os
+    import random
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(100), rng.randrange(100)) for _ in range(80)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    cp = str(tmp_path / "cc_checkpoints")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, checkpoint_dir=cp).collect()
+    }
+    want = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == want
+    assert any(os.scandir(cp)), "no checkpoint files written"
