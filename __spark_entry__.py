@@ -950,6 +950,37 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="d1", dst="d2").orderBy("node")
 
 
+def q_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster — the dedup pipeline's final answer
+    (operators/components.py dedup_keep_list): every doc with its
+    near-dup component and a keep flag (component minimum survives,
+    untouched docs survive). Same planted-chain corpus and
+    recursive-CTE oracle as dup_components."""
+    from prefix_filter_spark.operators.components import dedup_keep_list
+    from prefix_filter_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = _planted_chain_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.8)
+    return dedup_keep_list(pairs, corpus.select("doc_id")).orderBy("doc_id")
+
+
+def q_hot_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the round-4 grid-decomposed candidate generator
+    (operators/dedup._bucket_candidate_pairs): three planted hot
+    buckets (doc_id % 3) far above the cap of 32, so every pair goes
+    through the grid-cell path — the oracle is the plain SQL self-join,
+    so any dropped, invented, or duplicated pair hash-mismatches."""
+    from prefix_filter_spark.operators.dedup import _bucket_candidate_pairs
+
+    members = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lit(0).alias("band"),
+        (F.col("doc_id") % 3).alias("h"),
+    )
+    pairs = _bucket_candidate_pairs(members, ["band", "h"], "doc_id", cap=32)
+    return pairs.distinct().orderBy("d1", "d2")
+
+
 def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/test split (operators/components.py
     leakage_safe_split): whole near-dup COMPONENTS go to one side — a
@@ -1797,6 +1828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntok_quantiles": q_ntok_quantiles,
         "value_quantiles": q_value_quantiles,
         "filters_membership": q_filters_membership,
+        "hot_bucket_pairs": q_hot_bucket_pairs,
+        "dup_keep_list": q_dup_keep_list,
         "lang_source_matrix": q_lang_source_matrix,
         "token_stats": q_token_stats,
         "tokenized_sequences": q_tokenized_sequences,
@@ -2210,6 +2243,22 @@ def oracle_sql() -> dict[str, str]:
         "dup_components": _CHAIN_CC_SQL + """
             SELECT node, min(comp) AS component
             FROM r GROUP BY node ORDER BY node
+        """,
+        "dup_keep_list": _CHAIN_CC_SQL + """
+            , comp AS (SELECT node, min(comp) AS component
+                       FROM r GROUP BY node)
+            SELECT c.doc_id,
+                   coalesce(comp.component, c.doc_id) AS component,
+                   (comp.component IS NULL
+                    OR comp.component = c.doc_id) AS keep
+            FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+            ORDER BY doc_id
+        """,
+        "hot_bucket_pairs": """
+            SELECT a.doc_id AS d1, b.doc_id AS d2
+            FROM documents a JOIN documents b
+              ON a.doc_id % 3 = b.doc_id % 3 AND a.doc_id < b.doc_id
+            ORDER BY d1, d2
         """,
         "leakage_split": _CHAIN_CC_SQL + """
             , comp AS (SELECT node, min(comp) AS component
