@@ -249,3 +249,68 @@ def streaming_heavy_hitters_by_source(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+def streaming_quantiles_by_source(
+    values: DataFrame,
+    *,
+    k: int = 200,
+    seed: int = 42,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    timeout: str = "NoTimeout",
+):
+    """Stateful streaming op: running KLL quantile estimates per
+    ``source`` — the streaming twin of ``sketches.kll.build_kll``,
+    completing the stateful family (HLL distinct, MG heavy hitters,
+    sessionization, now rank statistics). State = one serialized KLL
+    sketch per source: O(k·log(n/k)) floats regardless of stream
+    length, so the state store never grows with the data.
+
+    Input stream schema: (source string, value double). Output per
+    batch: (source, n_rows_total, q50, q95, q99, rank_eps) — every
+    estimate carries the sketch's published rank-ε so downstream
+    consumers can gate on it (north rule: estimates within published
+    ε/δ).
+    """
+    from prefix_filter_spark.sketches import kll
+
+    cfg = kll.KllConfig(k=k, seed=seed)
+    q_names = [f"q{int(q * 100)}" for q in qs]
+
+    def update(key, pdfs, state: GroupState):
+        acc = kll.KllSketch(cfg)
+        rows = 0
+        for pdf in pdfs:
+            vals = pdf["value"].to_numpy(dtype="float64")
+            acc.update(vals)
+            rows += len(vals)
+        new_state = acc.to_bytes()
+        if state.exists:
+            (blob, prev_rows) = state.get
+            new_state = kll.merge_states([bytes(blob), new_state])
+            rows += int(prev_rows)
+        state.update((new_state, rows))
+        sk = kll.KllSketch.from_bytes(new_state, cfg)
+        est = sk.quantiles(list(qs))
+        out = {"source": [key[0]], "n_rows_total": [rows]}
+        for name, v in zip(q_names, est.tolist()):
+            out[name] = [float(v)]
+        out["rank_eps"] = [cfg.rank_eps()]
+        yield pd.DataFrame(out)
+
+    timeout_conf = getattr(GroupStateTimeout, timeout, None)
+    if timeout_conf is None:
+        raise ValueError(
+            f"unknown timeout {timeout!r}; expected a GroupStateTimeout "
+            "name (NoTimeout, ProcessingTimeTimeout, EventTimeTimeout)"
+        )
+    cols = ", ".join(f"{n} double" for n in q_names)
+    return values.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"source string, n_rows_total long, {cols}, rank_eps double"
+        ),
+        stateStructType="state binary, n_rows long",
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )

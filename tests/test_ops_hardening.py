@@ -501,3 +501,56 @@ def test_streaming_stateful_mg_heavy_hitters(spark):
         assert r["top_token"] == f"HOT_{r['source']}"
         true_hot = n // 12
         assert r["top_est"] <= true_hot <= r["top_est"] + r["err"]
+
+
+def test_streaming_stateful_kll_quantiles(spark):
+    """KLL state through applyInPandasWithState across three
+    micro-batches: bounded state, and the final running quantiles are
+    within the sketch's rank-eps of the exact per-source quantiles over
+    everything streamed so far."""
+    import numpy as np
+
+    from prefix_filter_spark.streaming.build import streaming_quantiles_by_source
+
+    n = 30_000
+    vals = spark.range(n).select(
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        (F.xxhash64("id", F.lit(7)) % 100_000).cast("double").alias("value"),
+        F.pmod(F.col("id"), F.lit(3)).alias("b"),
+    )
+    src_dir = f"{TMP}/kll_src"
+    for i in range(3):
+        vals.where(F.col("b") == i).drop("b").write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema("source string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = streaming_quantiles_by_source(stream, k=200)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kll_by_source")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{TMP}/kll_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.sql(
+        """SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY source
+                                          ORDER BY n_rows_total DESC) rn
+             FROM kll_by_source) WHERE rn = 1"""
+    ).toPandas()
+    assert len(final) == 3
+    exact = vals.drop("b").toPandas()
+    for _, r in final.iterrows():
+        assert r["n_rows_total"] == n // 3
+        g = np.sort(exact[exact["source"] == r["source"]]["value"].to_numpy())
+        eps = r["rank_eps"] * 1.5 + 1e-9  # sampling margin, same as gates
+        for qq, col in [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")]:
+            # rank error: the estimate's true rank is within eps of q
+            rank = np.searchsorted(g, r[col], side="right") / len(g)
+            assert abs(rank - qq) <= eps, (r["source"], col, rank, qq)
