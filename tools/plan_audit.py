@@ -66,7 +66,9 @@ def main() -> int:
          "scan -> xxhash64 -> ArrowEvalPython over broadcast state, no shuffle"),
         ("minhash_lsh_dedup", entrymod.q_minhash_lsh_dedup,
          "signatures fully JVM (no Python); candidate pairs broadcast into the "
-         "exact-verification join"),
+         "exact-verification join; r4: small/big bucket split for the "
+         "hot-bucket cap duplicates the bucket subtree in the STATIC plan "
+         "(AQE reuses the identical exchanges at runtime, +0.3s measured)"),
         ("embedding_topk", entrymod.q_embedding_topk,
          "query vectors broadcast; per-partition top-k before the global top-k"),
         ("salted_source_counts", entrymod.q_salted_source_counts,
@@ -88,13 +90,18 @@ def main() -> int:
          "map-only: scan -> hash filter, zero exchanges, zero sorts, "
          "zero Python nodes"),
         ("srp_near_dup_pairs", None,
-         "ids-only band-bucket self-join; vectors attach only at the "
-         "candidate verification joins"),
+         "ids-only band-bucket grouping (r4: capped grid decomposition, "
+         "no self-join); vectors attach only at the candidate "
+         "verification joins"),
         ("semdedup_pairs", None,
          "map-only centroid assignment (broadcast centroids, no data "
-         "shuffle); the within-cluster self-join keys on cluster_id — "
-         "broadcast at this SF, ONE cluster_id shuffle at scale; cosine "
-         "verify inside the join"),
+         "shuffle); r4: candidates from the capped bucket generator on "
+         "cluster_id (ids only — the corpus-with-vectors is never the "
+         "skewed join side); cosine verify on candidates"),
+        ("hot_bucket_pairs_capped", None,
+         "r4 grid decomposition: bucket groupBy, small/big split, cells "
+         "REPARTITIONED by (key, cell) so one hot bucket's quadratic "
+         "pair emission spreads across tasks"),
         ("lm_perplexity", None,
          "bigram explode is map-side Catalyst (sequence/transform, no "
          "self-join); count-table joins sized by AQE; one groupBy(doc_id) "
@@ -258,7 +265,20 @@ def main() -> int:
             num_shards=8,
         )
 
+    def _hot_bucket_df():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.dedup import _bucket_candidate_pairs
+
+        members = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            F.lit(0).alias("band"),
+            (F.col("doc_id") % 3).alias("h"),
+        )
+        return _bucket_candidate_pairs(members, ["band", "h"], "doc_id", cap=32)
+
     direct = {"prefix_filter_build": lambda: _pf_build_df()[0],
+              "hot_bucket_pairs_capped": _hot_bucket_df,
               "lm_perplexity": _lm_df,
               "pii_redact": _pii_df,
               "quantize_embeddings": _quant_df,
