@@ -174,3 +174,31 @@ def test_semdedup_hot_cluster_cap_invariant(spark):
     drop_got = {r["vec_id"] for r in semdedup_drop_ids(emb, cluster_cap=64, **kw).collect()}
     assert drop_got == drop_want
     assert len(drop_want) >= 449  # at most one survivor of the hot block
+
+
+def test_capped_equals_uncapped_property(spark):
+    """Hypothesis-style randomized property (seeded loop — one Spark
+    session, many cases): for random bucket multisets and random caps,
+    capped pair set == uncapped pair set."""
+    import random
+
+    rng = random.Random(42)
+    for case in range(6):
+        n_buckets = rng.randrange(1, 5)
+        sizes = {h: rng.randrange(1, 120) for h in range(n_buckets)}
+        cap = rng.randrange(2, 40)
+        m = _members(spark, sizes)
+        want = {
+            (r["d1"], r["d2"])
+            for r in _bucket_candidate_pairs(
+                m, ["band", "h"], "doc_id", cap=None
+            ).collect()
+        }
+        got = {
+            (r["d1"], r["d2"])
+            for r in _bucket_candidate_pairs(
+                m, ["band", "h"], "doc_id", cap=cap
+            ).collect()
+        }
+        assert got == want, (case, sizes, cap)
+        assert len(want) == sum(s * (s - 1) // 2 for s in sizes.values())
