@@ -1806,7 +1806,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of driver-gated queries. The driver gates the FIRST 50
-    entries (round-3 finding), so the dict is kept at <= 48: the ten
+    entries (round-3 finding); this dict is at EXACTLY 50 — do NOT
+    append a new gate without first merging or removing one, or it
+    silently falls outside the gated window (the round-3 bug). The ten
     single-row membership gates are consolidated into
     ``filters_membership`` (one row per filter kind, same assertions),
     and the seven queries that fell past the cap in round 3

@@ -36,6 +36,11 @@ from prefix_filter_spark.sources.tokenizer import words_col
 
 END = "</w>"
 
+# executor-process cache of encode lookup tables, keyed by the identity
+# of the deserialized broadcast merge list (strong ref kept alongside,
+# so ids are never recycled while cached)
+_TABLE_CACHE: dict = {}
+
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, cnt) — the one corpus-sized pass; everything after is
@@ -140,7 +145,14 @@ def _encode_tables(merges: list[tuple[str, str, int]]):
     space over every merge operand/output (+END), sorted pair keys
     (a_id * M + b_id) with their rank and merged-symbol id. Characters
     outside the merge table get the id M + codepoint at encode time —
-    collision-free, never mergeable, decoded back via chr()."""
+    collision-free, never mergeable, decoded back via chr().
+
+    Rejects non-monotone merge tables (an operand produced by a
+    LATER-ranked merge): the lockstep encoder's batch semantics are
+    only equivalent to the sequential reference under rank
+    monotonicity, which every table learned by BPE training satisfies
+    by construction (a symbol must exist before a merge can use it).
+    """
     import numpy as np
 
     sym2id: dict[str, int] = {}
@@ -153,8 +165,25 @@ def _encode_tables(merges: list[tuple[str, str, int]]):
         return v
 
     sid(END)
+    out_rank = {a + b: r for r, (a, b, _) in enumerate(merges)}
     pairs = []
     for rank, (a, b, _) in enumerate(merges):
+        for operand in (a, b):
+            # a composite operand (not a single char, not the bare END
+            # marker) must come from an EARLIER merge; a later-ranked
+            # producer breaks the min-rank-first ordering the lockstep
+            # encoder relies on (an operand produced by NO merge is
+            # inert — it can never appear in a char-initialized word)
+            if (
+                operand != END
+                and len(operand) > 1
+                and out_rank.get(operand, -1) > rank
+            ):
+                raise ValueError(
+                    f"non-monotone merge table: rank-{rank} merge "
+                    f"({a!r}, {b!r}) uses operand {operand!r} produced "
+                    f"by the later rank-{out_rank[operand]} merge"
+                )
         pairs.append((sid(a), sid(b), rank, sid(a + b)))
     M = len(sym2id)
     keys = np.array([a * M + b for a, b, _, _ in pairs], dtype=np.int64)
@@ -200,8 +229,13 @@ def encode_words_numpy(
     leftmost-nonoverlapping occurrences of that word's best pair
     (alternating selection inside candidate runs handles overlapping
     repeats like 'aaaa'), compact, repeat. Equivalent to the per-word
-    reference loop: merging word u never affects word v, and within a
-    word the min-rank-first order is exactly what the loop does.
+    reference loop FOR RANK-MONOTONE merge tables (every table
+    train_bpe produces): the lockstep merges all occurrences of a
+    word's min-rank pair at once, which matches one-at-a-time merging
+    exactly when no merge can create a pair of LOWER rank — guaranteed
+    when every operand predates its merge, which _encode_tables
+    validates and rejects otherwise (hand-built tables violating it
+    would silently diverge between the two paths).
     """
     import numpy as np
 
@@ -320,7 +354,7 @@ def encode_udf(merges: list[tuple[str, str, int]], spark, vectorized: bool = Tru
     keeps the per-word Python reference loop (the naive twin the tests
     compare against, same strategy as the reference repo's
     naive-vs-optimized kernels)."""
-    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    _encode_tables(merges)  # validate monotonicity driver-side, early
     bc = spark.sparkContext.broadcast(merges)
 
     if vectorized:
@@ -328,7 +362,18 @@ def encode_udf(merges: list[tuple[str, str, int]], spark, vectorized: bool = Tru
         @F.pandas_udf("array<string>")
         def _encode(text: pd.Series) -> pd.Series:
             ms = bc.value
-            tables = _encode_tables(ms)
+            # build the integer tables ONCE per executor process, not
+            # per Arrow batch (review finding: a vocab-scale table is
+            # an argsort + up to 128MB of dense gather tables — pure
+            # repeated work on the hot path). bc.value returns the same
+            # deserialized object per process, so id() is a stable key;
+            # the cache holds a strong ref to ms, so the id can't be
+            # recycled.
+            hit = _TABLE_CACHE.get(id(ms))
+            if hit is None:
+                hit = (ms, _encode_tables(ms))
+                _TABLE_CACHE[id(ms)] = hit
+            tables = hit[1]
             doc_words = [
                 [w for w in (t or "").lower().split(" ") if w] for t in text
             ]
@@ -348,7 +393,12 @@ def encode_udf(merges: list[tuple[str, str, int]], spark, vectorized: bool = Tru
 
     @F.pandas_udf("array<string>")
     def _encode_ref(text: pd.Series) -> pd.Series:
-        r = {(a, b): i for i, (a, b, _) in enumerate(bc.value)}
+        ms = bc.value
+        hit = _TABLE_CACHE.get(("ranks", id(ms)))
+        if hit is None:
+            hit = (ms, {(a, b): i for i, (a, b, _) in enumerate(ms)})
+            _TABLE_CACHE[("ranks", id(ms))] = hit
+        r = hit[1]
         cache: dict[str, list[str]] = {}
 
         def enc_word(w: str) -> list[str]:

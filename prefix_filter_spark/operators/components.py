@@ -178,12 +178,17 @@ def leakage_safe_split(
             F.coalesce("component", "node").alias("component"),
         )
     )
-    # reduce into 31 bits BEFORE the multiply: (component+seed)*A would
-    # overflow int64 for ids above ~8.4e9 (ANSI throw / silent wrap);
-    # pmod-first is value-identical in exact arithmetic, so the DuckDB
-    # oracle (HUGEINT promotion) and all small-id outputs are unchanged
+    # reduce into 31 bits BEFORE the seed addition AND the multiply:
+    # component+seed overflows int64 for components within `seed` of
+    # 2^63 (review finding), and (x)*A overflows above ~8.4e9. Both
+    # pmod-first forms are value-identical in exact arithmetic, so the
+    # DuckDB oracle (HUGEINT promotion) and small-id outputs are
+    # unchanged.
     h = F.pmod(
-        F.pmod(F.col("component") + F.lit(seed), F.lit(2_147_483_648))
+        F.pmod(
+            F.pmod(F.col("component"), F.lit(2_147_483_648)) + F.lit(seed),
+            F.lit(2_147_483_648),
+        )
         * F.lit(1103515245)
         + F.lit(12345),
         F.lit(2_147_483_648),

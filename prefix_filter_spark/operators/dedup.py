@@ -188,78 +188,125 @@ def _bucket_candidate_pairs(
 
     The cap keeps the PAIR SET IDENTICAL — no recall loss — by grid
     decomposition instead of pruning: members of an oversized bucket
-    are hashed into G = ceil(s/cap) groups, the G(G+1)/2 group-pair
-    cells are exploded into their own rows, an explicit repartition
-    spreads the cells across tasks, and each cell emits only its own
-    cross-product (i==j cells: id1 < id2; i<j cells: every cross pair
-    exactly once, output ordered least/greatest). Per-cell pair count
-    <= ~cap^2 expected (4*cap^2 worst case), per-task shuffle rows
-    ~2*cap — bounded regardless of bucket size. Buckets at or under
-    the cap take the original single-explode path; with cap=None the
-    original path handles everything (the uncapped oracle twin used in
-    tests).
+    are hashed into G = ceil(s/cap) groups, every member routes itself
+    MAP-SIDE to its G+1 participating group-pair cells (i<=g as the
+    j-side, j>=g as the i-side), a groupBy(key, cell) spreads the
+    cells across tasks, and each cell emits only its own cross-product
+    (i==j cells: id1 < id2; i<j cells: every cross pair exactly once,
+    output ordered least/greatest). The hot bucket's member ARRAY is
+    never materialized: bucket sizes travel via a broadcast join of
+    the (tiny) oversized-key list, so per-task work is bounded
+    everywhere — cell routing is ~(s/G)(G+1) ≈ s rows per upstream
+    task, each cell holds <= ~2*cap members and emits <= ~4*cap^2
+    pairs. (The first cut of this decomposition built cells by
+    filtering the collected bucket array per cell inside the
+    bucket-owner task — O(s*G^2) in ONE task, worse than the explosion
+    it replaced at the 10^6-member scale it advertised; caught in
+    review and replaced with this map-side routing.)
 
-    Cost of the capped path on a hot bucket is linear replication:
-    each member appears in G+1 cells, so shuffle volume is ~s^2/cap
-    ids — the unavoidable price of emitting s^2/2 pairs. The
-    collect_list of the full bucket is linear (one array) and stays;
-    it is the quadratic EXPLOSION that needed redistribution.
+    Total shuffle volume for a hot bucket is ~s^2/cap member rows —
+    the unavoidable price of emitting s^2/2 pairs, now spread across
+    the cluster instead of serialized. Buckets at or under the cap
+    take the original collect_list + double-explode path; with
+    cap=None that path handles everything (the uncapped oracle twin
+    used in tests).
 
     Output: (d1, d2) with d1 < d2, one row per (bucket, pair) — the
     caller dedups across buckets (.distinct()), exactly as before.
     """
     key = [F.col(c) for c in key_cols]
-    buckets = (
-        members.groupBy(*key)
+
+    def _explode_pairs(buckets: DataFrame) -> DataFrame:
+        return (
+            buckets.select(F.explode("ds").alias("d1"), "ds")
+            .select("d1", F.explode("ds").alias("d2"))
+            .where(F.col("d1") < F.col("d2"))
+        )
+
+    if cap is None:
+        buckets = (
+            members.groupBy(*key)
+            .agg(F.collect_list(id_col).alias("ds"))
+            .where(F.size("ds") > 1)
+        )
+        return _explode_pairs(buckets)
+
+    sizes = members.groupBy(*key).agg(F.count("*").alias("_n"))
+    big_keys = sizes.where(F.col("_n") > cap)  # oversized buckets are few
+    # eager common-case check: when NO bucket exceeds the cap (the
+    # overwhelming norm), return the plain single-explode plan — the
+    # routed machinery below (exclusion join + cell routing + second
+    # groupBy) costs ~1.3s of fixed stage latency at gate scale, which
+    # would tax every clean run for a skew that isn't there. One tiny
+    # aggregate job up front buys it back (same eager-midway pattern as
+    # minhash's measured-size candidates.count()).
+    if big_keys.isEmpty():
+        return _bucket_candidate_pairs(members, key_cols, id_col, cap=None)
+    small_pairs = _explode_pairs(
+        members.join(F.broadcast(big_keys), key_cols, "left_anti")
+        .groupBy(*key)
         .agg(F.collect_list(id_col).alias("ds"))
         .where(F.size("ds") > 1)
     )
-    small = buckets if cap is None else buckets.where(F.size("ds") <= cap)
-    small_pairs = (
-        small.select(F.explode("ds").alias("d1"), "ds")
-        .select("d1", F.explode("ds").alias("d2"))
-        .where(F.col("d1") < F.col("d2"))
+    big_members = members.join(F.broadcast(big_keys), key_cols).select(
+        *key,
+        F.col(id_col).alias("id"),
+        # NOTE: Spark column names are case-INsensitive — "_G" and "_g"
+        # are the same name, and withColumn("_g", ...) would silently
+        # REPLACE a "_G" column (observed: the whole grid collapsed to
+        # g-mod-g garbage). Hence the distinct name "_ng" (num groups).
+        F.ceil(F.col("_n") / F.lit(cap)).cast("int").alias("_ng"),
     )
-    if cap is None:
-        return small_pairs
-    big = buckets.where(F.size("ds") > cap)
-    G = F.ceil(F.size("ds") / F.lit(cap)).cast("int")
-    ms = F.transform(
-        F.col("ds"),
-        lambda d: F.struct(
-            d.alias("id"),
-            F.pmod(F.xxhash64(d, F.lit(97)), F.col("_G")).cast("int").alias("g"),
-        ),
+    g = F.pmod(F.xxhash64(F.col("id"), F.lit(97)), F.col("_ng")).cast("int")
+    gm = big_members.withColumn("_g", g)
+    # map-side cell routing: member of group g joins cells (g, j) for
+    # j in [g, G) and (i, g) for i in [0, g), via plain
+    # explode(sequence) + union (no per-bucket arrays anywhere)
+    routed_i = gm.select(
+        *key,
+        "id",
+        "_g",
+        F.explode(F.sequence(F.col("_g"), F.col("_ng") - 1)).alias("_j"),
+    ).select(
+        *key,
+        "id",
+        "_g",
+        F.struct(F.col("_g").alias("i"), F.col("_j").alias("j")).alias("cell"),
     )
-    # grid of group-pair cells (i, j), i <= j — flatten of per-i rows
-    grid = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.col("_G") - 1),
-            lambda i: F.transform(
-                F.sequence(i, F.col("_G") - 1),
-                lambda j: F.struct(i.alias("i"), j.alias("j")),
-            ),
+    routed_j = (
+        gm.select(
+            *key,
+            "id",
+            "_g",
+            F.explode(F.sequence(F.lit(0), F.col("_g"))).alias("_i"),
         )
-    )
-    cells = (
-        big.withColumn("_G", G)
-        .select(*key, ms.alias("ms"), F.explode(grid).alias("cell"))
+        .where(F.col("_i") < F.col("_g"))
         .select(
             *key,
-            "cell",
-            F.filter(F.col("ms"), lambda m: m["g"] == F.col("cell.i")).alias("xs"),
-            F.filter(F.col("ms"), lambda m: m["g"] == F.col("cell.j")).alias("ys"),
+            "id",
+            "_g",
+            F.struct(F.col("_i").alias("i"), F.col("_g").alias("j")).alias("cell"),
         )
-        # the redistribution that makes the bound real: without it every
-        # cell of a hot bucket stays in the task that owns the bucket row
-        .repartition(*key, F.col("cell"))
+    )
+    routed = routed_i.unionByName(routed_j)
+    # one shuffle distributes cells across tasks; each cell's member
+    # list is <= ~2*cap, so the collect_list here is bounded by design
+    grouped = routed.groupBy(*key, "cell").agg(
+        F.collect_list(F.struct("id", "_g")).alias("ms")
     )
     big_pairs = (
-        cells.select("cell", F.explode("xs").alias("x"), "ys")
-        .select("cell", "x", F.explode("ys").alias("y"))
+        grouped.select("cell", F.explode("ms").alias("x"), "ms")
+        .select("cell", "x", F.explode("ms").alias("y"))
         .where(
-            (F.col("cell.i") < F.col("cell.j"))
-            | (F.col("x.id") < F.col("y.id"))
+            (
+                (F.col("cell.i") == F.col("cell.j"))
+                & (F.col("x.id") < F.col("y.id"))
+            )
+            | (
+                (F.col("cell.i") < F.col("cell.j"))
+                & (F.col("x._g") == F.col("cell.i"))
+                & (F.col("y._g") == F.col("cell.j"))
+            )
         )
         .select(
             F.least("x.id", "y.id").alias("d1"),
@@ -348,6 +395,16 @@ def minhash_lsh_pairs(
             + "))"
         ).alias("bh"),
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    if bucket_cap is not None:
+        # the capped generator scans its members THREE times (sizes,
+        # small path, big path); stacked rows are thin (24B: id, band,
+        # hash) but derive from the expensive 128-min signature agg —
+        # persist them so the agg runs once (measured: capped medians
+        # 4.98s -> ~2.6s at sf0.1; same lifecycle as `candidates`,
+        # released via `handles` / clearCache)
+        stacked = stacked.persist()
+        if handles is not None:
+            handles.append(stacked)
     # bucket-group then explode in-bucket pairs, instead of a self-join:
     # a self-join computes the signature aggregate twice and shuffles
     # both sides; this shape computes it once and shuffles once

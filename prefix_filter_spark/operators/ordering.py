@@ -43,7 +43,13 @@ def epoch_hash(id_col: Column, epoch: int) -> Column:
     inside int64, and ``(x mod M)*A + C mod M == x*A + C mod M`` in
     exact arithmetic, so small-id outputs (and the DuckDB oracle, which
     promotes to HUGEINT) are unchanged."""
-    mixed = id_col + F.lit(int(epoch) * _EPOCH_MIX % _LCG_M)
+    # pmod the id BEFORE the epoch-mix addition too: id + lit(mix)
+    # itself overflows int64 for ids within `mix` of 2^63 (review
+    # finding; reachable with xxhash64-derived ids). Value-identical:
+    # (id mod M + k) mod M == (id + k) mod M.
+    mixed = F.pmod(id_col, F.lit(_LCG_M)) + F.lit(
+        int(epoch) * _EPOCH_MIX % _LCG_M
+    )
     reduced = F.pmod(mixed, F.lit(_LCG_M))
     return F.pmod(reduced * F.lit(_LCG_A) + F.lit(_LCG_C), F.lit(_LCG_M))
 

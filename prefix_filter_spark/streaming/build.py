@@ -275,7 +275,9 @@ def streaming_quantiles_by_source(
     from prefix_filter_spark.sketches import kll
 
     cfg = kll.KllConfig(k=k, seed=seed)
-    q_names = [f"q{int(q * 100)}" for q in qs]
+    # round() — int() truncates under float representation (0.29*100 ==
+    # 28.999... would name the 29th percentile column 'q28')
+    q_names = [f"q{int(round(q * 100))}" for q in qs]
 
     def update(key, pdfs, state: GroupState):
         acc = kll.KllSketch(cfg)

@@ -171,3 +171,20 @@ def test_encode_words_numpy_fuzz():
     got = encode_words_numpy(words, merges)
     want = [ref_encode(w, merges) for w in words]
     assert got == want
+
+
+def test_non_monotone_merge_table_rejected():
+    """The lockstep encoder's batch semantics require rank monotonicity
+    (guaranteed for trained tables); a hand-built table whose operand is
+    produced by a LATER merge must be rejected, not silently diverge
+    from the per-word reference loop."""
+    import pytest
+
+    from prefix_filter_spark.operators.bpe import _encode_tables
+
+    with pytest.raises(ValueError, match="non-monotone"):
+        _encode_tables([("ab", "a", 5), ("a", "b", 4)])
+    # monotone tables (operand from an earlier merge) are fine
+    _encode_tables([("a", "b", 5), ("ab", "a", 4)])
+    # operands never produced by any merge are inert, not an error
+    _encode_tables([("xy", "z", 3)])

@@ -119,14 +119,16 @@ def test_leakage_split_survives_64bit_ids(spark):
     from prefix_filter_spark.operators.components import leakage_safe_split
 
     base = 2**62
+    top = 2**63 - 40  # within `seed` of 2^63: the seed-add window
     ids = spark.createDataFrame(
-        [(base + i,) for i in range(40)], "doc_id long"
+        [(base + i,) for i in range(40)] + [(top + i,) for i in range(39)],
+        "doc_id long",
     )
     pairs = spark.createDataFrame(
         [(base + i, base + i + 1) for i in range(0, 20, 2)], "d1 long, d2 long"
     )
     out = leakage_safe_split(pairs, ids, test_frac=0.25, seed=17).collect()
-    assert len(out) == 40
+    assert len(out) == 79
     M, A, C = 2**31, 1103515245, 12345
     cut = int(0.25 * M)
     for r in out:

@@ -64,10 +64,14 @@ def test_epoch_hash_survives_64bit_ids(spark):
 
     from prefix_filter_spark.operators.ordering import epoch_hash
 
-    big = [(2**62 + i,) for i in range(50)] + [(i,) for i in range(50)]
+    big = (
+        [(2**62 + i,) for i in range(30)]
+        + [(2**63 - 1 - i,) for i in range(30)]  # the epoch-mix-add window
+        + [(i,) for i in range(30)]
+    )
     df = spark.createDataFrame(big, "doc_id long")
     out = df.select("doc_id", epoch_hash(F.col("doc_id"), 3).alias("h")).collect()
-    assert len(out) == 100
+    assert len(out) == 90
     M, A, C, MIX = 2**31, 1103515245, 12345, 2654435761
     add = 3 * MIX % M
     for r in out:

@@ -167,17 +167,26 @@ def test_minhash_lsh_plan_shape(spark, documents):
     """The full LSH dedup plan stays JVM-side (verification included):
     no Python nodes, no sort-merge joins, and the exchange count stays
     at the audited shape — a regression here means a subtree stopped
-    being pruned or a join degraded. The hot-bucket cap's small/big
-    bucket split duplicates the bucket subtree in the STATIC plan (13
-    exchanges; the extra copies are identical and AQE's exchange reuse
-    shares them at runtime — measured +0.3s vs uncapped at sf0.1);
-    with cap=None the plan is the original 8-exchange shape."""
+    being pruned or a join degraded. Uncapped is audited FIRST: the
+    capped call persists the stacked rows and runs the eager
+    no-hot-buckets check, and the cache substitution would otherwise
+    alter the uncapped plan's shape. On corpora with no oversized
+    bucket (this one) the capped plan short-circuits to the same
+    single-explode shape, so its bound is the uncapped bound plus the
+    cached-subtree delta."""
     from prefix_filter_spark.operators.dedup import minhash_lsh_pairs
 
-    out = minhash_lsh_pairs(documents, threshold=0.8)
+    spark = documents.sparkSession
+    spark.catalog.clearCache()
+    uncapped = _plan(minhash_lsh_pairs(documents, threshold=0.8, bucket_cap=None))
+    assert "Python" not in uncapped
+    assert "SortMergeJoin" not in uncapped
+    assert uncapped.count("Exchange") <= 10, uncapped.count("Exchange")
+    handles = []
+    out = minhash_lsh_pairs(documents, threshold=0.8, handles=handles)
     plan = _plan(out)
     assert "Python" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange") <= 14, plan.count("Exchange")
-    uncapped = _plan(minhash_lsh_pairs(documents, threshold=0.8, bucket_cap=None))
-    assert uncapped.count("Exchange") <= 10, uncapped.count("Exchange")
+    for h in handles:
+        h.unpersist()
