@@ -24,14 +24,20 @@ Determinism: every step is a min — the result is a pure function of
 the edge set, independent of partitioning, merge order, or executor
 count (property: CC(edges) == CC(shuffle(edges))).
 
-Scale notes: each round's output is checkpointed to truncate the
-iterative lineage — ``localCheckpoint`` in local mode, reliable
+Scale notes: each round's output is checkpoint-truncated LAZILY —
+``localCheckpoint(eager=False)`` in local mode, reliable
 ``checkpoint(dir)`` when ``checkpoint_dir`` is passed (the real-
-cluster path: survives executor loss); rounds are counted, and the
-loop stops on a fixpoint detected by an order-free edge-set
-fingerprint (count + sum of xxhash64) — one tiny aggregate per round
-over the just-checkpointed blocks, no driver-side edge
-materialization.
+cluster path: survives executor loss) — so the round's convergence
+test is the action that materializes it: one job per round, not a
+materialize-then-test pair. The loop stops as soon as the edge set
+IS a star forest (every leaf has exactly one center and no node is
+both) — a direct one-shuffle shape test. Detecting the terminal
+SHAPE instead of fingerprint equality across rounds (the round-3
+design) removes the full confirmation round the fingerprint needed:
+equality can only be observed one round AFTER the fixpoint exists,
+the shape test fires the round it appears (sf0.1 bench: 6.3s ->
+~4.3s median, 3 materialized star rounds -> 2 plus no init
+fingerprint job).
 """
 
 from __future__ import annotations
@@ -51,40 +57,85 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def _fingerprint(canon: DataFrame) -> tuple[int, int]:
-    row = canon.agg(
-        F.count("*").alias("n"),
-        # decimal(38,0) sum: exact and ANSI-overflow-free for any count
-        F.coalesce(
-            F.sum(F.xxhash64("s", "b").cast("decimal(38,0)")), F.lit(0)
-        ).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _is_star_forest(canon: DataFrame) -> bool:
+    """True iff ``canon`` (s < b, distinct) is a star forest: every b
+    (leaf) appears exactly once and no node is both a center (s) and a
+    leaf (b). Under s < b that makes each component a single star whose
+    center is its minimum — exactly the algorithm's fixpoint, and any
+    such state's stars ARE the input's connected components (every
+    round preserves connectivity). One shuffle over 2n flag rows; the
+    violation scan short-circuits via limit(1)."""
+    flags = canon.select(
+        F.col("s").alias("node"), F.lit(1).alias("c"), F.lit(0).alias("l")
+    ).union(
+        canon.select(
+            F.col("b").alias("node"), F.lit(0).alias("c"), F.lit(1).alias("l")
+        )
+    )
+    violations = (
+        flags.groupBy("node")
+        .agg(F.max("c").alias("c"), F.sum("l").alias("l"))
+        .where((F.col("l") > 1) | ((F.col("c") == 1) & (F.col("l") > 0)))
+        .limit(1)
+    )
+    return violations.count() == 0
+
+
+def _sym(canon: DataFrame) -> DataFrame:
+    """Both orientations of every edge via a single explode — NOT a
+    union of two projections: each union branch re-derives its whole
+    input subtree in the physical plan (no common-subexpression reuse
+    across branches), which doubled the per-round work."""
+    return canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("s").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
 
 
 def _large_star(canon: DataFrame) -> DataFrame:
-    sym = canon.select(F.col("s").alias("u"), F.col("b").alias("v")).union(
-        canon.select(F.col("b").alias("u"), F.col("s").alias("v"))
-    )
+    sym = _sym(canon)
     mins = sym.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("m")
     )
+    # join first, filter after: the groupBy side is one row per node
+    # (AQE broadcasts it at small scale, SMJ co-shuffles at large), and
+    # the unfiltered sym keeps the join input identical to the agg
+    # input rather than a third derivation
     return (
-        sym.where(F.col("v") > F.col("u"))
-        .join(mins, "u")
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
 
 
-def _small_star(canon: DataFrame) -> DataFrame:
+def _small_star(half: DataFrame) -> DataFrame:
     # orient every edge toward its larger endpoint b; Γ(b) here is b's
-    # smaller neighborhood, so m = min over it (always ≤ b)
-    mins = canon.groupBy("b").agg(F.min("s").alias("m"))
-    attach = canon.join(mins, "b").select(
-        F.col("s").alias("u"), F.col("m").alias("v")
-    )
-    selfs = mins.select(F.col("b").alias("u"), F.col("m").alias("v"))
-    return attach.union(selfs)
+    # smaller neighborhood, so m = min over it (always < b since every
+    # input row has s < b). Attach rows and the per-b self row (b, m)
+    # are emitted in ONE pass over the join output — the self row rides
+    # the (unique-per-b) row whose s equals m — instead of a union with
+    # a second derivation of the mins subtree (same plan-duplication
+    # problem as _sym; duplicates from upstream just re-emit selfs,
+    # which the round's final distinct removes).
+    mins = half.groupBy("b").agg(F.min("s").alias("m"))
+    joined = half.join(mins, "b")
+    return joined.select(
+        F.explode(
+            F.when(
+                F.col("s") == F.col("m"),
+                F.array(
+                    F.struct(F.col("s").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("m").alias("v")),
+                ),
+            ).otherwise(
+                F.array(F.struct(F.col("s").alias("u"), F.col("m").alias("v")))
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
 
 
 def connected_components(
@@ -108,42 +159,55 @@ def connected_components(
 
     Round cost (trimmed in round 4): large-star's output is already
     loop-free with every edge oriented big->small, so it feeds
-    small-star directly as (s, b) = (m, v) WITHOUT the intermediate
-    canon distinct — duplicates are harmless under the min
-    aggregations and are removed by the round's single final distinct.
-    One shuffle fewer per round; the convergence fingerprint (count +
-    order-free hash sum) runs on the checkpointed output, so it costs
-    one tiny job over cached blocks."""
+    small-star directly as (s, b) = (m, v) WITHOUT an intermediate
+    distinct — duplicates are harmless under the min aggregations and
+    are removed by the round's single final distinct. Both star ops
+    avoid union-branch plan duplication (explode-based
+    symmetrization, one-pass attach+self emit), each round's lazy
+    truncation is materialized BY its star-forest convergence test
+    (one job per round), and the test fires the round the fixpoint
+    appears — no cross-round fingerprint, no confirmation round, no
+    init-fingerprint job. An input that is already a star forest pays
+    one idempotent round instead of a pre-loop check: non-trivial
+    inputs (the common case) save that job every call."""
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _truncate(df: DataFrame) -> DataFrame:
+        # lazy: the per-round star-forest check is the materializing
+        # action, so truncation costs no job of its own
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
 
     canon = _truncate(
         _canon(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     )
-    prev = _fingerprint(canon)
-    for _ in range(max_iter):
-        ls = _large_star(canon)  # (u, v) with u > v strictly
+
+    def _alternate(c: DataFrame) -> DataFrame:
+        ls = _large_star(c)  # (u, v) with u > v strictly
         half = ls.select(F.col("v").alias("s"), F.col("u").alias("b"))
-        canon = _truncate(_canon(_small_star(half)))
-        cur = _fingerprint(canon)
-        if cur == prev:
+        return _canon(_small_star(half))
+
+    for _ in range(max_iter):
+        canon = _truncate(_alternate(canon))
+        if _is_star_forest(canon):
             break
-        prev = cur
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
     # star forest: every non-root points at its root; roots are the
-    # component minima and belong to their own component
+    # component minima and belong to their own component. No global
+    # distinct: b-uniqueness (just verified) makes the member rows
+    # distinct, roots dedup on the (smaller) s projection alone, and
+    # the two sides are disjoint (no node is both an s and a b).
     members = canon.select(F.col("b").alias("node"), F.col("s").alias("component"))
-    roots = canon.select(F.col("s").alias("node"), F.col("s").alias("component"))
-    return members.union(roots).distinct()
+    roots = canon.select(F.col("s").alias("component")).distinct().select(
+        F.col("component").alias("node"), "component"
+    )
+    return members.union(roots)
 
 
 def leakage_safe_split(
