@@ -185,14 +185,28 @@ def connected_components(
         _canon(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     )
 
+    pinned: list[DataFrame] = []
+
     def _alternate(c: DataFrame) -> DataFrame:
         ls = _large_star(c)  # (u, v) with u > v strictly
         half = ls.select(F.col("v").alias("s"), F.col("u").alias("b"))
+        # half feeds small-star twice (its min-agg and its join side).
+        # Over a checkpointed canon that is one narrow recompute — free
+        # at gate scale — but on a real cluster (SMJ regime, where the
+        # reliable checkpoint_dir path is in use) it re-runs a shuffled
+        # pipeline, so persist it there; released after the round's
+        # convergence test.
+        if checkpoint_dir is not None:
+            half = half.persist()
+            pinned.append(half)
         return _canon(_small_star(half))
 
     for _ in range(max_iter):
         canon = _truncate(_alternate(canon))
-        if _is_star_forest(canon):
+        converged = _is_star_forest(canon)
+        while pinned:
+            pinned.pop().unpersist()
+        if converged:
             break
     else:
         raise RuntimeError(

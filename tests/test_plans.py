@@ -190,3 +190,33 @@ def test_minhash_lsh_plan_shape(spark, documents):
     assert plan.count("Exchange") <= 14, plan.count("Exchange")
     for h in handles:
         h.unpersist()
+
+
+def test_cc_round_plan_shape(spark):
+    """One large-star/small-star round stays JVM-side and lean: no
+    Python nodes, and the explode-based symmetrization + one-pass
+    attach/self emit keep the static plan free of union-branch subtree
+    duplication (the round-3 shape re-derived its input in every union
+    branch: 9+ exchanges per round; the round-4 shape is 4 — two
+    groupBy-mins, their joins fold to broadcast at this scale, one
+    final distinct, plus the input canon distinct)."""
+    from prefix_filter_spark.operators.components import (
+        _canon,
+        _large_star,
+        _small_star,
+    )
+
+    edges = spark.range(1000).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    # mirror the loop: canon is a checkpoint leaf between rounds, so
+    # the only in-round duplication is the narrow half recompute
+    canon = _canon(edges).localCheckpoint(eager=True)
+    ls = _large_star(canon)
+    half = ls.select(F.col("v").alias("s"), F.col("u").alias("b"))
+    out = _canon(_small_star(half))
+    plan = _plan(out)
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan.count(
+        "Exchange hashpartitioning"
+    )
