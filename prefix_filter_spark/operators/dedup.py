@@ -193,10 +193,8 @@ def _bucket_candidate_pairs(
     j-side, j>=g as the i-side), a groupBy(key, cell) spreads the
     cells across tasks, and each cell emits only its own cross-product
     (i==j cells: id1 < id2; i<j cells: every cross pair exactly once,
-    output ordered least/greatest). The hot bucket's member ARRAY is
-    never materialized: bucket sizes travel via a broadcast join of
-    the (tiny) oversized-key list, so per-task work is bounded
-    everywhere — cell routing is ~(s/G)(G+1) ≈ s rows per upstream
+    output ordered least/greatest). Per-task work is bounded
+    everywhere: cell routing is ~(s/G)(G+1) ≈ s rows per upstream
     task, each cell holds <= ~2*cap members and emits <= ~4*cap^2
     pairs. (The first cut of this decomposition built cells by
     filtering the collected bucket array per cell inside the
@@ -204,12 +202,28 @@ def _bucket_candidate_pairs(
     it replaced at the 10^6-member scale it advertised; caught in
     review and replaced with this map-side routing.)
 
+    The small/big decision is made INSIDE the one aggregation the
+    plain path already does — collect the bucket, split on its size
+    AFTER the agg — not by a separate sizes pass: the two branches
+    share an identical shuffle subtree (ReuseExchange runs it once),
+    and when no bucket exceeds the cap the big branch is an empty
+    relation that AQE propagates away, so the cap costs a clean corpus
+    essentially nothing. (Two earlier designs both taxed every clean
+    call: an up-front sizes job — measured +1.5-2s of fixed latency at
+    gate scale — and an exclusion-join against the oversized-key list.
+    One honest concession remains: each hot bucket's member array IS
+    materialized once inside its agg task — linear, 8B/member,
+    transient — before being re-exploded for routing; it is the
+    QUADRATIC pair emission that must never be single-task, and is
+    not. At 10^8+ members per bucket the array itself (~GBs) would
+    need the pre-split sizes pass back — raise the cap-free sizes job
+    only in that regime.)
+
     Total shuffle volume for a hot bucket is ~s^2/cap member rows —
     the unavoidable price of emitting s^2/2 pairs, now spread across
-    the cluster instead of serialized. Buckets at or under the cap
-    take the original collect_list + double-explode path; with
-    cap=None that path handles everything (the uncapped oracle twin
-    used in tests).
+    the cluster instead of serialized. With cap=None the plain
+    collect_list + double-explode path handles everything (the
+    uncapped oracle twin used in tests).
 
     Output: (d1, d2) with d1 < d2, one row per (bucket, pair) — the
     caller dedups across buckets (.distinct()), exactly as before.
@@ -223,34 +237,22 @@ def _bucket_candidate_pairs(
             .where(F.col("d1") < F.col("d2"))
         )
 
-    if cap is None:
-        buckets = (
-            members.groupBy(*key)
-            .agg(F.collect_list(id_col).alias("ds"))
-            .where(F.size("ds") > 1)
-        )
-        return _explode_pairs(buckets)
-
-    sizes = members.groupBy(*key).agg(F.count("*").alias("_n"))
-    big_keys = sizes.where(F.col("_n") > cap)  # oversized buckets are few
-    # eager common-case check: when NO bucket exceeds the cap (the
-    # overwhelming norm), return the plain single-explode plan — the
-    # routed machinery below (exclusion join + cell routing + second
-    # groupBy) costs ~1.3s of fixed stage latency at gate scale, which
-    # would tax every clean run for a skew that isn't there. One tiny
-    # aggregate job up front buys it back (same eager-midway pattern as
-    # minhash's measured-size candidates.count()).
-    if big_keys.isEmpty():
-        return _bucket_candidate_pairs(members, key_cols, id_col, cap=None)
-    small_pairs = _explode_pairs(
-        members.join(F.broadcast(big_keys), key_cols, "left_anti")
-        .groupBy(*key)
+    buckets = (
+        members.groupBy(*key)
         .agg(F.collect_list(id_col).alias("ds"))
         .where(F.size("ds") > 1)
     )
-    big_members = members.join(F.broadcast(big_keys), key_cols).select(
+    if cap is None:
+        return _explode_pairs(buckets)
+
+    small_pairs = _explode_pairs(buckets.where(F.size("ds") <= cap))
+    big_members = buckets.where(F.size("ds") > cap).select(
         *key,
-        F.col(id_col).alias("id"),
+        F.size("ds").alias("_n"),
+        F.explode("ds").alias("id"),
+    ).select(
+        *key,
+        "id",
         # NOTE: Spark column names are case-INsensitive — "_G" and "_g"
         # are the same name, and withColumn("_g", ...) would silently
         # REPLACE a "_G" column (observed: the whole grid collapsed to
@@ -395,16 +397,6 @@ def minhash_lsh_pairs(
             + "))"
         ).alias("bh"),
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    if bucket_cap is not None:
-        # the capped generator scans its members THREE times (sizes,
-        # small path, big path); stacked rows are thin (24B: id, band,
-        # hash) but derive from the expensive 128-min signature agg —
-        # persist them so the agg runs once (measured: capped medians
-        # 4.98s -> ~2.6s at sf0.1; same lifecycle as `candidates`,
-        # released via `handles` / clearCache)
-        stacked = stacked.persist()
-        if handles is not None:
-            handles.append(stacked)
     # bucket-group then explode in-bucket pairs, instead of a self-join:
     # a self-join computes the signature aggregate twice and shuffles
     # both sides; this shape computes it once and shuffles once

@@ -167,13 +167,12 @@ def test_minhash_lsh_plan_shape(spark, documents):
     """The full LSH dedup plan stays JVM-side (verification included):
     no Python nodes, no sort-merge joins, and the exchange count stays
     at the audited shape — a regression here means a subtree stopped
-    being pruned or a join degraded. Uncapped is audited FIRST: the
-    capped call persists the stacked rows and runs the eager
-    no-hot-buckets check, and the cache substitution would otherwise
-    alter the uncapped plan's shape. On corpora with no oversized
-    bucket (this one) the capped plan short-circuits to the same
-    single-explode shape, so its bound is the uncapped bound plus the
-    cached-subtree delta."""
+    being pruned or a join degraded. The capped generator makes its
+    small/big split INSIDE the one bucket aggregation the plain path
+    does (no sizes pass, no exclusion join), so its static plan is the
+    uncapped plan plus the big-branch machinery over a SHARED shuffle
+    subtree — the bound below also asserts the share: the bucket agg's
+    exchange must appear once, not once per branch."""
     from prefix_filter_spark.operators.dedup import minhash_lsh_pairs
 
     spark = documents.sparkSession
@@ -182,14 +181,18 @@ def test_minhash_lsh_plan_shape(spark, documents):
     assert "Python" not in uncapped
     assert "SortMergeJoin" not in uncapped
     assert uncapped.count("Exchange") <= 10, uncapped.count("Exchange")
-    handles = []
-    out = minhash_lsh_pairs(documents, threshold=0.8, handles=handles)
+    out = minhash_lsh_pairs(documents, threshold=0.8)
     plan = _plan(out)
     assert "Python" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange") <= 14, plan.count("Exchange")
-    for h in handles:
-        h.unpersist()
+    # the static plan inlines the candidates subtree into BOTH
+    # verification joins (runtime reads the persisted copy), so the
+    # capped bound is roughly 2x the uncapped single-derivation count
+    # plus the big branch's (key, cell) groupBy; the share of the
+    # bucket agg between the small and big branches must show up as
+    # ReusedExchange nodes — losing them means each branch re-shuffles
+    assert plan.count("Exchange") <= 18, plan.count("Exchange")
+    assert plan.count("ReusedExchange") >= 1, plan
 
 
 def test_cc_round_plan_shape(spark):
