@@ -424,8 +424,11 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
 N_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE_KEYS", 48_000_000))
 
 
-def scaling_run(cores: int) -> float:
-    """Build throughput (tokens/sec) for the PF build at a parallelism.
+def scaling_run(cores: int) -> tuple[float, float]:
+    """(build, probe) throughput (tokens/sec) for the PF at a
+    parallelism — the north rule's two benchmark classes ("build-
+    throughput and query-throughput ... at cluster sizes N and 4N"),
+    measured in one session so both ride the same pinned cores.
 
     Same input and same shard count at both parallelism levels (identical
     work units — only the executor count changes), and a large-enough key
@@ -435,7 +438,12 @@ def scaling_run(cores: int) -> float:
     bench_filters (it throttles pandas-UDAF parallelism below the core
     count — at 100TB the shuffle is far above the advisory size, so this
     is purely a small-data measurement artifact).
-    """
+
+    The probe is the broadcast-handle SQL-UDF path over uniform keys
+    (the reference's `find` benchmark, smart_tests.cpp timed lookups) —
+    map-only, so its scaling isolates the Arrow/UDF path from the
+    build's shuffle."""
+    from prefix_filter_spark.functions import register_contains_udf
     from prefix_filter_spark.session import get_spark
     from prefix_filter_spark.sketches import prefix_filter as pfm
 
@@ -449,19 +457,29 @@ def scaling_run(cores: int) -> float:
     keys.count()
     cfg = pfm.PrefixFilterConfig(n_capacity=N_SCALE, num_shards=128, seed=42)
     # warm the Python workers (cold-start is a fixed cost a long-lived
-    # cluster never pays per job), then best-of-3 like the reference's
+    # cluster never pays per job), then best-of-R like the reference's
     # median-of-R protocol (/root/reference/Tests/smart_tests.hpp:20)
     pfm.build_prefix_filter(keys.limit(10_000), "key", cfg).count()
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", 4))
-    t = min(
+    t_build = min(
         _timed(lambda: pfm.build_prefix_filter(keys, "key", cfg).count())
         for _ in range(reps)
     )
+    handle = pfm.ShardedPrefixFilter.from_df(
+        cfg, pfm.build_prefix_filter(keys, "key", cfg)
+    )
+    fn = register_contains_udf(spark, "scale_pf", handle, cfg.seed)
+    probes = _keys_df(spark, N_SCALE, offset=10**10).cache()
+    probes.count()
+    probes.limit(10_000).where(fn("key")).count()  # warm the broadcast
+    t_probe = min(
+        _timed(lambda: probes.where(fn("key")).count()) for _ in range(reps)
+    )
     spark.stop()
-    return N_SCALE / t
+    return N_SCALE / t_build, N_SCALE / t_probe
 
 
-def _scaling_run_subprocess(cores: int) -> float:
+def _scaling_run_subprocess(cores: int) -> tuple[float, float]:
     """scaling_run in a fresh process pinned to exactly `cores` CPUs.
 
     Fresh process: two SparkContexts created back to back in one JVM
@@ -483,7 +501,7 @@ def _scaling_run_subprocess(cores: int) -> float:
     code = (
         "import sys, os; os.sched_setaffinity(0, set(range(%d))); "
         "sys.path.insert(0, %r); import bench; "
-        "print('TPS', bench.scaling_run(%d))"
+        "print('TPS', *bench.scaling_run(%d))"
         % (cores, os.path.dirname(os.path.abspath(__file__)), cores)
     )
     out = subprocess.run(
@@ -491,7 +509,8 @@ def _scaling_run_subprocess(cores: int) -> float:
     )
     for line in out.stdout.splitlines():
         if line.startswith("TPS "):
-            return float(line.split()[1])
+            parts = line.split()
+            return float(parts[1]), float(parts[2])
     raise RuntimeError(f"scaling subprocess produced no TPS line: {out.stdout[-500:]}")
 
 
@@ -500,17 +519,19 @@ def _steal_counters() -> tuple[int, int]:
     return vals[7], sum(vals)  # (steal jiffies, total jiffies)
 
 
-def _scaling_trial(cores: int) -> tuple[float, float]:
-    """One pinned scaling run plus the hypervisor steal fraction (%)
-    observed across it — context for reading a depressed trial."""
+def _scaling_trial(cores: int) -> tuple[float, float, float]:
+    """One pinned scaling run -> (build_tps, probe_tps, steal%): the
+    hypervisor steal fraction observed across the trial is context for
+    reading a depressed number."""
     try:
         s0, t0 = _steal_counters()
     except OSError:
-        return _scaling_run_subprocess(cores), -1.0
-    tps = _scaling_run_subprocess(cores)
+        b, p = _scaling_run_subprocess(cores)
+        return b, p, -1.0
+    b, p = _scaling_run_subprocess(cores)
     s1, t1 = _steal_counters()
     steal = 100.0 * (s1 - s0) / max(t1 - t0, 1)
-    return tps, steal
+    return b, p, steal
 
 
 def main() -> None:
@@ -572,27 +593,40 @@ def main() -> None:
         # idle), which depresses the ratio — the steal columns let that
         # be read for what it is.
         time.sleep(5)  # let the stopped main session's JVM drain
-        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", 4))
-        tp_los, tp_his, st_los, st_his = [], [], [], []
+        # 3 alternating rounds (was 4): the probe measurement added in
+        # round 4 roughly doubles each pinned subprocess, and the full
+        # bench must stay inside the driver's run window
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", 3))
+        tp_los, tp_his, pr_los, pr_his, st_los, st_his = [], [], [], [], [], []
         for _ in range(rounds):
-            tp, st = _scaling_trial(lo_cores)
+            tp, pr, st = _scaling_trial(lo_cores)
             tp_los.append(tp)
+            pr_los.append(pr)
             st_los.append(st)
-            tp, st = _scaling_trial(hi_cores)
+            tp, pr, st = _scaling_trial(hi_cores)
             tp_his.append(tp)
+            pr_his.append(pr)
             st_his.append(st)
         tp_lo = max(tp_los)
         tp_hi = max(tp_his)
+        pr_lo = max(pr_los)
+        pr_hi = max(pr_his)
         eff = (tp_hi / tp_lo) / (hi_cores / lo_cores)
+        probe_eff = (pr_hi / pr_lo) / (hi_cores / lo_cores)
         result["scaling"] = {
             "cores_n": lo_cores,
             "tokens_per_sec_n": round(tp_lo, 1),
             "cores_4n": hi_cores,
             "tokens_per_sec_4n": round(tp_hi, 1),
             "efficiency": round(eff, 3),
+            "probe_per_sec_n": round(pr_lo, 1),
+            "probe_per_sec_4n": round(pr_hi, 1),
+            "probe_efficiency": round(probe_eff, 3),
             "n_keys": N_SCALE,
             "trials_n": [round(t, 1) for t in tp_los],
             "trials_4n": [round(t, 1) for t in tp_his],
+            "probe_trials_n": [round(t, 1) for t in pr_los],
+            "probe_trials_4n": [round(t, 1) for t in pr_his],
             "steal_pct_n": [round(s, 1) for s in st_los],
             "steal_pct_4n": [round(s, 1) for s in st_his],
         }
@@ -621,6 +655,9 @@ def main() -> None:
             "tokens_per_sec_n": s["tokens_per_sec_n"],
             "tokens_per_sec_4n": s["tokens_per_sec_4n"],
             "efficiency": s["efficiency"],
+            "probe_per_sec_n": s["probe_per_sec_n"],
+            "probe_per_sec_4n": s["probe_per_sec_4n"],
+            "probe_efficiency": s["probe_efficiency"],
         }
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 1500, f"stdout bench line too long: {len(line)}B"
