@@ -36,10 +36,23 @@ from prefix_filter_spark.sources.tokenizer import words_col
 
 END = "</w>"
 
-# executor-process cache of encode lookup tables, keyed by the identity
-# of the deserialized broadcast merge list (strong ref kept alongside,
-# so ids are never recycled while cached)
+# executor-process cache of encode lookup tables: ONE slot per family
+# ("tables" for the vectorized path, "ranks" for the reference path),
+# holding (merge_list, built) for the most recent broadcast value seen.
+# Identity-compared (bc.value returns the same object per process) and
+# bounded by construction — a new merge table evicts the old entry, so
+# repeated encode_udf calls in a long-lived session can't accumulate
+# vocab-scale numpy tables in every reused worker (review finding: the
+# first cut keyed by id(ms) and kept strong refs forever)
 _TABLE_CACHE: dict = {}
+
+
+def _cached_per_family(family: str, ms, build):
+    hit = _TABLE_CACHE.get(family)
+    if hit is None or hit[0] is not ms:
+        hit = (ms, build(ms))
+        _TABLE_CACHE[family] = hit
+    return hit[1]
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -140,6 +153,43 @@ def train_bpe(
     return merges
 
 
+def _validate_monotone(merges: list[tuple[str, str, int]]) -> None:
+    """Reject non-monotone merge tables (an operand no EARLIER-ranked
+    merge produces): the lockstep encoder's batch semantics are only
+    equivalent to the sequential reference under rank monotonicity,
+    which every table learned by BPE training satisfies by construction
+    (a symbol must exist before a merge can use it). Pure O(V) scan —
+    no table allocation (review finding: the first cut ran the full
+    numpy table build driver-side just for this check).
+
+    A symbol may be produced by SEVERAL merges (e.g. 'r'+'es' and
+    're'+'s' both -> 'res'); the EARLIEST producer is what matters, so
+    first-producer-wins via setdefault (review finding: a plain dict
+    comprehension kept the LAST producer's rank and falsely rejected
+    valid tables with duplicate outputs)."""
+    out_rank: dict[str, int] = {}
+    for r, (a, b, _) in enumerate(merges):
+        out_rank.setdefault(a + b, r)
+    for rank, (a, b, _) in enumerate(merges):
+        for operand in (a, b):
+            # a composite operand (not a single char, not the bare END
+            # marker) must come from an EARLIER merge; a later-ranked
+            # first-producer breaks the min-rank-first ordering the
+            # lockstep encoder relies on (an operand produced by NO
+            # merge is inert — it can never appear in a
+            # char-initialized word)
+            if (
+                operand != END
+                and len(operand) > 1
+                and out_rank.get(operand, -1) > rank
+            ):
+                raise ValueError(
+                    f"non-monotone merge table: rank-{rank} merge "
+                    f"({a!r}, {b!r}) uses operand {operand!r} first "
+                    f"produced by the later rank-{out_rank[operand]} merge"
+                )
+
+
 def _encode_tables(merges: list[tuple[str, str, int]]):
     """Integer lookup tables for the vectorized encoder: symbol-id
     space over every merge operand/output (+END), sorted pair keys
@@ -147,14 +197,11 @@ def _encode_tables(merges: list[tuple[str, str, int]]):
     outside the merge table get the id M + codepoint at encode time —
     collision-free, never mergeable, decoded back via chr().
 
-    Rejects non-monotone merge tables (an operand produced by a
-    LATER-ranked merge): the lockstep encoder's batch semantics are
-    only equivalent to the sequential reference under rank
-    monotonicity, which every table learned by BPE training satisfies
-    by construction (a symbol must exist before a merge can use it).
+    Validates rank monotonicity first (see ``_validate_monotone``).
     """
     import numpy as np
 
+    _validate_monotone(merges)
     sym2id: dict[str, int] = {}
 
     def sid(s: str) -> int:
@@ -165,25 +212,8 @@ def _encode_tables(merges: list[tuple[str, str, int]]):
         return v
 
     sid(END)
-    out_rank = {a + b: r for r, (a, b, _) in enumerate(merges)}
     pairs = []
     for rank, (a, b, _) in enumerate(merges):
-        for operand in (a, b):
-            # a composite operand (not a single char, not the bare END
-            # marker) must come from an EARLIER merge; a later-ranked
-            # producer breaks the min-rank-first ordering the lockstep
-            # encoder relies on (an operand produced by NO merge is
-            # inert — it can never appear in a char-initialized word)
-            if (
-                operand != END
-                and len(operand) > 1
-                and out_rank.get(operand, -1) > rank
-            ):
-                raise ValueError(
-                    f"non-monotone merge table: rank-{rank} merge "
-                    f"({a!r}, {b!r}) uses operand {operand!r} produced "
-                    f"by the later rank-{out_rank[operand]} merge"
-                )
         pairs.append((sid(a), sid(b), rank, sid(a + b)))
     M = len(sym2id)
     keys = np.array([a * M + b for a, b, _, _ in pairs], dtype=np.int64)
@@ -353,11 +383,17 @@ def encode_udf(merges: list[tuple[str, str, int]], spark, vectorized: bool = Tru
     (encode_words_numpy) — the corpus-scale path; ``vectorized=False``
     keeps the per-word Python reference loop (the naive twin the tests
     compare against, same strategy as the reference repo's
-    naive-vs-optimized kernels)."""
-    _encode_tables(merges)  # validate monotonicity driver-side, early
+    naive-vs-optimized kernels — and the one path that encodes even
+    NON-monotone tables correctly, so it is not gated on the
+    monotonicity check)."""
     bc = spark.sparkContext.broadcast(merges)
 
     if vectorized:
+        # cheap O(V) driver-side check, early: only the lockstep batch
+        # path requires rank monotonicity (review finding: this used to
+        # build the full numpy tables just to validate, and gated the
+        # reference loop too)
+        _validate_monotone(merges)
 
         @F.pandas_udf("array<string>")
         def _encode(text: pd.Series) -> pd.Series:
@@ -365,15 +401,9 @@ def encode_udf(merges: list[tuple[str, str, int]], spark, vectorized: bool = Tru
             # build the integer tables ONCE per executor process, not
             # per Arrow batch (review finding: a vocab-scale table is
             # an argsort + up to 128MB of dense gather tables — pure
-            # repeated work on the hot path). bc.value returns the same
-            # deserialized object per process, so id() is a stable key;
-            # the cache holds a strong ref to ms, so the id can't be
-            # recycled.
-            hit = _TABLE_CACHE.get(id(ms))
-            if hit is None:
-                hit = (ms, _encode_tables(ms))
-                _TABLE_CACHE[id(ms)] = hit
-            tables = hit[1]
+            # repeated work on the hot path); single-slot family cache,
+            # identity-keyed on the per-process broadcast value
+            tables = _cached_per_family("tables", ms, _encode_tables)
             doc_words = [
                 [w for w in (t or "").lower().split(" ") if w] for t in text
             ]
@@ -394,11 +424,9 @@ def encode_udf(merges: list[tuple[str, str, int]], spark, vectorized: bool = Tru
     @F.pandas_udf("array<string>")
     def _encode_ref(text: pd.Series) -> pd.Series:
         ms = bc.value
-        hit = _TABLE_CACHE.get(("ranks", id(ms)))
-        if hit is None:
-            hit = (ms, {(a, b): i for i, (a, b, _) in enumerate(ms)})
-            _TABLE_CACHE[("ranks", id(ms))] = hit
-        r = hit[1]
+        r = _cached_per_family(
+            "ranks", ms, lambda m: {(a, b): i for i, (a, b, _) in enumerate(m)}
+        )
         cache: dict[str, list[str]] = {}
 
         def enc_word(w: str) -> list[str]:

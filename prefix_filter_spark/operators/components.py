@@ -202,10 +202,16 @@ def connected_components(
         return _canon(_small_star(half))
 
     for _ in range(max_iter):
-        canon = _truncate(_alternate(canon))
-        converged = _is_star_forest(canon)
-        while pinned:
-            pinned.pop().unpersist()
+        try:
+            canon = _truncate(_alternate(canon))
+            converged = _is_star_forest(canon)
+        finally:
+            # release even when the convergence-test job throws
+            # (executor loss mid-job is exactly the scenario the
+            # reliable-checkpoint path exists for): a retry on the same
+            # session must not inherit orphaned pinned RDDs
+            while pinned:
+                pinned.pop().unpersist()
         if converged:
             break
     else:

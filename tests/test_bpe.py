@@ -188,3 +188,29 @@ def test_non_monotone_merge_table_rejected():
     _encode_tables([("a", "b", 5), ("ab", "a", 4)])
     # operands never produced by any merge are inert, not an error
     _encode_tables([("xy", "z", 3)])
+    # duplicate outputs: a symbol produced by SEVERAL merges must use
+    # its EARLIEST producer for the check — 'abc' is produced at rank 0
+    # ('a'+'bc') before being used at rank 1, and produced again at
+    # rank 2; a last-producer-wins rank map falsely rejected this
+    # (review finding, reachable in real trained tables where e.g.
+    # 'r'+'es' and 're'+'s' both yield 'res')
+    _encode_tables([("a", "bc", 10), ("abc", "d", 9), ("ab", "c", 8)])
+
+
+def test_reference_loop_accepts_non_monotone(spark):
+    """vectorized=False is the naive per-word reference loop, which
+    encodes non-monotone tables correctly — only the lockstep batch
+    path is gated on monotonicity."""
+    from prefix_filter_spark.operators.bpe import encode_udf
+
+    bad = [("ab", "a", 5), ("a", "b", 4)]
+    fn = encode_udf(bad, spark, vectorized=False)  # must not raise
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("d1", "abab")], "doc_id string, text string")
+    [row] = df.select(fn(F.col("text")).alias("t")).collect()
+    # reference semantics: merge (a,b) first (rank 0 by list position),
+    # then the newly-formed (ab,a) pair outranks the remaining (a,b) —
+    # exactly the mid-word switch the lockstep path cannot reproduce,
+    # hence reject-there / allow-here
+    assert row["t"] == ["aba", "b", "</w>"]
