@@ -1798,6 +1798,67 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS + Misra-Gries heavy hitters in ONE gate (merged so both keep
+    a driver row inside the 50-entry window): exact top-10 words
+    (DuckDB-matched) with each sketch's self-asserted two-sided-bound
+    boolean. Same assertions as the individual q_cms_heavy_hitters /
+    q_mg_heavy_hitters, which remain API for pytest."""
+    cms_rows = q_cms_heavy_hitters(spark, sf_dir).select(
+        F.lit("cms").alias("sketch"), "word", "cnt", F.col("cms_ok").alias("sketch_ok")
+    )
+    mg_rows = q_mg_heavy_hitters(spark, sf_dir).select(
+        F.lit("mg").alias("sketch"), "word", "cnt", F.col("mg_ok").alias("sketch_ok")
+    )
+    return cms_rows.unionByName(mg_rows)
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL + t-digest quantiles over BOTH gated columns in ONE gate
+    (documents n_words and events.value — merged so both keep a driver
+    row inside the 50-entry window). Exact quantiles DuckDB-matched;
+    sketch estimates rank-interval-checked as before."""
+    ntok = q_ntok_quantiles(spark, sf_dir).select(
+        F.lit("n_words").alias("metric"), "q", "exact_quantile", "kll_ok", "tdigest_ok"
+    )
+    val = q_value_quantiles(spark, sf_dir).select(
+        F.lit("value").alias("metric"), "q", "exact_quantile", "kll_ok", "tdigest_ok"
+    )
+    return ntok.unionByName(val)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (operators/span_dedup.py —
+    ExactSubstr dedup, Lee et al. 2022, re-expressed as positional
+    k-grams + gaps-and-islands): every maximal duplicated word span of
+    >= 5 words, DuckDB-matched on positions, extents and gram counts."""
+    from prefix_filter_spark.operators.span_dedup import duplicated_spans
+
+    spans = duplicated_spans(_docs(spark, sf_dir), k=5)
+    return spans.select(
+        "doc_id",
+        F.col("start_pos").cast("bigint").alias("start_pos"),
+        F.col("end_pos").cast("bigint").alias("end_pos"),
+        "n_grams",
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023):
+    integer fixed-point importance weights vs an English target corpus
+    and the deterministic top-10% selection, DuckDB-matched exactly
+    (the fixed-point quantization makes the weights accumulation-order
+    independent, so no float tolerance is needed)."""
+    from prefix_filter_spark.operators.dsir import (
+        importance_weights,
+        select_top_fraction,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = importance_weights(docs, docs.where(F.col("lang") == "en"))
+    return select_top_fraction(w, 0.1)
+
+
 # --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: prefix-filter membership panel on sf0.001."""
@@ -1813,9 +1874,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``filters_membership`` (one row per filter kind, same assertions),
     and the seven queries that fell past the cap in round 3
     (simhash_pairs, srp_ann_topk, ivf_ann_topk, runtime_filter_join,
-    pf_join_probe, ntok_quantiles, value_quantiles) are registered
-    early. The individual q_*_membership callables remain available as
-    API and for pytest."""
+    pf_join_probe, plus the two quantile gates) are registered early.
+    Round-4 session-4 merges freed two more slots — the two quantile
+    gates became ``sketch_quantiles`` and the two heavy-hitter gates
+    became ``heavy_hitters`` — used by the new ``span_dedup`` and
+    ``dsir_select`` gates. Every individual q_* callable remains
+    available as API and for pytest."""
     return {
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
@@ -1827,8 +1891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "runtime_filter_join": q_runtime_filter_join,
         "pf_join_probe": q_pf_join_probe,
-        "ntok_quantiles": q_ntok_quantiles,
-        "value_quantiles": q_value_quantiles,
+        "sketch_quantiles": q_sketch_quantiles,
+        "span_dedup": q_span_dedup,
+        "dsir_select": q_dsir_select,
         "filters_membership": q_filters_membership,
         "hot_bucket_pairs": q_hot_bucket_pairs,
         "dup_keep_list": q_dup_keep_list,
@@ -1850,8 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "hll_distinct": q_hll_distinct,
         "kmv_set_ops": q_kmv_set_ops,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "heavy_hitters": q_heavy_hitters,
         "sequence_packing": q_sequence_packing,
         "mixture_sample": q_mixture_sample,
         "srp_near_dup_pairs": q_srp_near_dup_pairs,
@@ -2089,15 +2153,75 @@ def oracle_sql() -> dict[str, str]:
                 AS exact_a_minus_b,
               true AS kmv_union_ok, true AS kmv_inter_ok, true AS kmv_diff_ok
         """,
-        "cms_heavy_hitters": f"""
-            SELECT w AS word, count(*) AS cnt, true AS cms_ok
-            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
-            GROUP BY w ORDER BY cnt DESC, w LIMIT 10
+        "heavy_hitters": f"""
+            (SELECT 'cms' AS sketch, w AS word, count(*) AS cnt, true AS sketch_ok
+             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+             GROUP BY w ORDER BY cnt DESC, w LIMIT 10)
+            UNION ALL
+            (SELECT 'mg' AS sketch, w AS word, count(*) AS cnt, true AS sketch_ok
+             FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+             GROUP BY w ORDER BY cnt DESC, w LIMIT 10)
         """,
-        "mg_heavy_hitters": f"""
-            SELECT w AS word, count(*) AS cnt, true AS mg_ok
-            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
-            GROUP BY w ORDER BY cnt DESC, w LIMIT 10
+        "span_dedup": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, array_to_string(ws[i : i + 4], ' ') AS g
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+                    FROM toks WHERE len(ws) >= 5)),
+            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            marked AS (SELECT doc_id, pos FROM grams
+                       WHERE g IN (SELECT g FROM dup)),
+            isl AS (SELECT doc_id, pos,
+                           pos - row_number() OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) AS grp
+                    FROM marked)
+            SELECT doc_id, min(pos) AS start_pos, max(pos) + 4 AS end_pos,
+                   count(*) AS n_grams
+            FROM isl GROUP BY doc_id, grp
+            ORDER BY doc_id, start_pos
+        """,
+        "dsir_select": f"""
+            WITH toks AS (SELECT doc_id, lang, {_DUCK_WORDS} AS ws FROM documents),
+            feats AS (
+              SELECT doc_id, lang, unnest(ws) AS w FROM toks
+              UNION ALL
+              SELECT doc_id, lang, array_to_string(ws[i : i + 1], ' ') AS w
+              FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i
+                    FROM toks WHERE len(ws) >= 2)),
+            bucketed AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT % 10000 AS BIGINT)
+                       AS bucket
+              FROM feats),
+            rcnt AS (SELECT bucket, count(*) AS cnt FROM bucketed GROUP BY bucket),
+            tcnt AS (SELECT bucket, count(*) AS cnt FROM bucketed
+                     WHERE lang = 'en' GROUP BY bucket),
+            rtot AS (SELECT sum(cnt) AS total FROM rcnt),
+            ttot AS (SELECT coalesce(sum(cnt), 0) AS total FROM tcnt),
+            ratio AS (
+              SELECT coalesce(r.bucket, t.bucket) AS bucket,
+                     CAST(round((coalesce(ln((t.cnt + 1)::DOUBLE
+                                             / (ttot.total + 10000)::DOUBLE),
+                                          ln(1.0 / (ttot.total + 10000)::DOUBLE))
+                               - coalesce(ln((r.cnt + 1)::DOUBLE
+                                             / (rtot.total + 10000)::DOUBLE),
+                                          ln(1.0 / (rtot.total + 10000)::DOUBLE)))
+                                * 10000) AS BIGINT) AS ratio_fp
+              FROM rcnt r FULL OUTER JOIN tcnt t ON r.bucket = t.bucket, rtot, ttot),
+            per_doc AS (
+              SELECT b.doc_id, sum(ratio_fp) AS weight_fp, count(*) AS n_feats
+              FROM bucketed b JOIN ratio USING (bucket) GROUP BY b.doc_id),
+            weights AS (
+              SELECT d.doc_id, CAST(coalesce(weight_fp, 0) AS BIGINT) AS weight_fp,
+                     CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats
+              FROM documents d LEFT JOIN per_doc USING (doc_id)),
+            ranked AS (
+              SELECT *, row_number() OVER (ORDER BY weight_fp DESC, doc_id) AS rk,
+                     (SELECT count(*) FROM weights) AS n
+              FROM weights)
+            SELECT doc_id, weight_fp, n_feats
+            FROM ranked WHERE rk <= CAST(ceil(0.1 * n) AS BIGINT)
+            ORDER BY doc_id
         """,
         "repetition_scores": f"""
             WITH t AS (SELECT source, {_DUCK_WORDS} ws FROM documents),
@@ -2336,9 +2460,9 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM c GROUP BY 1 ORDER BY 1
         """,
-        "ntok_quantiles": f"""
+        "sketch_quantiles": f"""
             WITH d AS (SELECT len({_DUCK_WORDS}) AS n_words FROM documents)
-            SELECT q::double AS q,
+            SELECT 'n_words' AS metric, q::double AS q,
                    round(qv, 6) AS exact_quantile,
                    true AS kll_ok, true AS tdigest_ok
             FROM (
@@ -2348,7 +2472,17 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 0.75, quantile_cont(n_words, 0.75) FROM d
               UNION ALL SELECT 0.9, quantile_cont(n_words, 0.9) FROM d
               UNION ALL SELECT 0.99, quantile_cont(n_words, 0.99) FROM d
-            ) ORDER BY q
+            )
+            UNION ALL
+            SELECT 'value' AS metric, q::double AS q,
+                   round(qv, 6) AS exact_quantile,
+                   true AS kll_ok, true AS tdigest_ok
+            FROM (
+              SELECT 0.1 AS q, quantile_cont(value, 0.1) AS qv FROM events
+              UNION ALL SELECT 0.5, quantile_cont(value, 0.5) FROM events
+              UNION ALL SELECT 0.9, quantile_cont(value, 0.9) FROM events
+              UNION ALL SELECT 0.99, quantile_cont(value, 0.99) FROM events
+            )
         """,
         "pf_join_probe": f"""
             SELECT count(DISTINCT w) AS n_probed, 0::BIGINT AS false_negatives
@@ -2361,16 +2495,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY l_returnflag
             ORDER BY l_returnflag
-        """,
-        "value_quantiles": """
-            SELECT q::double AS q, round(qv, 6) AS exact_quantile,
-                   true AS kll_ok, true AS tdigest_ok
-            FROM (
-              SELECT 0.1 AS q, quantile_cont(value, 0.1) AS qv FROM events
-              UNION ALL SELECT 0.5, quantile_cont(value, 0.5) FROM events
-              UNION ALL SELECT 0.9, quantile_cont(value, 0.9) FROM events
-              UNION ALL SELECT 0.99, quantile_cont(value, 0.99) FROM events
-            ) ORDER BY q
         """,
         "srp_ann_topk": """
             WITH pairs AS (
