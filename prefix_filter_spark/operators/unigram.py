@@ -1,0 +1,323 @@
+"""Unigram-LM tokenizer training and encoding (Kudo 2018, "Subword
+Regularization: Improving Neural Network Translation Models with
+Multiple Subword Candidates" — the SentencePiece unigram model), the
+second trainable tokenizer on the tokens axis beside BPE
+(operators/bpe.py). BPE grows a vocabulary bottom-up by merging; the
+unigram model starts from a LARGE seed vocabulary and prunes it down,
+fitting piece probabilities by EM over all segmentations.
+
+Scale shape (same regime as BPE training): after ONE corpus-sized pass
+(explode words -> groupBy count), everything operates on the
+WORD-COUNT table — vocabulary-sized (10^6–10^8 distinct words), never
+corpus-sized. Each EM iteration is:
+
+- E-step: an Arrow-batched pandas UDF over (word, cnt) rows runs
+  forward-backward over the word's segmentation lattice against the
+  BROADCAST piece table and emits per-piece expected counts;
+- M-step: explode + groupBy(piece) sum — one shuffle whose row count
+  is bounded by distinct_words x pieces_per_word — then the new
+  piece table (vocab-sized, ~10^5 rows x ~20 B) comes back to the
+  driver, the same bounded driver-fold pattern as sequence packing's
+  per-bucket offsets (operators/packing.py) and BPE's argmax row.
+
+Determinism across partitionings (the repo-wide gate requirement, cf.
+the lm_perplexity float-avg review finding): expected counts are
+QUANTIZED to integer fixed-point (``FP`` units) per (word, piece)
+BEFORE the M-step sum, so the reduction is an exact integer sum —
+commutative, associative, partition-invariant — and the new log-probs
+are recomputed on the driver from those integers. The whole training
+run is therefore a pure function of the word-count table
+(``test_unigram.py`` pins repartition invariance and equality with a
+sequential pure-Python reference driver).
+
+Simplification vs the paper, documented: pruning keeps the
+highest-expected-count pieces (single characters always survive, so
+any word stays encodable) instead of the paper's likelihood-loss
+ranking; the EM fit itself is the paper's full soft EM (the E-step is
+forward-backward over ALL segmentations, verified in tests against
+brute-force segmentation enumeration), not hard Viterbi counts.
+
+Reference scope note: the reference repo (TomerEven/Prefix-Filter) has
+no tokenizer; this extends the engine's tokens-axis family alongside
+operators/bpe.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.operators.bpe import word_counts
+
+# fixed-point scale for expected counts: 1e6 units per occurrence.
+# At 10^12 corpus tokens the total across all pieces is ~10^18 < 2^63;
+# ANSI mode (session default) turns a hypothetical overflow into an
+# error instead of a silent wrap.
+FP = 1_000_000
+
+
+# ----------------------------------------------------------------- math
+def _log_add(a: float, b: float) -> float:
+    if a == -math.inf:
+        return b
+    if b == -math.inf:
+        return a
+    hi, lo = (a, b) if a >= b else (b, a)
+    return hi + math.log1p(math.exp(lo - hi))
+
+
+def forward_backward_counts(
+    word: str, logp: dict[str, float], max_len: int
+) -> tuple[dict[str, float], float]:
+    """Expected piece-occurrence counts for ONE word under the unigram
+    model, and the word's log marginal likelihood. Pure function —
+    shared by the executor UDF and the sequential reference driver in
+    tests, and itself pinned against brute-force segmentation
+    enumeration (test_unigram.py).
+
+    alpha[i] = log sum of path weights over segmentations of w[:i];
+    beta[i] likewise for w[i:]; the posterior expected count of the
+    piece at span [j, i) is exp(alpha[j] + logp + beta[i] - alpha[n]).
+    Returns ({}, -inf) when the word is unsegmentable (a character
+    missing from the piece set — cannot happen when single chars are
+    retained, which training guarantees)."""
+    n = len(word)
+    alpha = [-math.inf] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and alpha[j] != -math.inf:
+                alpha[i] = _log_add(alpha[i], alpha[j] + lp)
+    z = alpha[n]
+    if z == -math.inf:
+        return {}, -math.inf
+    beta = [-math.inf] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            lp = logp.get(word[i:j])
+            if lp is not None and beta[j] != -math.inf:
+                beta[i] = _log_add(beta[i], lp + beta[j])
+    out: dict[str, float] = {}
+    for j in range(n):
+        for i in range(j + 1, min(n, j + max_len) + 1):
+            lp = logp.get(word[j:i])
+            if lp is not None and alpha[j] != -math.inf and beta[i] != -math.inf:
+                e = math.exp(alpha[j] + lp + beta[i] - z)
+                if e > 0.0:
+                    p = word[j:i]
+                    out[p] = out.get(p, 0.0) + e
+    return out, z
+
+
+def viterbi_encode_word(
+    word: str, logp: dict[str, float], max_len: int
+) -> list[str]:
+    """Best segmentation of one word: max total log-prob, ties broken
+    toward the LONGEST piece at each boundary (smallest j), so the
+    output is a deterministic pure function of (word, piece table)."""
+    n = len(word)
+    best = [-math.inf] * (n + 1)
+    back = [-1] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and best[j] != -math.inf:
+                s = best[j] + lp
+                if s > best[i]:
+                    best[i] = s
+                    back[i] = j
+    if best[n] == -math.inf:
+        raise ValueError(f"unsegmentable word {word!r} under this vocab")
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        pieces.append(word[j:i])
+        i = j
+    pieces.reverse()
+    return pieces
+
+
+def _logp_from_totals(totals: dict[str, int]) -> dict[str, float]:
+    """MLE log-probs from exact integer fixed-point totals — computed
+    once, driver-side, so float order-dependence cannot enter."""
+    z = math.log(sum(totals.values()))
+    return {p: math.log(c) - z for p, c in totals.items() if c > 0}
+
+
+# ------------------------------------------------------------ seed vocab
+def seed_pieces(
+    wc: DataFrame, max_piece_len: int = 4, seed_size: int = 1000
+) -> DataFrame:
+    """(piece, total) seed vocabulary: every substring of length
+    2..max_piece_len of every distinct word, weighted by occurrence
+    position count x word count, topped at ``seed_size`` — PLUS every
+    single character (always kept, so every word stays segmentable).
+    Distributed: the substring explode is over the DISTINCT-word table
+    (len(w) x max_piece_len rows per word), one groupBy(piece) shuffle,
+    and the top-k is Spark's TakeOrdered (no global sort)."""
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.length("w") - 1),
+            lambda j: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(max_piece_len)),
+                    lambda l: F.substring(F.col("w"), j + 1, l),
+                ),
+                lambda s: F.length(s) >= 1,
+            ),
+        )
+    )
+    # substring(w, j+1, l) quietly truncates at the word end, so a
+    # near-boundary (j, l) yields the same short piece several times —
+    # that is exactly the positional occurrence count for the short
+    # piece and is kept (the sequential reference counts the same way)
+    exploded = wc.select("cnt", F.explode(subs).alias("piece"))
+    totals = exploded.groupBy("piece").agg(
+        F.sum(F.col("cnt")).alias("total")
+    )
+    chars = totals.where(F.length("piece") == 1)
+    multi = (
+        totals.where(F.length("piece") >= 2)
+        .orderBy(F.col("total").desc(), F.col("piece"))
+        .limit(seed_size)
+    )
+    return chars.unionByName(multi)
+
+
+# -------------------------------------------------------------- training
+def _estep_counts(
+    wc: DataFrame, logp: dict[str, float], max_len: int
+) -> dict[str, int]:
+    """One distributed E+M step: expected piece counts (integer fixed
+    point) summed exactly over the word-count table."""
+    spark = wc.sparkSession
+    bc = spark.sparkContext.broadcast(logp)
+
+    @F.pandas_udf("array<struct<p:string,c:long>>")
+    def _expected(w: pd.Series, cnt: pd.Series) -> pd.Series:
+        lp = bc.value
+        out = []
+        for word, c in zip(w, cnt):
+            ec, _ = forward_backward_counts(word, lp, max_len)
+            out.append(
+                [
+                    {"p": p, "c": int(round(e * int(c) * FP))}
+                    for p, e in ec.items()
+                ]
+            )
+        return pd.Series(out)
+
+    rows = (
+        wc.select(F.explode(_expected("w", "cnt")).alias("x"))
+        .groupBy(F.col("x.p").alias("p"))
+        .agg(F.sum("x.c").alias("c"))
+        .collect()
+    )
+    return {r["p"]: int(r["c"]) for r in rows if r["c"] > 0}
+
+
+def _with_char_floor(totals: dict[str, int], chars: set[str]) -> dict[str, int]:
+    """Re-add every corpus character at a floor of 1 fixed-point unit
+    (1/FP expected occurrences). An E-step can quantize a rare single
+    char's expected count to 0 when longer pieces absorb nearly all of
+    its posterior mass — dropping it would make some word unsegmentable
+    (SentencePiece likewise never drops required characters)."""
+    out = dict(totals)
+    for ch in chars:
+        if out.get(ch, 0) <= 0:
+            out[ch] = 1
+    return out
+
+
+def _prune(totals: dict[str, int], keep: int) -> dict[str, int]:
+    """Keep all single characters plus the top multi-char pieces by
+    (expected count desc, piece asc) until ``keep`` pieces total."""
+    chars = {p: c for p, c in totals.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in totals.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+    room = max(0, keep - len(chars))
+    kept = dict(multi[:room])
+    kept.update(chars)
+    return kept
+
+
+def train_unigram(
+    docs: DataFrame,
+    vocab_size: int = 120,
+    *,
+    max_piece_len: int = 4,
+    seed_size: int = 1000,
+    em_iters: int = 2,
+    shrink: float = 0.75,
+    text_col: str = "text",
+) -> list[tuple[str, float]]:
+    """Learn the unigram piece table: [(piece, logp), ...] sorted by
+    piece. Seed large -> alternate (EM x em_iters, prune by shrink)
+    until <= vocab_size -> one final EM refit. Deterministic pure
+    function of the corpus word counts (integer-fixed-point E-steps,
+    driver-side log-prob refits)."""
+    wc = word_counts(docs, text_col).localCheckpoint(eager=True)
+    seed = {
+        r["piece"]: int(r["total"]) * FP
+        for r in seed_pieces(wc, max_piece_len, seed_size).collect()
+    }
+    chars = {p for p in seed if len(p) == 1}
+    totals = seed
+    logp = _logp_from_totals(totals)
+    while True:
+        for _ in range(em_iters):
+            totals = _with_char_floor(
+                _estep_counts(wc, logp, max_piece_len), chars
+            )
+            logp = _logp_from_totals(totals)
+        if len(totals) <= vocab_size:
+            break
+        keep = max(vocab_size, int(len(totals) * shrink))
+        pruned = _prune(totals, keep)
+        if len(pruned) >= len(totals):
+            # chars alone exceed vocab_size: can't shrink further
+            totals = pruned
+            break
+        totals = pruned
+        logp = _logp_from_totals(totals)
+    totals = _with_char_floor(_estep_counts(wc, logp, max_piece_len), chars)
+    logp = _logp_from_totals(totals)
+    return sorted(logp.items())
+
+
+# -------------------------------------------------------------- encoding
+def encode_unigram(
+    df: DataFrame,
+    pieces: list[tuple[str, float]],
+    text_col: str = "text",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Viterbi-segment every word of ``text_col`` into trained pieces
+    (array<array<string>>, one inner array per word). Corpus-scale
+    path: the UDF runs per row but Viterbi work is proportional to
+    text length x max_piece_len; for web-scale encode, dedupe to
+    distinct words first and join back, exactly like BPE's encode
+    cache (operators/bpe.py)."""
+    spark = df.sparkSession
+    max_len = max((len(p) for p, _ in pieces), default=1)
+    bc = spark.sparkContext.broadcast(dict(pieces))
+
+    @F.pandas_udf("array<array<string>>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        lp = bc.value
+        out = []
+        for t in texts:
+            words = [w for w in (t or "").lower().split(" ") if w]
+            out.append([viterbi_encode_word(w, lp, max_len) for w in words])
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))
