@@ -590,6 +590,85 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text-quality AND repetition signals in one gate: the
+    round-3 `quality_scores` and `repetition_scores` gates merged
+    (joined on source) to free a driver slot for `unigram_scores`,
+    the same consolidation the round-3 verdict prescribed for the
+    membership family. Both q_* callables stay exported as API."""
+    q = q_quality_scores(spark, sf_dir)
+    r = q_repetition_scores(spark, sf_dir)
+    return q.join(r, "source").orderBy("source")
+
+
+# Fixed piece table for the unigram Viterbi gate: every corpus letter
+# at ln(1/64) plus hand-picked multi-char pieces at ln(1/32) / ln(1/24)
+# / ln(1/16) by length — all pre-quantized to integer 1e-6 log-prob
+# units so BOTH engines run exact integer max-sum DP (no runtime ln(),
+# no float reduction, no cross-libm risk).
+_CHAR_FP = -4_158_883  # round(ln(1/64) * 1e6)
+_FP2, _FP3, _FP4 = -3_465_736, -3_178_054, -2_772_589  # ln(1/32, 1/24, 1/16)
+_UNI_PIECES_FP: dict[str, int] = {
+    **{c: _CHAR_FP for c in "abcdefghijklmnopqrstuvwxyz"},
+    **{p: _FP2 for p in (
+        "jo", "in", "ha", "sh", "ro", "ow", "ba", "an", "er", "or",
+        "ta", "da", "va", "ke", "ey", "li", "ne", "ge", "up", "rt",
+        "ry", "st", "re", "am", "rk", "ll", "du",
+    )},
+    **{p: _FP3 for p in (
+        "row", "col", "umn", "cus", "tom", "fil", "ter", "sma", "mer",
+        "slo", "ord", "vec", "tor", "agg", "lue", "str", "eam", "win",
+        "dow", "spa", "gro", "par", "big", "que", "fas", "the", "dup",
+        "tch", "ble",
+    )},
+    **{p: _FP4 for p in ("join", "hash", "scan", "sort", "line", "data")},
+}
+
+
+def q_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi segmentation scores (operators/unigram.py)
+    over every distinct corpus word, under the fixed integer-fixed-
+    point piece table above. The DuckDB oracle re-runs the same
+    max-sum lattice DP as a recursive CTE over (word, position) states
+    — a genuine cross-engine check of the segmentation lattice, exact
+    because scores are integers and max/+ never round. Scale shape:
+    one word-count shuffle, then the DP runs on the DISTINCT-word
+    table only (same bounded regime as BPE/unigram training)."""
+    from prefix_filter_spark.operators.unigram import word_viterbi_scores
+
+    return (
+        word_viterbi_scores(_docs(spark, sf_dir), _UNI_PIECES_FP)
+        .orderBy("w")
+    )
+
+
+def _unigram_oracle_sql() -> str:
+    pieces_sql = ", ".join(
+        f"('{p}', {s})" for p, s in sorted(_UNI_PIECES_FP.items())
+    )
+    return f"""
+        WITH RECURSIVE words AS (
+          SELECT w, count(*) AS cnt FROM (
+            SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+          WHERE w <> '' GROUP BY w
+        ),
+        pieces(piece, fp) AS (VALUES {pieces_sql}),
+        paths(w, i, s) AS (
+          SELECT w, 0, CAST(0 AS BIGINT) FROM words
+          UNION ALL
+          SELECT p.w, p.i + len(pc.piece), p.s + pc.fp
+          FROM paths p JOIN pieces pc
+            ON substr(p.w, p.i + 1, len(pc.piece)) = pc.piece
+          WHERE p.i < len(p.w)
+        )
+        SELECT words.w AS w, words.cnt AS cnt, dp.viterbi_fp AS viterbi_fp
+        FROM words
+        JOIN (SELECT w, max(s) AS viterbi_fp FROM paths
+              WHERE i = len(w) GROUP BY w) dp USING (w)
+        ORDER BY w
+    """
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py): docs
     with doc_id % 17 == 0 stand in as the held-out benchmark; every
@@ -1878,8 +1957,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-4 session-4 merges freed two more slots — the two quantile
     gates became ``sketch_quantiles`` and the two heavy-hitter gates
     became ``heavy_hitters`` — used by the new ``span_dedup`` and
-    ``dsir_select`` gates. Every individual q_* callable remains
-    available as API and for pytest."""
+    ``dsir_select`` gates. Round-4 session-6 merged the two per-source
+    text gates (``quality_scores`` + ``repetition_scores``) into
+    ``text_signals``, freeing the slot for ``unigram_scores``. Every
+    individual q_* callable remains available as API and for pytest."""
     return {
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
@@ -1902,7 +1983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenized_sequences": q_tokenized_sequences,
         "bpe_token_stats": q_bpe_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "quality_scores": q_quality_scores,
+        "text_signals": q_text_signals,
+        "unigram_scores": q_unigram_scores,
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1930,7 +2012,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "join_cardinality": q_join_cardinality,
         "decontaminate": q_decontaminate,
-        "repetition_scores": q_repetition_scores,
     }
 
 
@@ -2044,22 +2125,50 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT f) AS distinct_fps
             FROM e GROUP BY source ORDER BY source
         """,
-        "quality_scores": f"""
-            WITH q AS (
+        "text_signals": f"""
+            WITH qsrc AS (
               SELECT source,
                      len(ws) AS n_words,
                      len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','it')))::double
                         / len(ws) AS stop_ratio,
                      list_sum(list_transform(ws, w -> len(w)))::double / len(ws) AS mwl
-              FROM (SELECT source, {_DUCK_WORDS} ws FROM documents))
-            SELECT source,
-                   round(avg(round(0.4 * least(1.0, n_words / 64.0)
-                           + 0.3 * least(1.0, stop_ratio * 5.0)
-                           + 0.3 * least(1.0, mwl / 6.0), 6)), 6) AS avg_quality,
-                   round(avg(round(stop_ratio, 6)), 6) AS avg_stop_ratio,
-                   round(avg(round(mwl, 6)), 6) AS avg_word_len
-            FROM q GROUP BY source ORDER BY source
+              FROM (SELECT source, {_DUCK_WORDS} ws FROM documents)),
+            q AS (
+              SELECT source,
+                     round(avg(round(0.4 * least(1.0, n_words / 64.0)
+                             + 0.3 * least(1.0, stop_ratio * 5.0)
+                             + 0.3 * least(1.0, mwl / 6.0), 6)), 6) AS avg_quality,
+                     round(avg(round(stop_ratio, 6)), 6) AS avg_stop_ratio,
+                     round(avg(round(mwl, 6)), 6) AS avg_word_len
+              FROM qsrc GROUP BY source),
+            rsrc AS (
+              SELECT source,
+                round(CASE WHEN len(ws) > 0
+                  THEN 1.0 - len(list_distinct(ws))::double / len(ws)
+                  ELSE 0 END, 6) AS dw,
+                round(CASE WHEN len(ws) >= 2
+                  THEN 1.0 - len(list_distinct(
+                    [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                  ))::double / (len(ws) - 1) ELSE 0 END, 6) AS d2,
+                round(CASE WHEN len(ws) >= 3
+                  THEN 1.0 - len(list_distinct(
+                    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws)-1)]
+                  ))::double / (len(ws) - 2) ELSE 0 END, 6) AS d3
+              FROM (SELECT source, {_DUCK_WORDS} ws FROM documents)),
+            r AS (
+              SELECT source, count(*) AS n_docs,
+                     round(avg(dw), 6) AS avg_dup_word,
+                     round(avg(d2), 6) AS avg_dup_2gram,
+                     round(avg(d3), 6) AS avg_dup_3gram,
+                     round(max(d3), 6) AS max_dup_3gram
+              FROM rsrc GROUP BY source)
+            SELECT q.source AS source, q.avg_quality, q.avg_stop_ratio,
+                   q.avg_word_len, r.n_docs, r.avg_dup_word,
+                   r.avg_dup_2gram, r.avg_dup_3gram, r.max_dup_3gram
+            FROM q JOIN r ON q.source = r.source ORDER BY source
         """,
+        "unigram_scores": _unigram_oracle_sql(),
         "doc_fingerprints": f"""
             SELECT count(*) AS n_docs,
                    count(DISTINCT md5(array_to_string({_DUCK_WORDS}, ' '))) AS n_distinct
@@ -2222,30 +2331,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, weight_fp, n_feats
             FROM ranked WHERE rk <= CAST(ceil(0.1 * n) AS BIGINT)
             ORDER BY doc_id
-        """,
-        "repetition_scores": f"""
-            WITH t AS (SELECT source, {_DUCK_WORDS} ws FROM documents),
-            g AS (
-              SELECT source,
-                round(CASE WHEN len(ws) > 0
-                  THEN 1.0 - len(list_distinct(ws))::double / len(ws)
-                  ELSE 0 END, 6) AS dw,
-                round(CASE WHEN len(ws) >= 2
-                  THEN 1.0 - len(list_distinct(
-                    [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                  ))::double / (len(ws) - 1) ELSE 0 END, 6) AS d2,
-                round(CASE WHEN len(ws) >= 3
-                  THEN 1.0 - len(list_distinct(
-                    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                     for i in range(1, len(ws)-1)]
-                  ))::double / (len(ws) - 2) ELSE 0 END, 6) AS d3
-              FROM t)
-            SELECT source, count(*) AS n_docs,
-                   round(avg(dw), 6) AS avg_dup_word,
-                   round(avg(d2), 6) AS avg_dup_2gram,
-                   round(avg(d3), 6) AS avg_dup_3gram,
-                   round(max(d3), 6) AS max_dup_3gram
-            FROM g GROUP BY source ORDER BY source
         """,
         "decontaminate": f"""
             WITH w AS (SELECT doc_id, {_DUCK_WORDS} ws FROM documents),

@@ -295,6 +295,57 @@ def train_unigram(
 
 
 # -------------------------------------------------------------- encoding
+def viterbi_score_fp(
+    word: str, scores_fp: dict[str, int], max_len: int
+) -> int | None:
+    """Best-segmentation total score for one word under an INTEGER
+    fixed-point piece-score table (units of 1e-6 log-prob). Max-sum DP
+    over exact integers: max is commutative/associative and the sums
+    never round, so the result is a pure function of (word, table) on
+    any engine — this is the cross-engine contract the driver gate
+    hash-matches against a DuckDB recursive-CTE twin. Returns None for
+    a word not segmentable from the table (both engines drop it)."""
+    n = len(word)
+    neg = None
+    best: list[int | None] = [neg] * (n + 1)
+    best[0] = 0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            s = scores_fp.get(word[j:i])
+            bj = best[j]
+            if s is not None and bj is not None:
+                cand = bj + s
+                bi = best[i]
+                if bi is None or cand > bi:
+                    best[i] = cand
+    return best[n]
+
+
+def word_viterbi_scores(
+    docs: DataFrame, scores_fp: dict[str, int], text_col: str = "text"
+) -> DataFrame:
+    """(w, cnt, viterbi_fp) for every segmentable DISTINCT word of the
+    corpus: occurrence count plus the word's best segmentation score
+    under the fixed integer piece table. The corpus-sized work is the
+    one word-count shuffle; the DP UDF then runs over the DISTINCT-word
+    table only (the same bounded regime as training), so this is also
+    the scale shape for scoring a 100 TB corpus."""
+    wc = word_counts(docs, text_col)
+    max_len = max((len(p) for p in scores_fp), default=1)
+
+    @F.pandas_udf("long")
+    def _score(w: pd.Series) -> pd.Series:
+        return pd.Series(
+            [viterbi_score_fp(word, scores_fp, max_len) for word in w],
+            dtype="Int64",
+        )
+
+    return (
+        wc.select(F.col("w"), F.col("cnt"), _score("w").alias("viterbi_fp"))
+        .where(F.col("viterbi_fp").isNotNull())
+    )
+
+
 def encode_unigram(
     df: DataFrame,
     pieces: list[tuple[str, float]],
@@ -303,10 +354,10 @@ def encode_unigram(
 ) -> DataFrame:
     """Viterbi-segment every word of ``text_col`` into trained pieces
     (array<array<string>>, one inner array per word). Corpus-scale
-    path: the UDF runs per row but Viterbi work is proportional to
-    text length x max_piece_len; for web-scale encode, dedupe to
-    distinct words first and join back, exactly like BPE's encode
-    cache (operators/bpe.py)."""
+    shape, same strategy as BPE's vectorized encode (operators/bpe.py):
+    each Arrow batch Viterbi-encodes only its UNIQUE words once and
+    fans the segmentations back out per row, so per-batch DP work is
+    O(distinct words x len x max_piece_len), not O(rows)."""
     spark = df.sparkSession
     max_len = max((len(p) for p, _ in pieces), default=1)
     bc = spark.sparkContext.broadcast(dict(pieces))
@@ -314,10 +365,14 @@ def encode_unigram(
     @F.pandas_udf("array<array<string>>")
     def _enc(texts: pd.Series) -> pd.Series:
         lp = bc.value
-        out = []
-        for t in texts:
-            words = [w for w in (t or "").lower().split(" ") if w]
-            out.append([viterbi_encode_word(w, lp, max_len) for w in words])
-        return pd.Series(out)
+        doc_words = [
+            [w for w in (t or "").lower().split(" ") if w] for t in texts
+        ]
+        enc = {
+            w: viterbi_encode_word(w, lp, max_len)
+            for ws in doc_words
+            for w in ws
+        }
+        return pd.Series([[enc[w] for w in ws] for ws in doc_words])
 
     return df.withColumn(out_col, _enc(F.col(text_col)))

@@ -241,3 +241,69 @@ def test_viterbi_prefers_longest_on_tie():
     logp = {"a": math.log(0.25), "aa": math.log(0.0625)}
     # "aa" as one piece (0.0625) ties a+a (0.25*0.25): longest wins
     assert viterbi_encode_word("aa", logp, 2) == ["aa"]
+
+
+# ------------------------------------------- integer fixed-point scorer
+def _enumerate_best_fp(word, scores, max_len):
+    """Brute-force oracle for viterbi_score_fp: max total score over
+    ALL segmentations, exact integers."""
+    n = len(word)
+    best = [None]
+    def rec(i, s):
+        if i == n:
+            if best[0] is None or s > best[0]:
+                best[0] = s
+            return
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            if word[i:j] in scores:
+                rec(j, s + scores[word[i:j]])
+    rec(0, 0)
+    return best[0]
+
+
+@pytest.mark.parametrize("word", ["lowest", "aaaa", "newer", "zq", "abcab"])
+def test_viterbi_score_fp_matches_enumeration(word):
+    from prefix_filter_spark.operators.unigram import viterbi_score_fp
+
+    scores = {c: -4_158_883 for c in "lowestanewrbc"}
+    scores.update({"lo": -3_465_736, "we": -3_465_736, "est": -3_178_054,
+                   "low": -3_178_054, "aa": -3_465_736, "ab": -3_465_736,
+                   "new": -3_178_054, "er": -3_465_736})
+    assert viterbi_score_fp(word, scores, 3) == _enumerate_best_fp(
+        word, scores, 3
+    )
+
+
+def test_viterbi_score_fp_unsegmentable():
+    from prefix_filter_spark.operators.unigram import viterbi_score_fp
+
+    assert viterbi_score_fp("axe", {"a": -1, "e": -1}, 4) is None
+
+
+def test_word_viterbi_scores_distributed(spark):
+    """Distributed scorer == pure-Python twin over the same corpus, on
+    any partitioning; unsegmentable words are dropped on both sides."""
+    from prefix_filter_spark.operators.unigram import (
+        viterbi_score_fp,
+        word_viterbi_scores,
+    )
+
+    scores = {c: -4_158_883 for c in "lownewidrst"}
+    scores.update({"low": -3_178_054, "new": -3_178_054, "est": -3_178_054,
+                   "er": -3_465_736, "wi": -3_465_736})
+    del scores["d"]  # makes "wide"/"wider"/"widest" unsegmentable
+    wc = _word_counts_py(CORPUS)
+    want = {}
+    for w, c in wc.items():
+        s = viterbi_score_fp(w, scores, 3)
+        if s is not None:
+            want[w] = (c, s)
+    for parts in (1, 5):
+        got = {
+            r["w"]: (int(r["cnt"]), int(r["viterbi_fp"]))
+            for r in word_viterbi_scores(
+                _corpus_df(spark, parts), scores
+            ).collect()
+        }
+        assert got == want
+    assert "wide" not in want and "low" in want
