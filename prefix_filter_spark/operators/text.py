@@ -55,6 +55,63 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def tokenizer_fertility(
+    encoded: DataFrame,
+    tokens_col: str = "tokens",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group tokenizer fertility report over an ENCODED corpus
+    (the output of bpe.encode_bpe's flat token array, or
+    unigram.encode_unigram's per-word arrays — any array or
+    array-of-array column): tokens per word, chars per token, and the
+    compression ratio vs whitespace words. The standard health check
+    when fitting a tokenizer to a corpus mix (fertility >> 1.5 on a
+    source usually means its text is out-of-domain for the vocab).
+
+    Pure Catalyst, one groupBy; every ratio is a single division of
+    exact integer sums (no float accumulation), so results are
+    partition-invariant and DuckDB-mirrorable."""
+    from pyspark.sql.types import ArrayType
+
+    col = F.col(tokens_col)
+    # array<array<string>> (per-word segmentations) flattens first
+    dt = encoded.schema[tokens_col].dataType
+    if isinstance(dt, ArrayType) and isinstance(dt.elementType, ArrayType):
+        col = F.flatten(col)
+    flat = col.cast("array<string>")
+    ws = words_col(text_col)
+    per_doc = encoded.select(
+        F.col(group_col).alias("grp"),
+        F.size(ws).alias("n_words"),
+        F.size(flat).alias("n_tokens"),
+        F.aggregate(
+            flat, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("n_piece_chars"),
+    )
+    return (
+        per_doc.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_piece_chars").alias("piece_chars"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "words",
+            "tokens",
+            (F.col("tokens").cast("double") / F.col("words")).alias(
+                "fertility"
+            ),
+            (F.col("piece_chars").cast("double") / F.col("tokens")).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Deterministic quality heuristics: length score, stopword ratio,
     mean word length, combined score. Exact closed-form (oracle-able)."""

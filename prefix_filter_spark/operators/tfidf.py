@@ -74,13 +74,20 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> tuple[int, float]:
 
 
 def idf_for_terms(
-    docs: DataFrame, terms: list[str], text_col: str = "text"
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    *,
+    n: int | None = None,
 ) -> dict[str, float]:
     """BM25 idf (Robertson-Sparck Jones with the +1 floor, the Lucene
     form: ln(1 + (N - df + 0.5) / (df + 0.5))) for each query term.
     The df lookup filters the vocab-sized doc_freqs relation to the
-    query's terms before collecting — a handful of rows."""
-    n, _ = corpus_stats(docs, text_col)
+    query's terms before collecting — a handful of rows. Pass ``n``
+    when the caller already ran corpus_stats (bm25_score does) to skip
+    the second count job."""
+    if n is None:
+        n, _ = corpus_stats(docs, text_col)
     dfs = {
         r["w"]: int(r["df"])
         for r in doc_freqs(docs, text_col)
@@ -117,8 +124,8 @@ def bm25_score(
         raise ValueError("terms must be non-empty")
     if len(set(terms)) != len(terms):
         raise ValueError("terms must be distinct (duplicates double-count)")
-    _, avgdl = corpus_stats(docs, text_col)
-    idf = idf_for_terms(docs, terms, text_col)
+    n, avgdl = corpus_stats(docs, text_col)
+    idf = idf_for_terms(docs, terms, text_col, n=n)
     ws = words_col(text_col)
     dl = F.size(ws).cast("double")
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))

@@ -191,3 +191,58 @@ def test_bm25_matches_duckdb_twin(spark, documents):
     # must score them exactly 0
     for d in set(got) - set(want):
         assert got[d] == 0.0
+
+
+# ------------------------------------------------- tokenizer fertility
+def test_tokenizer_fertility_hand_and_both_encoders(spark):
+    """Hand-checked on a tiny corpus; works over BOTH tokenizers'
+    output shapes (BPE's flat array<string>, unigram's
+    array<array<string>>) and is exactly partition-invariant."""
+    from prefix_filter_spark.operators.bpe import encode_udf, train_bpe
+    from prefix_filter_spark.operators.text import tokenizer_fertility
+    from prefix_filter_spark.operators.unigram import (
+        encode_unigram,
+        train_unigram,
+    )
+
+    df = _df(spark)
+    # hand case: a fake 2-tokens-per-word encoding
+    import pyspark.sql.functions as F
+
+    fake = df.withColumn(
+        "tokens",
+        F.flatten(
+            F.transform(
+                F.split(F.lower("text"), " "),
+                lambda w: F.array(
+                    F.substring(w, 1, 2), F.substring(w, 3, 100)
+                ),
+            )
+        ),
+    )
+    got = {
+        r["source"]: r
+        for r in tokenizer_fertility(fake).collect()
+    }
+    # source a: docs 0+1 -> 7+6=13 words, 26 tokens -> fertility 2.0
+    assert got["a"]["words"] == 13 and got["a"]["tokens"] == 26
+    assert got["a"]["fertility"] == pytest.approx(2.0)
+    # chars_per_token * tokens == total chars == sum word lengths
+    total_chars = sum(
+        len(w) for _, t, s in DOCS if s == "a" for w in _words(t)
+    )
+    assert got["a"]["chars_per_token"] * 26 == pytest.approx(total_chars)
+
+    # both real encoders produce schema-valid, lossless-chars reports
+    bpe_udf = encode_udf(train_bpe(df, num_merges=20), spark)
+    bpe_enc = df.withColumn("tokens", bpe_udf(F.col("text")))
+    uni_enc = encode_unigram(
+        df, train_unigram(df, vocab_size=30, seed_size=50), out_col="tokens"
+    )
+    for enc in (bpe_enc, uni_enc):
+        rows = {r["source"]: r for r in tokenizer_fertility(enc).collect()}
+        for s in ("a", "b"):
+            assert rows[s]["fertility"] >= 1.0  # >= one piece per word
+    a = tokenizer_fertility(uni_enc.repartition(1)).collect()
+    b = tokenizer_fertility(uni_enc.repartition(7)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
