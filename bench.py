@@ -418,6 +418,30 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         ).collect()
 
     times["quantize_embeddings"] = _timed_best(_quant, name="quantize_embeddings")
+
+    # round-4 additions: unigram Viterbi scoring (distinct-word lattice
+    # DP) and map-only BM25 relevance scoring
+    def _unigram():
+        import __spark_entry__ as em
+
+        from prefix_filter_spark.operators.unigram import word_viterbi_scores
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        word_viterbi_scores(docs, em._UNI_PIECES_FP).count()
+
+    times["unigram_score"] = _timed_best(_unigram, name="unigram_score")
+
+    def _bm25():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.tfidf import bm25_score
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bm25_score(docs, ["hash", "join", "window", "scan"]).agg(
+            F.sum("bm25")
+        ).collect()
+
+    times["bm25_score"] = _timed_best(_bm25, name="bm25_score")
     return times
 
 
