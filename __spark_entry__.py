@@ -643,6 +643,12 @@ def q_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unigram_oracle_sql() -> str:
+    """The recursive CTE ENUMERATES segmentation paths, exponential in
+    matching pieces per word in theory — bounded here because the
+    corpus generator's words are <= 8 chars (<= ~2^7 paths/word), and
+    the oracle runs at gate scale only. The Spark side is the linear
+    O(len x max_piece_len) DP; the asymmetry is deliberate (an
+    independent formulation is what makes the cross-check strong)."""
     pieces_sql = ", ".join(
         f"('{p}', {s})" for p, s in sorted(_UNI_PIECES_FP.items())
     )

@@ -70,7 +70,22 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> tuple[int, float]:
         F.count("*").alias("n"),
         F.sum(F.size(words_col(text_col))).alias("toks"),
     ).collect()[0]
+    if not r["n"] or not r["toks"]:
+        raise ValueError("corpus is empty (no documents or no words)")
     return int(r["n"]), int(r["toks"]) / int(r["n"])
+
+
+def _dfs_for_terms(
+    docs: DataFrame, terms: list[str], text_col: str
+) -> dict[str, int]:
+    """df lookup restricted to the query's terms — a handful of rows
+    collected from the vocab-sized doc_freqs relation."""
+    return {
+        r["w"]: int(r["df"])
+        for r in doc_freqs(docs, text_col)
+        .where(F.col("w").isin(list(terms)))
+        .collect()
+    }
 
 
 def idf_for_terms(
@@ -87,13 +102,8 @@ def idf_for_terms(
     when the caller already ran corpus_stats (bm25_score does) to skip
     the second count job."""
     if n is None:
-        n, _ = corpus_stats(docs, text_col)
-    dfs = {
-        r["w"]: int(r["df"])
-        for r in doc_freqs(docs, text_col)
-        .where(F.col("w").isin(list(terms)))
-        .collect()
-    }
+        n = docs.count()
+    dfs = _dfs_for_terms(docs, terms, text_col)
     return {
         t: math.log(1.0 + (n - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
         for t in terms
@@ -150,13 +160,10 @@ def tfidf_score(
         raise ValueError("terms must be non-empty")
     if len(set(terms)) != len(terms):
         raise ValueError("terms must be distinct (duplicates double-count)")
-    n, _ = corpus_stats(docs, text_col)
-    dfs = {
-        r["w"]: int(r["df"])
-        for r in doc_freqs(docs, text_col)
-        .where(F.col("w").isin(list(terms)))
-        .collect()
-    }
+    n = docs.count()
+    if n == 0:
+        raise ValueError("corpus is empty")
+    dfs = _dfs_for_terms(docs, terms, text_col)
     ws = words_col(text_col)
     score = F.lit(0.0)
     for t in terms:

@@ -165,12 +165,9 @@ def seed_pieces(
     subs = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.length("w") - 1),
-            lambda j: F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(max_piece_len)),
-                    lambda l: F.substring(F.col("w"), j + 1, l),
-                ),
-                lambda s: F.length(s) >= 1,
+            lambda j: F.transform(
+                F.sequence(F.lit(1), F.lit(max_piece_len)),
+                lambda l: F.substring(F.col("w"), j + 1, l),
             ),
         )
     )
@@ -220,6 +217,7 @@ def _estep_counts(
         .agg(F.sum("x.c").alias("c"))
         .collect()
     )
+    bc.destroy()  # one broadcast per E-step; don't pin them all session
     return {r["p"]: int(r["c"]) for r in rows if r["c"] > 0}
 
 
@@ -357,7 +355,10 @@ def encode_unigram(
     shape, same strategy as BPE's vectorized encode (operators/bpe.py):
     each Arrow batch Viterbi-encodes only its UNIQUE words once and
     fans the segmentations back out per row, so per-batch DP work is
-    O(distinct words x len x max_piece_len), not O(rows)."""
+    O(distinct words x len x max_piece_len), not O(rows). Words with a
+    character unseen at training time fall back to raw single-char
+    pieces (lossless, possibly outside the vocab) — the same OOV
+    contract as BPE's encode; they never fail the job."""
     spark = df.sparkSession
     max_len = max((len(p) for p, _ in pieces), default=1)
     bc = spark.sparkContext.broadcast(dict(pieces))
@@ -368,11 +369,18 @@ def encode_unigram(
         doc_words = [
             [w for w in (t or "").lower().split(" ") if w] for t in texts
         ]
-        enc = {
-            w: viterbi_encode_word(w, lp, max_len)
-            for ws in doc_words
-            for w in ws
-        }
+        enc: dict[str, list[str]] = {}
+        for ws in doc_words:
+            for w in ws:
+                if w not in enc:  # DP once per UNIQUE word per batch
+                    try:
+                        enc[w] = viterbi_encode_word(w, lp, max_len)
+                    except ValueError:
+                        # OOV character (unseen at training time): fall
+                        # back to raw single chars, lossless — the same
+                        # contract as BPE's encode, which emits unknown
+                        # chars as bare pieces instead of failing the job
+                        enc[w] = list(w)
         return pd.Series([[enc[w] for w in ws] for ws in doc_words])
 
     return df.withColumn(out_col, _enc(F.col(text_col)))

@@ -135,7 +135,11 @@ def test_fb_counts_match_enumeration(word):
     pieces = {p for p in pieces if p in
               {word[i:j] for i in range(len(word))
                for j in range(i + 1, min(len(word), i + 4) + 1)} or len(p) == 1}
-    logp = {p: math.log((hash(p) % 7 + 1) / 50.0) for p in sorted(pieces)}
+    # deterministic weights (builtin hash() is salted per process and
+    # would make a failure unreproducible)
+    logp = {
+        p: math.log((sum(map(ord, p)) % 7 + 1) / 50.0) for p in sorted(pieces)
+    }
     got, gz = forward_backward_counts(word, logp, 4)
     want, wz = _enumerate_counts(word, logp, 4)
     assert got.keys() == want.keys()
@@ -235,6 +239,19 @@ def test_encode_roundtrip_and_vocab_closed(spark):
         for w, ps in zip(words, r["pieces"]):
             assert "".join(ps) == w
             assert all(p in vocab for p in ps)
+
+
+def test_encode_oov_char_falls_back_to_raw_chars(spark):
+    """A word with a character unseen at training time must not fail
+    the job: it encodes as raw single chars (lossless), like BPE."""
+    pieces = train_unigram(_corpus_df(spark), vocab_size=15, seed_size=30)
+    oov = spark.createDataFrame(
+        [(0, "low x9z lower")], "doc_id long, text string"
+    )
+    [r] = encode_unigram(oov, pieces).select("pieces").collect()
+    segs = r["pieces"]
+    assert ["".join(s) for s in segs] == ["low", "x9z", "lower"]
+    assert segs[1] == ["x", "9", "z"]  # raw chars, not a crash
 
 
 def test_viterbi_prefers_longest_on_tie():
