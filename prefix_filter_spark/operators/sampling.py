@@ -79,3 +79,44 @@ def stratified_sample_exact(
     return ranked.where(
         F.col("_rk") <= F.ceil(frac_col * F.col("n_total"))
     ).drop("_rk")
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    k: int,
+    weight_col: Column,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``k`` rows drawn WITHOUT replacement with probability
+    proportional to ``weight_col`` — Efraimidis-Spirakis (2006)
+    weighted reservoir sampling, the standard distributed form: each
+    row gets the key ln(U)/w for a deterministic per-row uniform
+    U = (unsigned(xxhash64(id, seed)) + 0.5) / 2^64, and the k LARGEST
+    keys win (equivalent to ranking by U^(1/w); the Gumbel-top-k
+    trick). Temperature-weighted data mixing is ``weight_col =
+    F.pow(quality, 1/T)``.
+
+    Scale shape: the key is one map-side expression; the selection is
+    a TakeOrdered (per-partition top-k, then a k-row merge on the
+    driver side of the shuffle) — no global sort, no full shuffle.
+    Deterministic: same (data, seed) -> same sample on ANY
+    partitioning (ties broken by ``id_col``; exact-equality pinned in
+    tests). Zero/negative weights are rejected rows (they can never
+    win): filtered out up front so ln stays finite.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (
+        (F.xxhash64(F.col(id_col), F.lit(seed)).cast("double"))
+        + F.lit(2.0**63)
+        + F.lit(0.5)
+    ) / F.lit(2.0**64)
+    key = F.log(u) / weight_col
+    return (
+        df.where(weight_col > 0)
+        .withColumn("_es_key", key)
+        .orderBy(F.col("_es_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_es_key")
+    )

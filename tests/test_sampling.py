@@ -84,3 +84,105 @@ def test_bernoulli_frac_one_keeps_all(spark):
     h = F.xxhash64("doc_id", F.lit(4))
     assert bernoulli_sample(df, 1.0, h).count() == 500
     assert bernoulli_sample(df, 0.0, h).count() == 0
+
+
+# -------------------- Efraimidis-Spirakis weighted without-replacement
+def test_es_sample_matches_python_reference(spark):
+    """Selected set == a pure-Python evaluation of the same key formula
+    (ln(U)/w, U from the collected xxhash64 values), k distinct rows,
+    exactly partition-invariant."""
+    import math
+
+    from prefix_filter_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    df = _mk(spark, n=400).withColumn(
+        "wgt", (F.col("doc_id") % 5 + 1).cast("double")
+    )
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", F.xxhash64("doc_id", F.lit(7)).alias("h")
+        ).collect()
+    }
+    wgts = {r["doc_id"]: r["wgt"] for r in df.select("doc_id", "wgt").collect()}
+
+    def key(d):
+        u = (float(hashes[d]) + 2.0**63 + 0.5) / 2.0**64
+        return math.log(u) / wgts[d]
+
+    want = set(sorted(hashes, key=lambda d: (-key(d), d))[:25])
+    for parts in (1, 8):
+        got = {
+            r["doc_id"]
+            for r in weighted_sample_without_replacement(
+                df.repartition(parts), 25, F.col("wgt"), "doc_id", seed=7
+            ).collect()
+        }
+        assert got == want
+    assert len(want) == 25
+
+
+def test_es_sample_frequency_proportional_to_weight(spark):
+    """k=1 over 4000 seeds in ONE job (explode seeds, max_by per seed):
+    empirical pick frequency tracks weight within 5 sigma."""
+    from pyspark.sql import functions as F2
+
+    rows = [(0, 1.0), (1, 2.0), (2, 4.0), (3, 8.0)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt double")
+    n_seeds = 4000
+    seeded = df.crossJoin(
+        spark.range(n_seeds).select(F2.col("id").alias("seed"))
+    )
+    u = (
+        F2.xxhash64("doc_id", "seed").cast("double") + F2.lit(2.0**63) + F2.lit(0.5)
+    ) / F2.lit(2.0**64)
+    keyed = seeded.withColumn("key", F2.log(u) / F2.col("wgt"))
+    picks = (
+        keyed.groupBy("seed")
+        .agg(F2.max_by("doc_id", "key").alias("pick"))
+        .groupBy("pick")
+        .count()
+        .collect()
+    )
+    freq = {r["pick"]: r["count"] / n_seeds for r in picks}
+    total_w = sum(w for _, w in rows)
+    for d, w in rows:
+        p = w / total_w
+        sigma = (p * (1 - p) / n_seeds) ** 0.5
+        assert abs(freq.get(d, 0.0) - p) < 5 * sigma, (d, freq.get(d), p)
+
+
+def test_es_sample_edge_cases(spark):
+    import pytest as pt
+
+    from prefix_filter_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    df = _mk(spark, n=10).withColumn(
+        "wgt", F.when(F.col("doc_id") < 3, 0.0).otherwise(F.lit(1.0))
+    )
+    # zero-weight rows can never be selected; k > eligible returns all eligible
+    got = weighted_sample_without_replacement(
+        df, 100, F.col("wgt"), "doc_id"
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(3, 10))
+    with pt.raises(ValueError):
+        weighted_sample_without_replacement(df, 0, F.col("wgt"), "doc_id")
+
+
+def test_es_sample_plan_is_take_ordered(spark):
+    """No global sort, no exchange: per-partition top-k + k-row merge."""
+    from prefix_filter_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    df = _mk(spark, n=1000).withColumn("wgt", F.lit(1.0))
+    plan = (
+        weighted_sample_without_replacement(df, 10, F.col("wgt"), "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
