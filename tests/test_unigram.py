@@ -291,6 +291,31 @@ def test_viterbi_score_fp_matches_enumeration(word):
     )
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=9),
+    extra=st.sets(
+        st.text(alphabet="abc", min_size=2, max_size=3), max_size=6
+    ),
+    drop_char=st.sampled_from(["", "a", "b", "c"]),
+)
+def test_viterbi_score_fp_property(word, extra, drop_char):
+    """Random small vocabularies over a 3-letter alphabet: the linear
+    DP always equals brute-force enumeration (both None or equal
+    integers), including vocabularies missing a character."""
+    from prefix_filter_spark.operators.unigram import viterbi_score_fp
+
+    scores = {c: -4_000_000 for c in "abc" if c != drop_char}
+    scores.update({p: -2_000_000 - 10_007 * len(p) for p in extra})
+    got = viterbi_score_fp(word, scores, 3)
+    want = _enumerate_best_fp(word, scores, 3)
+    assert got == want
+
+
 def test_viterbi_score_fp_unsegmentable():
     from prefix_filter_spark.operators.unigram import viterbi_score_fp
 
