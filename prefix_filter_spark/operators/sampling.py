@@ -107,16 +107,64 @@ def weighted_sample_without_replacement(
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    return (
+        df.where(weight_col > 0)
+        .withColumn("_es_key", es_key(weight_col, id_col, seed))
+        .orderBy(F.col("_es_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_es_key")
+    )
+
+
+def es_key(weight_col: Column, id_col: str, seed: int = 0) -> Column:
+    """The Efraimidis-Spirakis selection key ln(U)/w as a Catalyst
+    expression (U a deterministic per-row uniform from xxhash64):
+    the k rows with the LARGEST keys are a weight-proportional sample
+    without replacement. Shared by the batch TakeOrdered sampler, the
+    per-stratum sampler, and the streaming reservoir (same key ->
+    stream == batch bit-for-bit)."""
     u = (
         (F.xxhash64(F.col(id_col), F.lit(seed)).cast("double"))
         + F.lit(2.0**63)
         + F.lit(0.5)
     ) / F.lit(2.0**64)
-    key = F.log(u) / weight_col
+    return F.log(u) / weight_col
+
+
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    ks: dict[str, int] | int,
+    weight_col: Column,
+    strata_col: str,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``min(k_s, n_s)`` rows per stratum, weight-proportional
+    without replacement within each stratum (Efraimidis-Spirakis per
+    group) — "k docs per source, favoring high quality", the
+    fixed-size-per-source mixture knob beside the rate-based
+    ``stratified_sample_exact``.
+
+    One shuffle on the stratum key, then a per-stratum window top-k.
+    Strata are many and task-sized in the usual `source` layout; a
+    single giant stratum serializes its sort into one task (same
+    caveat as stratified_sample_exact — use the global TakeOrdered
+    sampler per pre-filtered stratum for that shape)."""
+    if isinstance(ks, dict):
+        k_col = F.lit(0)
+        for s, k in sorted(ks.items()):
+            k_col = F.when(F.col(strata_col) == F.lit(s), F.lit(int(k))).otherwise(
+                k_col
+            )
+    else:
+        k_col = F.lit(int(ks))
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("_es_key").desc(), F.col(id_col)
+    )
     return (
         df.where(weight_col > 0)
-        .withColumn("_es_key", key)
-        .orderBy(F.col("_es_key").desc(), F.col(id_col))
-        .limit(k)
-        .drop("_es_key")
+        .withColumn("_es_key", es_key(weight_col, id_col, seed))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k_col)
+        .drop("_es_key", "_rk")
     )

@@ -186,3 +186,59 @@ def test_es_sample_plan_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_es_per_stratum_counts_and_twin(spark):
+    """Per-stratum ES: exact k per source, equals the global sampler
+    applied to each stratum alone (same key formula), partition-
+    invariant."""
+    from prefix_filter_spark.operators.sampling import (
+        weighted_sample_per_stratum,
+        weighted_sample_without_replacement,
+    )
+
+    df = _mk(spark, n=600).withColumn(
+        "wgt", (F.col("doc_id") % 7 + 1).cast("double")
+    )
+    ks = {"s0": 5, "s1": 10, "s2": 0, "s3": 3}
+    got = weighted_sample_per_stratum(
+        df, ks, F.col("wgt"), "source", "doc_id", seed=9
+    )
+    rows = got.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert {s: len(v) for s, v in by_src.items()} == {
+        "s0": 5, "s1": 10, "s3": 3
+    }
+    # twin: the global sampler on each stratum alone picks the same set
+    for s, k in ks.items():
+        if k == 0:
+            continue
+        want = {
+            r["doc_id"]
+            for r in weighted_sample_without_replacement(
+                df.where(F.col("source") == s), k, F.col("wgt"), "doc_id", seed=9
+            ).collect()
+        }
+        assert by_src[s] == want
+    # partition invariance
+    again = {
+        (r["source"], r["doc_id"])
+        for r in weighted_sample_per_stratum(
+            df.repartition(11), ks, F.col("wgt"), "source", "doc_id", seed=9
+        ).collect()
+    }
+    assert again == {(r["source"], r["doc_id"]) for r in rows}
+
+
+def test_es_per_stratum_scalar_k_caps_at_stratum_size(spark):
+    from prefix_filter_spark.operators.sampling import (
+        weighted_sample_per_stratum,
+    )
+
+    df = _mk(spark, n=30, n_src=3).withColumn("wgt", F.lit(1.0))
+    got = weighted_sample_per_stratum(
+        df, 100, F.col("wgt"), "source", "doc_id"
+    )
+    assert got.count() == 30  # k > n_s keeps whole strata, no dupes
