@@ -1190,8 +1190,38 @@ def _rank_interval_oks(
     ]
 
 
+def _dds_interval_oks(
+    df: DataFrame, col: str, checks: list[tuple[float, float]], alpha: float
+) -> list[bool]:
+    """DDSketch check in VALUE space (its guarantee is relative value
+    error, not rank error): the element at the sketch's rank convention
+    (0-based floor(q*(n-1))) must lie inside the alpha-ball
+    [est/(1+α), est/(1−α)] (mirrored for negatives). Same one-job
+    aggregation shape as _rank_interval_oks."""
+    a = alpha + 1e-9
+    aggs = [F.count("*").alias("_n")]
+    bounds = []
+    for i, (_, v) in enumerate(checks):
+        if v > 0:
+            lo, hi = v / (1 + a), v / (1 - a)
+        elif v < 0:
+            lo, hi = v / (1 - a), v / (1 + a)
+        else:
+            lo = hi = 0.0
+        bounds.append((lo, hi))
+        aggs.append(F.sum((F.col(col) < F.lit(lo)).cast("long")).alias(f"lo{i}"))
+        aggs.append(F.sum((F.col(col) <= F.lit(hi)).cast("long")).alias(f"hi{i}"))
+    r = df.agg(*aggs).collect()[0]
+    n = max(r["_n"], 1)
+    oks = []
+    for i, (q, _) in enumerate(checks):
+        rank = int(q * (n - 1))
+        oks.append(bool(r[f"lo{i}"] <= rank and r[f"hi{i}"] >= rank + 1))
+    return oks
+
+
 def q_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from prefix_filter_spark.sketches import kll, tdigest
+    from prefix_filter_spark.sketches import dds, kll, tdigest
     from prefix_filter_spark.sources.tokenizer import words_col
 
     docs = _docs(spark, sf_dir).select(F.size(words_col("text")).alias("n_words"))
@@ -1208,15 +1238,24 @@ def q_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]["state"]
         )
     )
-    kqs, tqs = sk.quantiles(qs), td.quantiles(qs)
+    dd_cfg = dds.DDSketchConfig(alpha=0.01)
+    dd = dds.DDSketch.from_bytes(
+        bytes(dds.build_dds(docs, "n_words", dd_cfg).collect()[0]["state"])
+    )
+    kqs, tqs, dqs = sk.quantiles(qs), td.quantiles(qs), dd.quantiles(qs)
     k_oks = _rank_interval_oks(docs, "n_words", list(zip(qs, (float(v) for v in kqs))))
     t_oks = _rank_interval_oks(docs, "n_words", list(zip(qs, (float(v) for v in tqs))))
+    d_oks = _dds_interval_oks(
+        docs, "n_words", list(zip(qs, (float(v) for v in dqs))), dd_cfg.alpha
+    )
     rows = [
-        (q, round(float(ex), 6), ko, to)
-        for q, ex, ko, to in zip(qs, exact, k_oks, t_oks)
+        (q, round(float(ex), 6), ko, to, do)
+        for q, ex, ko, to, do in zip(qs, exact, k_oks, t_oks, d_oks)
     ]
     return spark.createDataFrame(
-        rows, "q double, exact_quantile double, kll_ok boolean, tdigest_ok boolean"
+        rows,
+        "q double, exact_quantile double, kll_ok boolean, tdigest_ok boolean, "
+        "dds_ok boolean",
     )
 
 
@@ -1256,8 +1295,10 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-scan shape is also the right production pattern).
 
     Kinds: Bloom, blocked-Bloom, two-choice, cuckoo (CF-12-stable),
-    and the five reference prefix-filter assemblies (Bloom / TC / CF /
+    the five reference prefix-filter assemblies (Bloom / TC / CF /
     BBF / Impala512 spares) per /root/reference/main-perf.cpp:16-31,
+    and the static Xor-8 filter (sketches/xor.py, outside the
+    reference's comparison set),
     plus the doc-id probe panel (north star: 'token-ID and doc-ID
     probes'; FP probe skipped there — ids, not words — so its bound
     check is trivially true)."""
@@ -1267,6 +1308,7 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefix_filter_spark.sketches import cuckoo as ckm
     from prefix_filter_spark.sketches import prefix_filter as pfm
     from prefix_filter_spark.sketches import two_choice as tc
+    from prefix_filter_spark.sketches import xor as xorm
 
     pf_cfg = lambda spare: (
         lambda n: pfm.PrefixFilterConfig(
@@ -1297,6 +1339,9 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
          pf_cfg("bbf"), 0.008, "pfbbf"),
         ("pf_impala", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
          pf_cfg("impala512"), 0.008, "pfimp"),
+        ("xor", xorm.build_xor, xorm.ShardedXor,
+         lambda n: xorm.XorConfig(n_capacity=n, fingerprint_bits=8, num_shards=8, seed=42),
+         lambda cfg: cfg.theoretical_fpr() * 1.5 + 1e-4, "xr"),
     ]
     words = _word_stream(spark, sf_dir).distinct().cache()
     n = words.count()
@@ -1654,9 +1699,10 @@ def q_pf_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.value quantiles through the registered SQL estimate
-    surface (kll_quantile / tdigest_quantile over serialized state)."""
+    surface (kll_quantile / tdigest_quantile / dds_quantile over
+    serialized state)."""
     from prefix_filter_spark.functions import register_sketch_sql
-    from prefix_filter_spark.sketches import kll, tdigest
+    from prefix_filter_spark.sketches import dds, kll, tdigest
 
     register_sketch_sql(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1666,6 +1712,8 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdigest.build_tdigest(
         ev, "value", tdigest.TDigestConfig(delta=200)
     ).createOrReplaceTempView("q_td_state")
+    dd_cfg = dds.DDSketchConfig(alpha=0.01)
+    dds.build_dds(ev, "value", dd_cfg).createOrReplaceTempView("q_dds_state")
     qs = [0.1, 0.5, 0.9, 0.99]
     exact = ev.select(
         F.expr(f"percentile(value, array({','.join(map(str, qs))}))").alias("p")
@@ -1689,16 +1737,27 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"LATERAL VIEW explode(array({qlist})) t AS q"
         ).collect()
     }
+    dmap = {
+        r["q"]: r["v"]
+        for r in spark.sql(
+            f"SELECT q, dds_quantile(state, q) v FROM q_dds_state "
+            f"LATERAL VIEW explode(array({qlist})) t AS q"
+        ).collect()
+    }
     kqs = [kmap[q] for q in qs]
     tqs = [tmap[q] for q in qs]
+    dqs = [dmap[q] for q in qs]
     k_oks = _rank_interval_oks(ev, "value", list(zip(qs, kqs)))
     t_oks = _rank_interval_oks(ev, "value", list(zip(qs, tqs)))
+    d_oks = _dds_interval_oks(ev, "value", list(zip(qs, dqs)), dd_cfg.alpha)
     rows = [
-        (q, round(float(ex), 6), ko, to)
-        for q, ex, ko, to in zip(qs, exact, k_oks, t_oks)
+        (q, round(float(ex), 6), ko, to, do)
+        for q, ex, ko, to, do in zip(qs, exact, k_oks, t_oks, d_oks)
     ]
     return spark.createDataFrame(
-        rows, "q double, exact_quantile double, kll_ok boolean, tdigest_ok boolean"
+        rows,
+        "q double, exact_quantile double, kll_ok boolean, tdigest_ok boolean, "
+        "dds_ok boolean",
     )
 
 
@@ -1899,15 +1958,17 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL + t-digest quantiles over BOTH gated columns in ONE gate
-    (documents n_words and events.value — merged so both keep a driver
-    row inside the 50-entry window). Exact quantiles DuckDB-matched;
-    sketch estimates rank-interval-checked as before."""
+    """KLL + t-digest + DDSketch quantiles over BOTH gated columns in
+    ONE gate (documents n_words and events.value — merged so both keep
+    a driver row inside the 50-entry window). Exact quantiles
+    DuckDB-matched; KLL/t-digest rank-interval-checked, DDSketch
+    value-interval-checked (its guarantee is relative value error)."""
+    cols = ["q", "exact_quantile", "kll_ok", "tdigest_ok", "dds_ok"]
     ntok = q_ntok_quantiles(spark, sf_dir).select(
-        F.lit("n_words").alias("metric"), "q", "exact_quantile", "kll_ok", "tdigest_ok"
+        F.lit("n_words").alias("metric"), *cols
     )
     val = q_value_quantiles(spark, sf_dir).select(
-        F.lit("value").alias("metric"), "q", "exact_quantile", "kll_ok", "tdigest_ok"
+        F.lit("value").alias("metric"), *cols
     )
     return ntok.unionByName(val)
 
@@ -2217,7 +2278,8 @@ def oracle_sql() -> dict[str, str]:
                    true AS fpr_ok
             FROM (VALUES ('bloom'), ('blocked_bloom'), ('two_choice'),
                          ('cuckoo'), ('pf_bloom'), ('pf_tc'), ('pf_cf'),
-                         ('pf_bbf'), ('pf_impala'), ('doc_id')) AS k(kind),
+                         ('pf_bbf'), ('pf_impala'), ('xor'),
+                         ('doc_id')) AS k(kind),
                  w, d
             ORDER BY kind
         """,
@@ -2555,7 +2617,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (SELECT len({_DUCK_WORDS}) AS n_words FROM documents)
             SELECT 'n_words' AS metric, q::double AS q,
                    round(qv, 6) AS exact_quantile,
-                   true AS kll_ok, true AS tdigest_ok
+                   true AS kll_ok, true AS tdigest_ok, true AS dds_ok
             FROM (
               SELECT 0.1 AS q, quantile_cont(n_words, 0.1) AS qv FROM d
               UNION ALL SELECT 0.25, quantile_cont(n_words, 0.25) FROM d
@@ -2567,7 +2629,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'value' AS metric, q::double AS q,
                    round(qv, 6) AS exact_quantile,
-                   true AS kll_ok, true AS tdigest_ok
+                   true AS kll_ok, true AS tdigest_ok, true AS dds_ok
             FROM (
               SELECT 0.1 AS q, quantile_cont(value, 0.1) AS qv FROM events
               UNION ALL SELECT 0.5, quantile_cont(value, 0.5) FROM events

@@ -183,6 +183,12 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     times["ck_build"] = _timed_best(
         lambda: ckm.build_cuckoo(keys, "key", ck_cfg).count(), name="ck_build"
     )
+    from prefix_filter_spark.sketches import xor as xorm
+
+    xr_cfg = xorm.XorConfig(n_capacity=N_KEYS, fingerprint_bits=8, num_shards=shards, seed=42)
+    times["xor_build"] = _timed_best(
+        lambda: xorm.build_xor(keys, "key", xr_cfg).count(), name="xor_build"
+    )
 
     # value sketches over the same stream
     from prefix_filter_spark.sketches import cms, hll, kll, tdigest
@@ -200,6 +206,11 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     )
     times["tdigest_build"] = _timed_best(
         lambda: tdigest.build_tdigest(vals, "v", tdigest.TDigestConfig()).count(), name="tdigest_build"
+    )
+    from prefix_filter_spark.sketches import dds
+
+    times["dds_build"] = _timed_best(
+        lambda: dds.build_dds(vals, "v", dds.DDSketchConfig(alpha=0.01)).count(), name="dds_build"
     )
     for df in (keys, uniform, yes, vals):
         df.unpersist()

@@ -44,6 +44,13 @@ def _td_cached(state: bytes):
 
 
 @functools.lru_cache(maxsize=64)
+def _dds_cached(state: bytes):
+    from prefix_filter_spark.sketches import dds
+
+    return dds.DDSketch.from_bytes(state)
+
+
+@functools.lru_cache(maxsize=64)
 def _mg_cached(state: bytes):
     from prefix_filter_spark.sketches import mg
 
@@ -153,6 +160,7 @@ def register_sketch_sql(spark: SparkSession) -> None:
 
     kll_quantile = F.pandas_udf(T.DoubleType())(_grouped_quantile(_kll_cached))
     tdigest_quantile = F.pandas_udf(T.DoubleType())(_grouped_quantile(_td_cached))
+    dds_quantile = F.pandas_udf(T.DoubleType())(_grouped_quantile(_dds_cached))
 
     from prefix_filter_spark.sketches import kmv
 
@@ -212,6 +220,7 @@ def register_sketch_sql(spark: SparkSession) -> None:
     spark.udf.register("cms_point", cms_point)
     spark.udf.register("kll_quantile", kll_quantile)
     spark.udf.register("tdigest_quantile", tdigest_quantile)
+    spark.udf.register("dds_quantile", dds_quantile)
     spark.udf.register("kmv_estimate", kmv_estimate)
     spark.udf.register("kmv_union", kmv_union)
     spark.udf.register("kmv_intersection", kmv_intersection)

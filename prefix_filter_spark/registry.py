@@ -83,6 +83,28 @@ REGISTRY: dict[str, SketchInfo] = {
         "tdigest", 9, Capability.ADD | Capability.ESTIMATE,
         "prefix_filter_spark.sketches.tdigest", "north-rule extension (no reference wrapper)",
     ),
+    "kmv": SketchInfo(
+        "kmv", 10, Capability.ADD | Capability.ESTIMATE,
+        "prefix_filter_spark.sketches.kmv", "north-rule extension (no reference wrapper)",
+    ),
+    "mg": SketchInfo(
+        "mg", 11, Capability.ADD | Capability.ESTIMATE,
+        "prefix_filter_spark.sketches.mg", "north-rule extension (no reference wrapper)",
+    ),
+    "dds": SketchInfo(
+        "dds", 13, Capability.ADD | Capability.ESTIMATE,
+        "prefix_filter_spark.sketches.dds",
+        "north-rule extension (DDSketch, Masson et al. VLDB 2019; "
+        "no reference wrapper)",
+    ),
+    "xor": SketchInfo(
+        # static build-once filter: LOOKUP only (no incremental Add —
+        # the peeling order is a global property of the key set)
+        "xor", 12, Capability.LOOKUP,
+        "prefix_filter_spark.sketches.xor",
+        "companion-filter extension (Graf-Lemire Xor filter; outside the "
+        "reference's main-perf.cpp:16-31 comparison set)",
+    ),
 }
 
 

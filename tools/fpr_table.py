@@ -31,6 +31,7 @@ def main() -> int:
         cuckoo as ck,
         prefix_filter as pfm,
         two_choice as tc,
+        xor as xorm,
     )
 
     spark = get_spark(app_name="fpr-table")
@@ -79,6 +80,10 @@ def main() -> int:
         ("CF-13-ss", ck.build_cuckoo, ck.ShardedCuckoo,
          ck.CuckooConfig(n_capacity=n, fp_bits=13, num_shards=32, seed=17,
                          semisort=True)),
+        ("Xor-8", xorm.build_xor, xorm.ShardedXor,
+         xorm.XorConfig(n_capacity=n, fingerprint_bits=8, num_shards=32, seed=17)),
+        ("Xor-16", xorm.build_xor, xorm.ShardedXor,
+         xorm.XorConfig(n_capacity=n, fingerprint_bits=16, num_shards=32, seed=17)),
     ]
 
     rows = []
