@@ -114,3 +114,48 @@ def test_registry_lookup():
     assert info("dds100").name == "dds"
     assert supports("dds", Capability.ESTIMATE)
     assert not supports("dds", Capability.LOOKUP)
+
+
+# -- property tests ----------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    data=st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=400,
+    ),
+    n_chunks=st.integers(1, 8),
+    seed=st.integers(0, 2**31),
+    alpha=st.sampled_from([0.005, 0.01, 0.05]),
+)
+def test_property_merge_equals_single_pass_and_alpha_holds(
+    data, n_chunks, seed, alpha
+):
+    """Any chunking + any merge order reproduces the single-pass bytes
+    exactly, and every quantile stays within alpha of the element at
+    the sketch's rank convention."""
+    arr = np.asarray(data, dtype=np.float64)
+    cfg = dds.DDSketchConfig(alpha=alpha)
+    whole = dds.DDSketch(cfg)
+    whole.update(arr)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n_chunks)
+    parts = np.array_split(arr, n_chunks)
+    acc = None
+    for i in order:
+        p = dds.DDSketch(cfg)
+        p.update(parts[i])
+        acc = p if acc is None else acc.merge(p)
+    assert acc.to_bytes() == whole.to_bytes()
+    qs = np.asarray([0.0, 0.25, 0.5, 0.75, 1.0])
+    est = whole.quantiles(qs)
+    srt = np.sort(arr)
+    for q, e in zip(qs, est):
+        x = srt[int(q * (len(arr) - 1))]
+        assert abs(e - x) <= alpha * abs(x) + 1e-12, (q, e, x)

@@ -124,3 +124,30 @@ def test_registry_lookup():
     assert i.name == "xor" and supports("xor", Capability.LOOKUP)
     assert not supports("xor", Capability.ADD)
     assert not supports("xor", Capability.DELETE)
+
+
+# -- property tests ----------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 3000),
+    seed=st.integers(0, 2**31),
+)
+def test_property_build_always_peels_and_has_zero_fn(n, seed):
+    """Any key set at the sized load peels within the retry budget and
+    yields zero false negatives; probe on 2n disjoint keys stays under
+    a loose FPR ceiling."""
+    rng = np.random.default_rng(seed)
+    keys = np.unique(rng.integers(0, 2**62, n, dtype=np.uint64)) if n else np.array([], dtype=np.uint64)
+    cfg = xor.XorConfig(n_capacity=max(len(keys), 4), fingerprint_bits=8, num_shards=1, seed=seed & 0xFFFF)
+    st_bytes = xor._build_state(cfg, np.sort(keys))
+    if len(keys):
+        assert xor._contains_in_state(st_bytes, keys).all()
+    neg = np.unique(rng.integers(2**62, 2**63, 2 * max(n, 500), dtype=np.uint64))
+    neg = np.setdiff1d(neg, keys)
+    fpr = xor._contains_in_state(st_bytes, neg).mean()
+    # 2^-8 bound; loose ceiling for small probe sets
+    assert fpr <= 2**-8 * 4 + 5.0 / len(neg)
