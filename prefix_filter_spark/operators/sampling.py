@@ -48,6 +48,16 @@ def bernoulli_sample(df: DataFrame, frac: float, hash_col: Column) -> DataFrame:
     return df.where(hash_col <= F.lit(bound))
 
 
+def _literal_map_col(strata_col: str, mapping: dict, default, cast) -> Column:
+    """Nested-CASE lookup column for a small driver-side stratum map
+    (mixture knobs are a handful of sources; sorted for a deterministic
+    expression). Shared by the rate-based and fixed-k samplers."""
+    col = F.lit(cast(default))
+    for s, v in sorted(mapping.items()):
+        col = F.when(F.col(strata_col) == F.lit(s), F.lit(cast(v))).otherwise(col)
+    return col
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_col: str,
@@ -65,11 +75,7 @@ def stratified_sample_exact(
     sampled rows, so downstream bookkeeping needs no second count.
     """
     if isinstance(fracs, dict):
-        frac_col = F.lit(default_frac)
-        for k, v in sorted(fracs.items()):
-            frac_col = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(
-                frac_col
-            )
+        frac_col = _literal_map_col(strata_col, fracs, default_frac, float)
     else:
         frac_col = F.lit(float(fracs))
     w = Window.partitionBy(strata_col)
@@ -151,11 +157,7 @@ def weighted_sample_per_stratum(
     caveat as stratified_sample_exact — use the global TakeOrdered
     sampler per pre-filtered stratum for that shape)."""
     if isinstance(ks, dict):
-        k_col = F.lit(0)
-        for s, k in sorted(ks.items()):
-            k_col = F.when(F.col(strata_col) == F.lit(s), F.lit(int(k))).otherwise(
-                k_col
-            )
+        k_col = _literal_map_col(strata_col, ks, 0, int)
     else:
         k_col = F.lit(int(ks))
     w = Window.partitionBy(strata_col).orderBy(

@@ -90,7 +90,10 @@ class DDSketch(base.Accumulator):
 
     def update(self, values: np.ndarray) -> None:
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        # non-finite values are ignored like NaN: a log bucket cannot
+        # represent inf, and ceil(inf).astype(int64) would wrap to
+        # INT64_MIN — counting +inf in the LOWEST bucket (review find)
+        v = v[np.isfinite(v)]
         if len(v) == 0:
             return
         self.n += len(v)
@@ -197,6 +200,10 @@ class DDSketch(base.Accumulator):
     def merge(self, other: "DDSketch") -> "DDSketch":
         if abs(self.cfg.alpha - other.cfg.alpha) > 1e-12:
             raise ValueError("cannot merge dds sketches with different alpha")
+        if self.cfg.max_bins != other.cfg.max_bins:
+            # silently adopting self's threshold would make the result
+            # depend on operand order, breaking merge bit-identity
+            raise ValueError("cannot merge dds sketches with different max_bins")
         out = DDSketch(self.cfg)
         out.pos_idx, out.pos_cnt = _merge_stores(
             self.pos_idx, self.pos_cnt, other.pos_idx, other.pos_cnt

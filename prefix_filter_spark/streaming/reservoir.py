@@ -57,9 +57,15 @@ def streaming_weighted_reservoir(
     if k <= 0:
         raise ValueError("k must be positive")
     grp = F.col(strata_col) if strata_col is not None else F.lit("__all__")
+    # the id keeps its NATIVE type end to end: tie-breaking on es_key
+    # collisions must compare ids with the same semantics as the batch
+    # sampler's orderBy(id_col) — a string cast would order integer ids
+    # lexically and break the stream==batch contract exactly on ties
+    # (review finding)
+    id_dt = stream.schema[id_col].dataType.simpleString()
     keyed = stream.where(weight_col > 0).select(
         grp.cast("string").alias("stratum"),
-        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         es_key(weight_col, id_col, seed).alias("_key"),
     )
 
@@ -78,10 +84,10 @@ def streaming_weighted_reservoir(
                 # top-k by (key desc, id asc): lexsort on (id, -key)
                 order = np.lexsort((cand_i, -cand_k))[:k]
                 cand_k, cand_i = cand_k[order], cand_i[order]
-            # plain Python floats/strs: GroupState pickles through the
-            # JVM, which rejects numpy scalar types
+            # plain Python scalars: GroupState pickles through the JVM,
+            # which rejects numpy scalar types (type itself preserved)
             keys = [float(x) for x in cand_k]
-            ids = [str(x) for x in cand_i]
+            ids = [x.item() if isinstance(x, np.generic) else x for x in cand_i]
         state.update((keys, ids, int(n_seen)))
         yield pd.DataFrame(
             {
@@ -94,8 +100,8 @@ def streaming_weighted_reservoir(
 
     return keyed.groupBy("stratum").applyInPandasWithState(
         update,
-        outputStructType="stratum string, doc_id string, es_key double, n_seen long",
-        stateStructType="keys array<double>, ids array<string>, n_seen long",
+        outputStructType=f"stratum string, doc_id {id_dt}, es_key double, n_seen long",
+        stateStructType=f"keys array<double>, ids array<{id_dt}>, n_seen long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

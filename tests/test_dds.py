@@ -159,3 +159,18 @@ def test_property_merge_equals_single_pass_and_alpha_holds(
     for q, e in zip(qs, est):
         x = srt[int(q * (len(arr) - 1))]
         assert abs(e - x) <= alpha * abs(x) + 1e-12, (q, e, x)
+
+
+def test_infinite_values_ignored_like_nan():
+    sk = dds.DDSketch(dds.DDSketchConfig(alpha=0.01))
+    sk.update(np.array([1.0, np.inf, -np.inf, np.nan, 2.0]))
+    assert sk.n == 2
+    assert sk.quantile(0.0) == pytest.approx(1.0, rel=0.011)
+    assert sk.quantile(1.0) == pytest.approx(2.0, rel=0.011)
+
+
+def test_max_bins_mismatch_rejected():
+    a = dds.DDSketch(dds.DDSketchConfig(alpha=0.01, max_bins=512))
+    b = dds.DDSketch(dds.DDSketchConfig(alpha=0.01, max_bins=2048))
+    with pytest.raises(ValueError, match="different max_bins"):
+        a.merge(b)

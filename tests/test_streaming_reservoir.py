@@ -115,3 +115,31 @@ def test_per_stratum_stream_equals_batch(spark):
     }
     assert got == want
     assert len({s for s, _ in got}) == 4 and len(got) == 32
+
+
+def test_integer_ids_keep_native_tiebreak_and_type(spark):
+    """Integer id column: the reservoir must preserve the id type end
+    to end and order es_key ties numerically like the batch sampler
+    (a string cast would order 10 before 9 lexically)."""
+    shutil.rmtree(f"{TMP}/intid", ignore_errors=True)
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("wgt")
+    )
+    src = f"{TMP}/intid/src"
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, wgt double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_weighted_reservoir(stream, 12, F.col("wgt"), "doc_id", seed=2)
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    _drain(out, f"{TMP}/intid/ckpt", "res_int")
+    final = _final_reservoir(spark, "res_int")
+    got = {r["doc_id"] for r in final}
+    want = {
+        r["doc_id"]
+        for r in weighted_sample_without_replacement(
+            docs, 12, F.col("wgt"), "doc_id", seed=2
+        ).collect()
+    }
+    assert got == want
+    assert all(isinstance(i, int) for i in got)
