@@ -24,8 +24,13 @@ from prefix_filter_spark.sources.tokenizer import words_col
 
 
 def _shingles_raw(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Word n-gram shingles per doc, duplicates kept: (doc_id, s string)."""
-    ws = words_col("text")
+    """Word n-gram shingles per doc, duplicates kept: (doc_id, s string).
+
+    The word array is projected ONCE before the transform —
+    slice(<words expr>, ...) inside the lambda re-runs the tokenizer
+    regexp per element, O(len^2) per doc (see lm_score._bigrams)."""
+    wsd = docs.select("doc_id", words_col("text").alias("_ws"))
+    ws = F.col("_ws")
     # guard: sequence(0, k) descends when k < 0 (doc shorter than n)
     sh = F.when(
         F.size(ws) >= n,
@@ -34,7 +39,7 @@ def _shingles_raw(docs: DataFrame, n: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(sh).alias("s"))
+    return wsd.select("doc_id", F.explode(sh).alias("s"))
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:

@@ -63,7 +63,11 @@ def hashed_features(
     -> (doc_id, bucket). Occurrences kept (the multinomial is over
     occurrences, not distinct features). Map-side only.
     """
-    ws = words_col("text")
+    # project the word array ONCE: slice(<words expr>, i, n) inside a
+    # transform lambda re-runs the tokenizer regexp per element —
+    # O(len^2) per doc (measured 5x at sf0.1); a bound column is O(1)
+    wsd = docs.select("doc_id", words_col("text").alias("_ws"))
+    ws = F.col("_ws")
     feats = ws
     if bigrams:
         bi = F.when(
@@ -74,7 +78,7 @@ def hashed_features(
             ),
         ).otherwise(F.array().cast("array<string>"))
         feats = F.concat(ws, bi)
-    return docs.select("doc_id", F.explode(feats).alias("f")).select(
+    return wsd.select("doc_id", F.explode(feats).alias("f")).select(
         "doc_id", _bucket(F.col("f"), n_buckets)
     )
 

@@ -42,8 +42,17 @@ from prefix_filter_spark.sources.tokenizer import words_col
 
 def _bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, w1, w2) — one row per consecutive word pair, built
-    map-side with a sequence/transform (no self-join, no shuffle)."""
-    ws = words_col(text_col)
+    map-side with a sequence/transform (no self-join, no shuffle).
+
+    The word array is PROJECTED into a column before the transform:
+    ``element_at(<words expr>, i)`` inside the lambda re-evaluates the
+    whole tokenizer expression (regexp split + filter) per element —
+    O(len^2) regexp work per document, measured 16x slower at sf0.1.
+    Bound to a column it's a plain O(1) array index."""
+    wsd = docs.select("doc_id", words_col(text_col).alias("_ws")).where(
+        F.size("_ws") >= 2
+    )
+    ws = F.col("_ws")
     pairs = F.transform(
         F.sequence(F.lit(0), F.size(ws) - 2),
         lambda i: F.struct(
@@ -52,8 +61,7 @@ def _bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
     return (
-        docs.where(F.size(ws) >= 2)
-        .select("doc_id", F.explode(pairs).alias("bg"))
+        wsd.select("doc_id", F.explode(pairs).alias("bg"))
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
 
@@ -121,6 +129,149 @@ def lm_perplexity(
     avg = F.sum("nll_q").cast("double") / (F.count("*") * F.lit(1e9))
     return quant.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
+        avg.alias("avg_nll"),
+        F.pow(F.lit(2.0), avg).alias("perplexity"),
+    )
+
+
+def _trigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, u, v, w) — one row per consecutive word triple, built
+    map-side like _bigrams (no self-join, no shuffle; same pre-projected
+    array — see _bigrams for why)."""
+    wsd = docs.select("doc_id", words_col(text_col).alias("_ws")).where(
+        F.size("_ws") >= 3
+    )
+    ws = F.col("_ws")
+    triples = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 3),
+        lambda i: F.struct(
+            F.element_at(ws, i + 1).alias("u"),
+            F.element_at(ws, i + 2).alias("v"),
+            F.element_at(ws, i + 3).alias("w"),
+        ),
+    )
+    return (
+        wsd.select("doc_id", F.explode(triples).alias("tg"))
+        .select(
+            "doc_id",
+            F.col("tg.u").alias("u"),
+            F.col("tg.v").alias("v"),
+            F.col("tg.w").alias("w"),
+        )
+    )
+
+
+def train_kn_counts(ref_docs: DataFrame, text_col: str = "text", cache: bool = True):
+    """Interpolated Kneser-Ney trigram model (Kneser & Ney 1995; Chen &
+    Goodman 1999 interpolated form — the KenLM default, i.e. the model
+    family CCNet actually filters with). Every lower-order quantity is
+    the CONTINUATION count derived from the trigram type table, per the
+    standard recipe:
+
+    - ``tri``  : c(uvw) raw trigram counts
+    - ``ctx``  : per (u,v): c(uv) = Σ_w c(uvw) and N1+(uv·) (distinct
+      continuations — the discount mass multiplier)
+    - ``cont_vw``: N1+(·vw) (distinct left contexts of bigram vw — the
+      KN bigram "count")
+    - ``mid``  : per v: N1+(·v·) = Σ_w N1+(·vw) and N1+(v·') =
+      |{w : N1+(·vw)>0}|
+    - ``cont_w``: N1+(·w) (distinct v preceding w)
+    - scalars: N1+(··) total bigram types, V continuation vocab
+
+    All integer counts from groupBys over the reference corpus — the
+    model is a pure function of the reference text (bit-deterministic,
+    no float accumulation in training). Tables are vocab-scale, so at
+    100 TB the scoring joins broadcast or shuffle-hash tiny sides.
+    """
+    tri = (
+        _trigrams(ref_docs, text_col)
+        .groupBy("u", "v", "w")
+        .agg(F.count("*").alias("c_uvw"))
+    )
+    if cache:
+        # vocab-scale tables, but each is joined separately at scoring
+        # time — uncached, the reference-corpus trigram explode would
+        # re-run once per joined table (measured 5x at sf0.1)
+        tri = tri.cache()
+    ctx = tri.groupBy("u", "v").agg(
+        F.sum("c_uvw").alias("c_uv"), F.count("*").alias("n1p_uv")
+    )
+    cont_vw = tri.groupBy("v", "w").agg(F.count("*").alias("n1p_vw"))
+    if cache:
+        cont_vw = cont_vw.cache()
+    mid = cont_vw.groupBy("v").agg(
+        F.sum("n1p_vw").alias("n1p_v_all"), F.count("*").alias("n1p_v_types")
+    )
+    cont_w = cont_vw.groupBy("w").agg(F.count("*").alias("n1p_w"))
+    totals = cont_vw.agg(
+        F.count("*").alias("n1p_total"), F.countDistinct("w").alias("v_cont")
+    ).collect()[0]
+    return {
+        "tri": tri,
+        "ctx": ctx,
+        "cont_vw": cont_vw,
+        "mid": mid,
+        "cont_w": cont_w,
+        "n1p_total": int(totals["n1p_total"]),
+        "v_cont": int(totals["v_cont"]),
+    }
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    model: dict,
+    discount: float = 0.75,
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score docs under the interpolated-KN trigram model:
+    (doc_id, n_trigrams, avg_nll, perplexity).
+
+        p1(w)     = (N1+(·w) + α) / (N1+(··) + α·(V+1))      [α floor
+                     reserves mass for OOV words]
+        p2(w|v)   = max(N1+(·vw)−D, 0)/N1+(·v·)
+                    + D·N1+(v·)/N1+(·v·) · p1(w)              [if
+                     N1+(·v·)=0 → p1(w)]
+        p3(w|u,v) = max(c(uvw)−D, 0)/c(uv)
+                    + D·N1+(uv·)/c(uv) · p2(w|v)              [if
+                     c(uv)=0 → p2(w|v)]
+
+    Plan: one map-side trigram explode, five left joins against the
+    vocab-scale count tables (AQE sizes them; nothing corpus×corpus),
+    one groupBy(doc_id). The per-trigram nll is quantized to 1e-9 and
+    summed as exact integers — same deterministic-reduction contract as
+    ``lm_perplexity`` (avg independent of partitioning)."""
+    D = float(discount)
+    if not 0.0 < D < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    tg = _trigrams(docs, text_col)
+    j = (
+        tg.join(model["tri"], ["u", "v", "w"], "left")
+        .join(model["ctx"], ["u", "v"], "left")
+        .join(model["mid"], ["v"], "left")
+        .join(model["cont_vw"], ["v", "w"], "left")
+        .join(model["cont_w"], ["w"], "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("double")
+    p1 = (z("n1p_w") + F.lit(float(alpha))) / F.lit(
+        model["n1p_total"] + alpha * (model["v_cont"] + 1)
+    )
+    p2 = F.when(
+        z("n1p_v_all") > 0,
+        F.greatest(z("n1p_vw") - F.lit(D), F.lit(0.0)) / z("n1p_v_all")
+        + F.lit(D) * z("n1p_v_types") / z("n1p_v_all") * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        z("c_uv") > 0,
+        F.greatest(z("c_uvw") - F.lit(D), F.lit(0.0)) / z("c_uv")
+        + F.lit(D) * z("n1p_uv") / z("c_uv") * p2,
+    ).otherwise(p2)
+    quant = j.select(
+        "doc_id", F.round(-F.log2(p3) * F.lit(1e9), 0).cast("long").alias("nll_q")
+    )
+    avg = F.sum("nll_q").cast("double") / (F.count("*") * F.lit(1e9))
+    return quant.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
         avg.alias("avg_nll"),
         F.pow(F.lit(2.0), avg).alias("perplexity"),
     )

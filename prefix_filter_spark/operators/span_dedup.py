@@ -55,7 +55,11 @@ def positional_kgrams(docs: DataFrame, k: int) -> DataFrame:
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    ws = words_col("text")
+    # word array projected ONCE — slice(<words expr>, ...) inside the
+    # transform lambda re-runs the tokenizer regexp per element,
+    # O(len^2) per doc (see lm_score._bigrams)
+    wsd = docs.select("doc_id", words_col("text").alias("_ws"))
+    ws = F.col("_ws")
     grams = F.when(
         F.size(ws) >= k,
         F.transform(
@@ -63,7 +67,7 @@ def positional_kgrams(docs: DataFrame, k: int) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.posexplode(grams).alias("pos", "g"))
+    return wsd.select("doc_id", F.posexplode(grams).alias("pos", "g"))
 
 
 def duplicated_spans(

@@ -150,7 +150,11 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     DuckDB oracle. Filter on these upstream of dedup — dropping a
     repetitive doc is cheaper than MinHashing it.
     """
-    ws = words_col("text")
+    # project the word array ONCE — slice(<words expr>, ...) inside the
+    # transform lambda re-runs the tokenizer regexp per element,
+    # O(len^2) per doc (see lm_score._bigrams)
+    docs = docs.select("doc_id", "source", words_col("text").alias("_ws"))
+    ws = F.col("_ws")
 
     def ngrams(n: int):
         return F.when(

@@ -120,3 +120,117 @@ def test_avg_nll_is_partitioning_invariant(spark):
         }
 
     assert run(1) == run(13)  # exact equality, not approx
+
+
+# -- interpolated Kneser-Ney trigram model -----------------------------
+from prefix_filter_spark.operators.lm_score import kn_perplexity, train_kn_counts
+
+
+def _kn_reference(train_docs, score_docs, D=0.75, alpha=0.5):
+    """Sequential pure-Python interpolated-KN implementation from raw
+    token lists — the executable spec the distributed plan must equal."""
+    from collections import Counter, defaultdict
+
+    tri = Counter()
+    for toks in train_docs:
+        for i in range(len(toks) - 2):
+            tri[(toks[i], toks[i + 1], toks[i + 2])] += 1
+    c_uv, n1p_uv = Counter(), Counter()
+    n1p_vw = Counter()
+    for (u, v, w), c in tri.items():
+        c_uv[(u, v)] += c
+        n1p_uv[(u, v)] += 1
+        n1p_vw[(v, w)] += 1
+    n1p_v_all, n1p_v_types = Counter(), Counter()
+    n1p_w = Counter()
+    for (v, w), c in n1p_vw.items():
+        n1p_v_all[v] += c
+        n1p_v_types[v] += 1
+        n1p_w[w] += 1
+    n1p_total = len(n1p_vw)
+    v_cont = len(n1p_w)
+
+    def p(u, v, w):
+        p1 = (n1p_w.get(w, 0) + alpha) / (n1p_total + alpha * (v_cont + 1))
+        if n1p_v_all.get(v, 0) > 0:
+            p2 = (
+                max(n1p_vw.get((v, w), 0) - D, 0.0) / n1p_v_all[v]
+                + D * n1p_v_types[v] / n1p_v_all[v] * p1
+            )
+        else:
+            p2 = p1
+        if c_uv.get((u, v), 0) > 0:
+            return (
+                max(tri.get((u, v, w), 0) - D, 0.0) / c_uv[(u, v)]
+                + D * n1p_uv[(u, v)] / c_uv[(u, v)] * p2
+            )
+        return p2
+
+    out = {}
+    for doc_id, toks in score_docs.items():
+        if len(toks) < 3:
+            continue
+        q = [
+            round(-math.log2(p(toks[i], toks[i + 1], toks[i + 2])) * 1e9)
+            for i in range(len(toks) - 2)
+        ]
+        avg = sum(q) / (len(q) * 1e9)
+        out[doc_id] = (len(q), avg, 2.0**avg)
+    return out
+
+
+def test_kn_equals_sequential_reference(spark):
+    train_texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog sat",
+        "the cat and the dog",
+    ]
+    score = {
+        10: "the cat sat on the log".split(),
+        11: "a dog sat on a mat".split(),
+        12: "zz qq pp ww".split(),  # everything unseen -> p1 floor path
+        13: "the cat".split(),  # < 3 words: no row
+    }
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    sc = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in score.items()], "doc_id long, text string"
+    )
+    model = train_kn_counts(train)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_nll"], r["perplexity"])
+        for r in kn_perplexity(sc, model).collect()
+    }
+    want = _kn_reference([t.split() for t in train_texts], score)
+    assert set(got) == set(want) == {10, 11, 12}
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-8, k
+        assert abs(got[k][2] - want[k][2]) < 1e-6, k
+    # in-domain text must score far more likely than unseen gibberish
+    assert got[10][1] < got[12][1]
+
+
+def test_kn_partition_invariant_and_probabilities_valid(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 40)))) for i in range(120)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    model = train_kn_counts(df)
+    a = {
+        (r["doc_id"], r["n_trigrams"], r["avg_nll"])
+        for r in kn_perplexity(df, model).collect()
+    }
+    b = {
+        (r["doc_id"], r["n_trigrams"], r["avg_nll"])
+        for r in kn_perplexity(df.repartition(13), model).collect()
+    }
+    assert a == b  # fixed-point sum: partitioning-independent
+    # every nll positive => every probability < 1 (and finite => > 0)
+    assert all(nll > 0 for _, _, nll in a)
