@@ -1085,27 +1085,39 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style n-gram LM perplexity filter (operators/lm_score.py):
-    train a smoothed bigram LM on the reference split (doc_id % 10 != 0),
-    score the held-out split. Exact integer counts + double log
-    arithmetic — DuckDB reproduces the model bit-for-bit (hash-matched),
-    no bound or self-assert needed."""
+    """CCNet-style n-gram LM perplexity filter (operators/lm_score.py),
+    BOTH models in one gate: the add-alpha bigram LM ('bigram2') and
+    the interpolated Kneser-Ney trigram LM ('kn3' — the KenLM-standard
+    formulation, round 4). Train on the reference split (doc_id % 10 !=
+    0), score the held-out split. Exact integer counts + double log
+    arithmetic with the fixed-point nll reduction — DuckDB reproduces
+    both models bit-for-bit (hash-matched), no bound or self-assert."""
     from prefix_filter_spark.operators.lm_score import (
+        kn_perplexity,
         lm_perplexity,
         train_bigram_counts,
+        train_kn_counts,
     )
 
     docs = _docs(spark, sf_dir)
     train = docs.where(F.col("doc_id") % 10 != 0)
     held_out = docs.where(F.col("doc_id") % 10 == 0)
     uni, bg, v = train_bigram_counts(train)
-    out = lm_perplexity(held_out, uni, bg, v, alpha=0.5)
-    return out.select(
+    big = lm_perplexity(held_out, uni, bg, v, alpha=0.5).select(
+        F.lit("bigram2").alias("model"),
         "doc_id",
-        "n_bigrams",
+        F.col("n_bigrams").alias("n_grams"),
         F.round("avg_nll", 6).alias("avg_nll"),
         F.round("perplexity", 4).alias("perplexity"),
-    ).orderBy("doc_id")
+    )
+    kn = kn_perplexity(held_out, train_kn_counts(train)).select(
+        F.lit("kn3").alias("model"),
+        "doc_id",
+        F.col("n_trigrams").alias("n_grams"),
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.round("perplexity", 4).alias("perplexity"),
+    )
+    return big.unionByName(kn).orderBy("model", "doc_id")
 
 
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2579,11 +2591,71 @@ def oracle_sql() -> dict[str, str]:
             -- same order-free deterministic reduction as the Spark op
             nq AS (SELECT doc_id,
                           CAST(round(nll * 1e9) AS BIGINT) AS nll_q
-                   FROM nll)
-            SELECT doc_id, count(*) AS n_bigrams,
+                   FROM nll),
+            -- interpolated Kneser-Ney trigram arm (operators/lm_score.py
+            -- kn_perplexity): same count derivation, D=0.75, alpha=0.5
+            ttg AS (
+              SELECT unnest(ws[1:len(ws)-2]) AS u,
+                     unnest(ws[2:len(ws)-1]) AS v,
+                     unnest(ws[3:len(ws)]) AS w
+              FROM w WHERE doc_id % 10 <> 0 AND len(ws) >= 3),
+            tri AS (SELECT u, v, w, count(*) AS c_uvw FROM ttg GROUP BY u, v, w),
+            ctx AS (SELECT u, v, sum(c_uvw) AS c_uv, count(*) AS n1p_uv
+                    FROM tri GROUP BY u, v),
+            cvw AS (SELECT v, w, count(*) AS n1p_vw FROM tri GROUP BY v, w),
+            mid AS (SELECT v, sum(n1p_vw) AS n1p_v_all, count(*) AS n1p_v_types
+                    FROM cvw GROUP BY v),
+            cw  AS (SELECT w, count(*) AS n1p_w FROM cvw GROUP BY w),
+            tot AS (SELECT count(*) AS n1p_total, count(DISTINCT w) AS v_cont
+                    FROM cvw),
+            stg AS (
+              SELECT doc_id,
+                     unnest(ws[1:len(ws)-2]) AS u,
+                     unnest(ws[2:len(ws)-1]) AS v,
+                     unnest(ws[3:len(ws)]) AS w
+              FROM w WHERE doc_id % 10 = 0 AND len(ws) >= 3),
+            kp AS (
+              SELECT doc_id,
+                     (coalesce(n1p_w, 0) + 0.5)
+                       / (tot.n1p_total + 0.5 * (tot.v_cont + 1)) AS p1,
+                     coalesce(c_uvw, 0)::DOUBLE AS c_uvw,
+                     coalesce(c_uv, 0)::DOUBLE AS c_uv,
+                     coalesce(n1p_uv, 0)::DOUBLE AS n1p_uv,
+                     coalesce(n1p_vw, 0)::DOUBLE AS n1p_vw,
+                     coalesce(n1p_v_all, 0)::DOUBLE AS n1p_v_all,
+                     coalesce(n1p_v_types, 0)::DOUBLE AS n1p_v_types
+              FROM stg
+              LEFT JOIN tri USING (u, v, w)
+              LEFT JOIN ctx USING (u, v)
+              LEFT JOIN mid USING (v)
+              LEFT JOIN cvw USING (v, w)
+              LEFT JOIN cw  USING (w), tot),
+            kp2 AS (
+              SELECT doc_id,
+                     CASE WHEN n1p_v_all > 0
+                          THEN greatest(n1p_vw - 0.75, 0.0) / n1p_v_all
+                               + 0.75 * n1p_v_types / n1p_v_all * p1
+                          ELSE p1 END AS p2,
+                     c_uvw, c_uv, n1p_uv
+              FROM kp),
+            knll AS (
+              SELECT doc_id,
+                     CAST(round(-log2(
+                       CASE WHEN c_uv > 0
+                            THEN greatest(c_uvw - 0.75, 0.0) / c_uv
+                                 + 0.75 * n1p_uv / c_uv * p2
+                            ELSE p2 END) * 1e9) AS BIGINT) AS nll_q
+              FROM kp2)
+            SELECT 'bigram2' AS model, doc_id, count(*) AS n_grams,
                    round(sum(nll_q) / (count(*) * 1e9), 6) AS avg_nll,
                    round(pow(2.0, sum(nll_q) / (count(*) * 1e9)), 4) AS perplexity
-            FROM nq GROUP BY doc_id ORDER BY doc_id
+            FROM nq GROUP BY doc_id
+            UNION ALL
+            SELECT 'kn3' AS model, doc_id, count(*) AS n_grams,
+                   round(sum(nll_q) / (count(*) * 1e9), 6) AS avg_nll,
+                   round(pow(2.0, sum(nll_q) / (count(*) * 1e9)), 4) AS perplexity
+            FROM knll GROUP BY doc_id
+            ORDER BY model, doc_id
         """,
         "mixture_sample": """
             WITH r AS (

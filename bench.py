@@ -370,6 +370,20 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
 
     times["lm_perplexity"] = _timed_best(_lm, name="lm_perplexity")
 
+    def _kn():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.lm_score import (
+            kn_perplexity,
+            train_kn_counts,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        model = train_kn_counts(docs.where(F.col("doc_id") % 10 != 0))
+        kn_perplexity(docs.where(F.col("doc_id") % 10 == 0), model).count()
+
+    times["kn_perplexity"] = _timed_best(_kn, name="kn_perplexity")
+
     def _components():
         from pyspark.sql import functions as F
 
