@@ -146,6 +146,22 @@ def test_lm_perplexity_stays_jvm_side(spark, documents):
     assert "SortMergeJoin" not in plan
 
 
+def test_kn_perplexity_stays_jvm_side(spark, documents):
+    """KN trigram scoring: map-side explode + five vocab-scale joins,
+    zero Python nodes, no sort-merge join (count tables broadcast)."""
+    from pyspark.sql import functions as F
+
+    from prefix_filter_spark.operators.lm_score import (
+        kn_perplexity,
+        train_kn_counts,
+    )
+
+    model = train_kn_counts(documents.where(F.col("doc_id") % 2 == 0), cache=False)
+    plan = _plan(kn_perplexity(documents, model))
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_semdedup_python_nodes_bounded(spark):
     """SemDeDup's only Python is the Arrow-batched centroid-assignment
     UDF (once per join side) — never row-at-a-time."""

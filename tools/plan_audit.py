@@ -103,9 +103,10 @@ def main() -> int:
          "REPARTITIONED by (key, cell) so one hot bucket's quadratic "
          "pair emission spreads across tasks"),
         ("lm_perplexity", None,
-         "bigram explode is map-side Catalyst (sequence/transform, no "
-         "self-join); count-table joins sized by AQE; one groupBy(doc_id) "
-         "average; zero Python nodes"),
+         "bigram + KN-trigram explodes are map-side Catalyst (pre-"
+         "projected word array, sequence/transform, no self-join); "
+         "count-table joins sized by AQE (KN: 5 vocab-scale broadcasts); "
+         "one groupBy(doc_id) average per arm; zero Python nodes"),
         ("pii_redact", None,
          "map-only: scan -> regexp_replace projection, zero exchanges, "
          "zero Python nodes"),
