@@ -1,8 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
-  All JVM-side (zip_with + aggregate for the dot product); probes are
-  broadcast so the big side streams with no shuffle.
+  One Arrow mapInPandas pass with the queries broadcast (big side
+  streams, no shuffle); the NumPy cumsum kernel is bit-identical to
+  the sequential Catalyst fold (``cosine_expr``), pytest-pinned.
 - ``srp_ann_topk``: the scale path — signed-random-projection (SRP)
   LSH bucketing + exact rerank inside candidate buckets. Hyperplanes
   are deterministic (seeded NumPy), generated identically on every
@@ -40,18 +41,63 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, vec_id, cosine, rank).
 
-    queries: (query_id, embedding). The query side is broadcast —
-    the corpus side never shuffles; ranking is a per-query window.
+    queries: (query_id, embedding), small by contract (they ride a
+    broadcast). The corpus side never shuffles: one Arrow mapInPandas
+    pass scores every (query, vector) pair and keeps each Arrow batch's
+    top-k per query, so only ~k·queries·batches rows reach the final
+    per-query ranking window.
+
+    Why a pandas UDF and not the Catalyst HOF expression: the
+    ``cosine_expr`` aggregate/zip_with lambdas evaluate INTERPRETED per
+    element — ~6 evals x 128 dims per pair (the winnowing lesson, the
+    documented exception to 'UDFs are the slow path'). The NumPy kernel
+    is BIT-IDENTICAL to the sequential Catalyst fold: ``cumsum(axis=1)``
+    is a strict left-to-right summation (unlike np.dot's SIMD
+    blocking), float32 -> float64 casts are exact, and the final
+    ``dot / (na * nb)`` is the same scalar expression — so the DuckDB
+    hash gates match unchanged (pytest-pinned equality vs cosine_expr).
     """
-    q = F.broadcast(queries).alias("q")
-    e = embeddings.alias("e")
-    scored = (
-        e.join(q, F.col("q.query_id") != F.col("e.vec_id"))
-        .select(
-            F.col("q.query_id").alias("query_id"),
-            F.col("e.vec_id").alias("vec_id"),
-            cosine_expr(F.col("q.embedding"), F.col("e.embedding")).alias("cosine"),
-        )
+    spark = embeddings.sparkSession
+    q_rows = queries.select("query_id", "embedding").collect()
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    # strict sequential sum-of-squares per query (bit-equal to the fold)
+    qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1]) if len(q_rows) else None
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def score(batches):
+        ids, qm, qn = bc.value
+        for pdf in batches:
+            if not len(pdf) or not len(ids):
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vec_ids = pdf["vec_id"].to_numpy()
+            xnorm = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+            out_q, out_v, out_c = [], [], []
+            for qi in range(len(ids)):
+                dots = np.cumsum(x * qm[qi], axis=1)[:, -1]
+                cos = dots / (xnorm * qn[qi])
+                mask = vec_ids != ids[qi]
+                v, c = vec_ids[mask], cos[mask]
+                if len(c) > k:
+                    # batch-local top-k by (cosine desc, vec_id asc):
+                    # safe pre-prune — any global top-k row is in its
+                    # batch's top-k under the same order
+                    keep = np.lexsort((v, -c))[:k]
+                    v, c = v[keep], c[keep]
+                out_q.append(np.full(len(v), ids[qi]))
+                out_v.append(v)
+                out_c.append(c)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, vec_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

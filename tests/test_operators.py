@@ -341,3 +341,31 @@ def test_repetition_plan_is_map_only(spark, documents):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_cosine_kernel_bit_identical_to_catalyst(emb, spark):
+    """The mapInPandas cumsum kernel must reproduce the Catalyst
+    sequential fold (cosine_expr) BIT-FOR-BIT — this is what keeps the
+    DuckDB hash gates green after the round-4 vectorization."""
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.cosine_topk(emb, queries, k=7).collect()
+    }
+    q = F.broadcast(queries).alias("q")
+    e = emb.alias("e")
+    want = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in (
+            e.join(q, F.col("q.query_id") != F.col("e.vec_id"))
+            .select(
+                F.col("q.query_id").alias("query_id"),
+                F.col("e.vec_id").alias("vec_id"),
+                similarity.cosine_expr(
+                    F.col("q.embedding"), F.col("e.embedding")
+                ).alias("cosine"),
+            )
+            .collect()
+        )
+    }
+    assert got and all(got[k] == want[k] for k in got)  # exact ==, no tolerance

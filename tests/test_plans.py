@@ -79,14 +79,22 @@ def test_minhash_signatures_jvm_only(spark, documents):
     assert "xxhash64" in plan
 
 
-def test_cosine_topk_broadcasts_queries(spark):
+def test_cosine_topk_streams_corpus_once(spark):
+    """Brute-force top-k: ONE Arrow mapInPandas over the corpus with
+    queries on a broadcast variable — no join node at all, and the only
+    exchange is the final per-query ranking window over ~k·queries·
+    batches pre-pruned rows (round 4: replaced the interpreted
+    zip_with/aggregate HOF pair scoring, ~6 evals x 128 dims per pair;
+    the NumPy cumsum kernel is bit-identical, pinned in
+    test_operators.test_cosine_kernel_bit_identical_to_catalyst)."""
     from prefix_filter_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
     plan = _plan(cosine_topk(emb, q, k=3))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "Python" not in plan  # dot product via zip_with/aggregate, JVM-side
+    assert "Join" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # Arrow-batched, not row-at-a-time
 
 
 def test_runtime_filter_join_plan(spark):
