@@ -535,7 +535,7 @@ def srp_near_dup_pairs(
     ``bucket_cap`` with the candidate set unchanged.
     """
     from prefix_filter_spark.operators.similarity import (
-        cosine_expr,
+        cosine_pair_udf as _pair_cos,
         srp_signature_udf,
     )
 
@@ -578,7 +578,7 @@ def srp_near_dup_pairs(
     return (
         pairs.join(e1, "v1")
         .join(e2, "v2")
-        .select("v1", "v2", cosine_expr(F.col("e1"), F.col("e2")).alias("cosine"))
+        .select("v1", "v2", _pair_cos()(F.col("e1"), F.col("e2")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
@@ -623,7 +623,7 @@ def semdedup_pairs(
     exact-oracle comparison + recall self-assert on planted dups.
     """
     from prefix_filter_spark.operators.similarity import (
-        cosine_expr,
+        cosine_pair_udf as _pair_cos,
         ivf_assign_udf,
         ivf_train_centroids,
     )
@@ -652,7 +652,7 @@ def semdedup_pairs(
             "v1",
             "v2",
             "cluster_id",
-            cosine_expr(F.col("e1"), F.col("e2")).alias("cosine"),
+            _pair_cos()(F.col("e1"), F.col("e2")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -678,7 +678,7 @@ def semdedup_drop_ids(
     (``cluster_cap``; same output, bounded per-task work).
     """
     from prefix_filter_spark.operators.similarity import (
-        cosine_expr,
+        cosine_pair_udf as _pair_cos,
         ivf_assign_udf,
         ivf_train_centroids,
     )
@@ -717,7 +717,11 @@ def semdedup_drop_ids(
     pairs = (
         cand.join(s1, "v1")
         .join(s2, "v2")
-        .where(cosine_expr(F.col("e1"), F.col("e2")) >= threshold)
+        # project-then-filter: the pair kernel is declared
+        # nondeterministic (clone barrier), which Spark forbids
+        # directly inside a Filter condition
+        .withColumn("_cos", _pair_cos()(F.col("e1"), F.col("e2")))
+        .where(F.col("_cos") >= threshold)
         .select(
             F.when(
                 (F.col("c1") > F.col("c2"))

@@ -36,6 +36,35 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def cosine_pair_udf():
+    """Arrow-batched cosine over a PAIR STREAM (two embedding columns
+    side by side — the verify stage of every bucketed dedup/ANN path).
+    Bit-identical to ``cosine_expr`` (cumsum = strict left-to-right
+    fold, exact float32->float64 casts, same final scalar expression),
+    so swapping it into a hash-gated pipeline changes no output bit —
+    pinned by test_cosine_kernel_bit_identical_to_catalyst's pair twin.
+    ~6 interpreted lambda evals x dims per pair become one vectorized
+    kernel per Arrow batch."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        x = np.array(list(a), dtype=np.float64)
+        y = np.array(list(b), dtype=np.float64)
+        dots = np.cumsum(x * y, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(y * y, axis=1)[:, -1])
+        return pd.Series(dots / (na * nb))
+
+    # the kernel is pure, but declaring it nondeterministic stops
+    # Catalyst's CollapseProject/filter-pushdown from CLONING it into
+    # every consuming branch (measured: 12 ArrowEvalPython nodes in the
+    # semdedup plan vs 5 with the clone-barrier — each clone is a full
+    # Python re-evaluation of the same pairs)
+    return _cos.asNondeterministic()
+
+
 def cosine_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 10
 ) -> DataFrame:
@@ -190,7 +219,7 @@ def ivf_ann_topk(
     scored = cand.select(
         "query_id",
         "vec_id",
-        cosine_expr(F.col("qe"), F.col("embedding")).alias("cosine"),
+        cosine_pair_udf()(F.col("qe"), F.col("embedding")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -278,7 +307,7 @@ def srp_ann_topk(
         .distinct()
     )
     scored = cand.select(
-        "query_id", "vec_id", cosine_expr(F.col("qe"), F.col("ee")).alias("cosine")
+        "query_id", "vec_id", cosine_pair_udf()(F.col("qe"), F.col("ee")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

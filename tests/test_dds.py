@@ -174,3 +174,35 @@ def test_max_bins_mismatch_rejected():
     b = dds.DDSketch(dds.DDSketchConfig(alpha=0.01, max_bins=2048))
     with pytest.raises(ValueError, match="different max_bins"):
         a.merge(b)
+
+
+def test_dds_per_group_skew_safe_build(spark):
+    """DDSketch composes with the generic salted per-group builder
+    (operators/per_group.sketch_by_group): exact integer counts mean
+    the salted fan-out + merge is bit-identical to a direct per-group
+    build, whatever the salt bucket count."""
+    from prefix_filter_spark.operators.per_group import sketch_by_group
+
+    cfg = dds.DDSketchConfig(alpha=0.01)
+    df = spark.range(30_000).selectExpr(
+        "concat('s', cast(id % 3 as string)) as source",
+        "cast(id % 997 + 1 as double) as v",
+        "cast(id as string) as doc_id",
+    )
+    out = {
+        r["group"]: bytes(r["state"])
+        for r in sketch_by_group(
+            df, "source", "v",
+            acc_factory=lambda: dds.DDSketch(cfg),
+            merge_fn=dds.merge_states,
+            salt_on="doc_id", salt_buckets=8,
+        ).collect()
+    }
+    assert set(out) == {"s0", "s1", "s2"}
+    for grp, blob in out.items():
+        direct = dds.DDSketch(cfg)
+        vals = [
+            r["v"] for r in df.where(F.col("source") == grp).collect()
+        ]
+        direct.update(np.asarray(vals, dtype=np.float64))
+        assert blob == direct.to_bytes(), grp

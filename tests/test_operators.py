@@ -369,3 +369,24 @@ def test_cosine_kernel_bit_identical_to_catalyst(emb, spark):
         )
     }
     assert got and all(got[k] == want[k] for k in got)  # exact ==, no tolerance
+
+
+def test_pair_cosine_kernel_bit_identical_to_catalyst(emb, spark):
+    """cosine_pair_udf (the bucketed-verify kernel) must equal the
+    Catalyst fold bit-for-bit on a joined pair stream."""
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    pairs = a.join(b, F.col("v1") < F.col("v2")).limit(500)
+    got = {
+        (r["v1"], r["v2"]): r["c"]
+        for r in pairs.select(
+            "v1", "v2", similarity.cosine_pair_udf()(F.col("e1"), F.col("e2")).alias("c")
+        ).collect()
+    }
+    want = {
+        (r["v1"], r["v2"]): r["c"]
+        for r in pairs.select(
+            "v1", "v2", similarity.cosine_expr(F.col("e1"), F.col("e2")).alias("c")
+        ).collect()
+    }
+    assert got and all(got[k] == want[k] for k in got)

@@ -171,8 +171,9 @@ def test_kn_perplexity_stays_jvm_side(spark, documents):
 
 
 def test_semdedup_python_nodes_bounded(spark):
-    """SemDeDup's only Python is the Arrow-batched centroid-assignment
-    UDF (once per join side) — never row-at-a-time."""
+    """SemDeDup's Python is Arrow-batched only: the centroid-assignment
+    UDF (once per join side) plus the round-4 pair-cosine verify kernel
+    — never row-at-a-time."""
     import numpy as np
 
     from prefix_filter_spark.operators.dedup import semdedup_pairs
@@ -182,9 +183,9 @@ def test_semdedup_python_nodes_bounded(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     plan = _plan(semdedup_pairs(emb, nlist=4))
     assert "BatchEvalPython" not in plan
-    # the self-join materializes the assignment UDF once per branch
-    # (2 sides x pre/post-filter split) — constant, never per-row
-    assert plan.count("ArrowEvalPython") <= 4, plan
+    # assignment UDF once per branch (2 sides x pre/post-filter split)
+    # + 1 pair-cosine verify node — constant, never per-row
+    assert plan.count("ArrowEvalPython") <= 5, plan
 
 
 def test_minhash_lsh_plan_shape(spark, documents):
