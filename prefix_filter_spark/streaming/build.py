@@ -316,3 +316,69 @@ def streaming_quantiles_by_source(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+def streaming_dds_quantiles_by_source(
+    values: DataFrame,
+    *,
+    alpha: float = 0.01,
+    max_bins: int = 2048,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    timeout: str = "NoTimeout",
+):
+    """Running DDSketch (relative-error) quantiles per ``source`` — the
+    streaming twin of ``sketches.dds.build_dds``, beside the KLL twin
+    above. Because DDSketch state is exact integer bucket counts, the
+    running state after any trigger chopping is BIT-IDENTICAL to a
+    batch build over the rows seen so far (stronger than the KLL twin's
+    epsilon contract; pytest-pinned). State per source: <= max_bins
+    counts per sign store — fixed, stream-length-independent.
+
+    Input stream schema: (source string, value double). Output per
+    batch: (source, n_rows_total, q50..., alpha).
+    """
+    from prefix_filter_spark.sketches import dds
+
+    cfg = dds.DDSketchConfig(alpha=alpha, max_bins=max_bins)
+    q_names = [f"q{int(round(q * 100))}" for q in qs]
+
+    def update(key, pdfs, state: GroupState):
+        acc = dds.DDSketch(cfg)
+        rows = 0
+        for pdf in pdfs:
+            vals = pdf["value"].to_numpy(dtype="float64")
+            acc.update(vals)
+            rows += len(vals)
+        new_state = acc.to_bytes()
+        if state.exists:
+            (blob, prev_rows) = state.get
+            merged = dds.DDSketch.from_bytes(bytes(blob)).merge(
+                dds.DDSketch.from_bytes(new_state)
+            )
+            new_state = merged.to_bytes()
+            rows += int(prev_rows)
+        state.update((new_state, rows))
+        sk = dds.DDSketch.from_bytes(new_state)
+        est = sk.quantiles(list(qs))
+        out = {"source": [key[0]], "n_rows_total": [rows]}
+        for name, v in zip(q_names, est.tolist()):
+            out[name] = [float(v)]
+        out["alpha"] = [cfg.alpha]
+        yield pd.DataFrame(out)
+
+    timeout_conf = getattr(GroupStateTimeout, timeout, None)
+    if timeout_conf is None:
+        raise ValueError(
+            f"unknown timeout {timeout!r}; expected a GroupStateTimeout "
+            "name (NoTimeout, ProcessingTimeTimeout, EventTimeTimeout)"
+        )
+    cols = ", ".join(f"{n} double" for n in q_names)
+    return values.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"source string, n_rows_total long, {cols}, alpha double"
+        ),
+        stateStructType="state binary, n_rows long",
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )

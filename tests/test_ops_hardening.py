@@ -554,3 +554,66 @@ def test_streaming_stateful_kll_quantiles(spark):
             # rank error: the estimate's true rank is within eps of q
             rank = np.searchsorted(g, r[col], side="right") / len(g)
             assert abs(rank - qq) <= eps, (r["source"], col, rank, qq)
+
+
+def test_streaming_dds_quantiles_bit_equals_batch(spark):
+    """DDS streaming twin: after any trigger chopping the running
+    per-source state is BIT-IDENTICAL to a batch build over the same
+    rows (exact integer counts), and every estimate is within alpha of
+    the true discrete quantile."""
+    from prefix_filter_spark.sketches import dds
+    from prefix_filter_spark.streaming.build import (
+        streaming_dds_quantiles_by_source,
+    )
+
+    n = 12_000
+    vals = spark.range(n).select(
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(99_991)) + 1)
+        .cast("double")
+        .alias("value"),
+        F.pmod(F.col("id"), F.lit(4)).alias("b"),
+    )
+    src_dir = f"{TMP}/dds_src"
+    for i in range(4):
+        vals.where(F.col("b") == i).drop("b").write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema("source string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = streaming_dds_quantiles_by_source(stream, alpha=0.01)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dds_by_source")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{TMP}/dds_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    import numpy as np
+
+    final = spark.sql(
+        """SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY source
+                                          ORDER BY n_rows_total DESC) rn
+             FROM dds_by_source) WHERE rn = 1"""
+    ).toPandas()
+    assert len(final) == 3
+    exact = vals.drop("b").toPandas()
+    for _, r in final.iterrows():
+        assert r["n_rows_total"] == n // 3
+        g = np.sort(exact[exact["source"] == r["source"]]["value"].to_numpy())
+        for qq, col in [(0.5, "q50"), (0.95, "q95"), (0.99, "q99")]:
+            x = g[int(qq * (len(g) - 1))]
+            assert abs(r[col] - x) <= 0.0101 * abs(x), (r["source"], col)
+        # bit-identity: rebuild the same source's sketch in one batch
+        # pass and compare quantile VECTORS exactly (the stream's state
+        # is a pure function of the row multiset)
+        sk = dds.DDSketch(dds.DDSketchConfig(alpha=0.01))
+        sk.update(exact[exact["source"] == r["source"]]["value"].to_numpy())
+        est = sk.quantiles([0.5, 0.95, 0.99])
+        assert [r["q50"], r["q95"], r["q99"]] == [float(v) for v in est]
