@@ -277,13 +277,50 @@ def kn_perplexity(
     )
 
 
+def perplexity_cutoffs_by_group(
+    scores: DataFrame,
+    group_col: str = "lang",
+    qs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    alpha: float = 0.01,
+) -> dict[str, tuple[float, float]]:
+    """CCNet's actual cutoff protocol: the head/middle/tail thresholds
+    are PER-LANGUAGE perplexity percentiles (Wenzek et al. 2020 §4.3 —
+    each language gets its own tertiles, since absolute perplexity is
+    not comparable across languages). One skew-safe pass with the
+    salted per-group DDSketch (relative-error quantiles — the right
+    sketch for perplexity's heavy right tail), returning
+    {group: (c0, c1)} ready for ``perplexity_buckets``.
+
+    ``scores``: output of lm_perplexity/kn_perplexity joined back to a
+    group column. The group sketch table is tiny (one row per
+    language); collecting it is the intended driver-side step."""
+    from prefix_filter_spark.operators.per_group import sketch_by_group
+    from prefix_filter_spark.sketches import dds
+
+    cfg = dds.DDSketchConfig(alpha=alpha)
+    rows = sketch_by_group(
+        scores.where(F.col("perplexity").isNotNull()),
+        group_col,
+        F.col("perplexity"),
+        acc_factory=lambda: dds.DDSketch(cfg),
+        merge_fn=dds.merge_states,
+        salt_on="doc_id",
+    ).collect()
+    out: dict[str, tuple[float, float]] = {}
+    for r in rows:
+        sk = dds.DDSketch.from_bytes(bytes(r["state"]))
+        c0, c1 = sk.quantiles(list(qs))
+        out[r["group"]] = (float(c0), float(c1))
+    return out
+
+
 def perplexity_buckets(
     scores: DataFrame, cutoffs: tuple[float, float]
 ) -> Column:
     """CCNet's head/middle/tail split: a column expression bucketing
     ``perplexity`` at the two cutoffs (head < c0 <= middle < c1 <= tail).
-    CCNet computes cutoffs as per-language percentiles — pair with the
-    KLL sketch (sketches/kll.py) to get them in one pass at scale."""
+    Per-language cutoffs come from ``perplexity_cutoffs_by_group``
+    (one sketch pass); apply per group with a when-chain or a join."""
     c0, c1 = cutoffs
     return (
         F.when(scores["perplexity"] < c0, F.lit("head"))

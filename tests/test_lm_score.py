@@ -234,3 +234,46 @@ def test_kn_partition_invariant_and_probabilities_valid(spark):
     assert a == b  # fixed-point sum: partitioning-independent
     # every nll positive => every probability < 1 (and finite => > 0)
     assert all(nll > 0 for _, _, nll in a)
+
+
+def test_perplexity_cutoffs_by_group(spark):
+    """Per-language tertile cutoffs via the salted group DDSketch: each
+    group's cutoffs are within alpha of its exact discrete tertiles,
+    and bucketing with them gives a ~1/3-1/3-1/3 split per group."""
+    import numpy as np
+
+    from prefix_filter_spark.operators.lm_score import (
+        perplexity_buckets,
+        perplexity_cutoffs_by_group,
+    )
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for lang, scale in (("en", 1.0), ("de", 3.0)):
+        for i in range(3000):
+            rows.append((f"{lang}{i}", lang, float(scale * (1 + rng.lognormal(0, 1)))))
+    scores = spark.createDataFrame(
+        rows, "doc_id string, lang string, perplexity double"
+    )
+    cuts = perplexity_cutoffs_by_group(scores)
+    assert set(cuts) == {"en", "de"}
+    import pandas as pd
+
+    pdf = scores.toPandas()
+    for lang in ("en", "de"):
+        vals = np.sort(pdf[pdf["lang"] == lang]["perplexity"].to_numpy())
+        for got, q in zip(cuts[lang], (1 / 3, 2 / 3)):
+            exact = vals[int(q * (len(vals) - 1))]
+            assert abs(got - exact) <= 0.0101 * exact, (lang, q)
+        # bucket the language with ITS cutoffs: balanced thirds
+        sub = scores.where(F.col("lang") == lang)
+        counts = (
+            sub.withColumn("b", perplexity_buckets(sub, cuts[lang]))
+            .groupBy("b").count().toPandas().set_index("b")["count"]
+        )
+        for b in ("head", "middle", "tail"):
+            assert abs(counts[b] - 1000) < 100, (lang, b, counts.to_dict())
+    # german cutoffs must sit ~3x higher (the reason cutoffs are per-language)
+    assert cuts["de"][0] > 2 * cuts["en"][0]
