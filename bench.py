@@ -189,6 +189,12 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     times["xor_build"] = _timed_best(
         lambda: xorm.build_xor(keys, "key", xr_cfg).count(), name="xor_build"
     )
+    xh = xorm.ShardedXor.from_df(xr_cfg, xorm.build_xor(keys, "key", xr_cfg))
+    xfn = register_contains_udf(spark, "bench_xor", xh, xr_cfg.seed)
+    uniform.limit(10_000).where(xfn("key")).count()
+    times["xor_probe_uniform"] = _timed_best(
+        lambda: uniform.where(xfn("key")).count(), name="xor_probe_uniform"
+    )
 
     # value sketches over the same stream
     from prefix_filter_spark.sketches import cms, hll, kll, tdigest
