@@ -256,6 +256,99 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
     )
 
 
+def winnow_spans(
+    docs: DataFrame, k: int = 8, w: int = 16, robust: bool = True
+) -> DataFrame:
+    """ROBUST winnowing with POSITIONS (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003, Fig. 5) — the variant ``winnow_fingerprints``'s
+    docstring defers: where the value-only plain-min family suffices
+    for set-overlap scoring, locating WHERE two documents overlap
+    (plagiarism spans, boilerplate extents) needs (fingerprint, char
+    offset) pairs, and then the selection rule matters:
+
+    - keep the previously selected hash while it remains a minimum of
+      the current window (no re-record as the window slides);
+    - otherwise select the RIGHTMOST minimal hash.
+
+    That rule makes the selected (value, relative-offset) sequence a
+    function of local content alone, so two documents sharing a
+    substring longer than w+k-1 select IDENTICAL fingerprints at
+    IDENTICAL relative offsets inside the shared region (the paper's
+    guarantee; pytest-pinned) — positions from a plain leftmost-min
+    rule can diverge on equal-hash ties. ``robust=False`` gives the
+    leftmost-min selection for comparison.
+
+    -> (doc_id, source, spans array<struct<fp: string, pos: int>>).
+    The selection loop is per-window sequential Python, dominated by
+    the same per-gram md5 loop as winnow_fingerprints (one hash per
+    character); expected density is 2/(w+1) selections per gram.
+    """
+    from pyspark.sql import types as T  # noqa: F401
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for t in pdf["text"]:
+                norm = " ".join(x for x in (t or "").lower().split(" ") if x)
+                n = len(norm)
+                if n < k:
+                    out.append([])
+                    continue
+                grams = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.md5(norm[i : i + k].encode()).digest()[:8],
+                            "big",
+                        )
+                        for i in range(n - k + 1)
+                    ],
+                    dtype=np.uint64,
+                )
+                m = len(grams)
+                spans = []
+                if m < w:
+                    pos = (
+                        m - 1 - int(np.argmin(grams[::-1]))
+                        if robust
+                        else int(np.argmin(grams))
+                    )
+                    spans.append((format(int(grams[pos]), "016x"), pos))
+                else:
+                    sel = -1
+                    for r in range(m - w + 1):
+                        window = grams[r : r + w]
+                        wmin = window.min()
+                        if robust and r <= sel < r + w and grams[sel] == wmin:
+                            continue  # previous selection still minimal
+                        if robust:
+                            pos = r + (w - 1 - int(np.argmin(window[::-1])))
+                        else:
+                            pos = r + int(np.argmin(window))
+                            if pos == sel:
+                                continue
+                        sel = pos
+                        spans.append((format(int(grams[pos]), "016x"), pos))
+                out.append(spans)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "spans": out,
+                }
+            )
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    return docs.select("doc_id", "source", "text").mapInPandas(
+        run,
+        schema=(
+            f"doc_id {id_type}, source string, "
+            "spans array<struct<fp: string, pos: int>>"
+        ),
+    )
+
+
 def simhash64(docs: DataFrame, seed: int = 42) -> DataFrame:
     """64-bit SimHash over word hashes (Charikar 2002).
 

@@ -390,3 +390,67 @@ def test_pair_cosine_kernel_bit_identical_to_catalyst(emb, spark):
         ).collect()
     }
     assert got and all(got[k] == want[k] for k in got)
+
+
+def test_winnow_spans_shared_substring_guarantee(spark):
+    """Robust winnowing's paper guarantee: documents sharing a
+    substring longer than w+k-1 select IDENTICAL (fingerprint,
+    relative-offset) pairs inside the shared region — the property that
+    makes position-level overlap location work."""
+    import random
+
+    from prefix_filter_spark.operators import text as T
+
+    rng = random.Random(5)
+    shared = " ".join(f"x{rng.randint(0, 999)}" for _ in range(60))
+    pre_a = " ".join(f"a{rng.randint(0, 999)}" for _ in range(30))
+    pre_b = " ".join(f"b{rng.randint(0, 999)}" for _ in range(45))
+    docs = spark.createDataFrame(
+        [(1, "s", f"{pre_a} {shared}"), (2, "s", f"{pre_b} {shared}")],
+        "doc_id long, source string, text string",
+    )
+    k, w = 8, 16
+    rows = {r["doc_id"]: r["spans"] for r in T.winnow_spans(docs, k, w).collect()}
+    # offsets of the shared region differ per doc; normalize to it
+    off = {1: len(pre_a) + 1, 2: len(pre_b) + 1}
+    inner = {}
+    for d, spans in rows.items():
+        start = off[d] + w + k - 2  # skip the boundary-straddling prefix
+        end = off[d] + len(shared) - k
+        inner[d] = {(s["fp"], s["pos"] - off[d]) for s in spans
+                    if start <= s["pos"] <= end}
+    assert inner[1] and inner[1] == inner[2]
+
+
+def test_winnow_spans_value_set_matches_plain_and_density(spark):
+    import random
+
+    from prefix_filter_spark.operators import text as T
+
+    rng = random.Random(9)
+    txt = " ".join(f"w{rng.randint(0, 9999)}" for _ in range(400))
+    docs = spark.createDataFrame(
+        [(1, "s", txt)], "doc_id long, source string, text string"
+    )
+    k, w = 8, 16
+    spans = T.winnow_spans(docs, k, w).collect()[0]["spans"]
+    plain = set(T.winnow_fingerprints(docs, k, w).collect()[0]["fingerprints"])
+    got_vals = {s["fp"] for s in spans}
+    assert got_vals == plain  # every window-min value, robust or not
+    # positions valid + expected density 2/(w+1) within 2x
+    n_grams = len(txt) - k + 1
+    assert all(0 <= s["pos"] < n_grams for s in spans)
+    dens = len(spans) / n_grams
+    assert 0.5 * 2 / (w + 1) < dens < 2.5 * 2 / (w + 1), dens
+
+
+def test_winnow_spans_short_doc(spark):
+    from prefix_filter_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "s", "tiny text"), (2, "s", "ab")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["doc_id"]: r["spans"] for r in T.winnow_spans(docs, 8, 16).collect()}
+    assert len(rows[1]) == 1  # shorter than one window: single min
+    assert rows[2] == []  # shorter than k: nothing
