@@ -1103,19 +1103,26 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("doc_id") % 10 != 0)
     held_out = docs.where(F.col("doc_id") % 10 == 0)
     uni, bg, v = train_bigram_counts(train)
+    # rounding policy (determinism rules): avg_nll/perplexity pass
+    # through log2/pow in BOTH engines, so a 1-ulp libm disagreement in
+    # one trigram's nll can shift the fixed-point sum by 1e-9 — the
+    # hash survives only if no doc's rounded value sits within ~1e-11
+    # of a rounding boundary. 4/2-decimal rounding keeps that
+    # probability ~100x lower than the previous 6/4 while still
+    # pinning the model to 4 significant digits.
     big = lm_perplexity(held_out, uni, bg, v, alpha=0.5).select(
         F.lit("bigram2").alias("model"),
         "doc_id",
         F.col("n_bigrams").alias("n_grams"),
-        F.round("avg_nll", 6).alias("avg_nll"),
-        F.round("perplexity", 4).alias("perplexity"),
+        F.round("avg_nll", 4).alias("avg_nll"),
+        F.round("perplexity", 2).alias("perplexity"),
     )
     kn = kn_perplexity(held_out, train_kn_counts(train)).select(
         F.lit("kn3").alias("model"),
         "doc_id",
         F.col("n_trigrams").alias("n_grams"),
-        F.round("avg_nll", 6).alias("avg_nll"),
-        F.round("perplexity", 4).alias("perplexity"),
+        F.round("avg_nll", 4).alias("avg_nll"),
+        F.round("perplexity", 2).alias("perplexity"),
     )
     return big.unionByName(kn).orderBy("model", "doc_id")
 
@@ -2647,13 +2654,13 @@ def oracle_sql() -> dict[str, str]:
                             ELSE p2 END) * 1e9) AS BIGINT) AS nll_q
               FROM kp2)
             SELECT 'bigram2' AS model, doc_id, count(*) AS n_grams,
-                   round(sum(nll_q) / (count(*) * 1e9), 6) AS avg_nll,
-                   round(pow(2.0, sum(nll_q) / (count(*) * 1e9)), 4) AS perplexity
+                   round(sum(nll_q) / (count(*) * 1e9), 4) AS avg_nll,
+                   round(pow(2.0, sum(nll_q) / (count(*) * 1e9)), 2) AS perplexity
             FROM nq GROUP BY doc_id
             UNION ALL
             SELECT 'kn3' AS model, doc_id, count(*) AS n_grams,
-                   round(sum(nll_q) / (count(*) * 1e9), 6) AS avg_nll,
-                   round(pow(2.0, sum(nll_q) / (count(*) * 1e9)), 4) AS perplexity
+                   round(sum(nll_q) / (count(*) * 1e9), 4) AS avg_nll,
+                   round(pow(2.0, sum(nll_q) / (count(*) * 1e9)), 2) AS perplexity
             FROM knll GROUP BY doc_id
             ORDER BY model, doc_id
         """,

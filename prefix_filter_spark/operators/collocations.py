@@ -53,7 +53,10 @@ def pmi_collocations(
     among pairs with count >= ``min_count``, ties broken by (w1, w2)."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    bg = bigram_counts(docs, text_col)
+    # cache: the total-count collect below is its own job, and without
+    # the cache it would re-run the corpus explode+agg that the result
+    # plan runs again (same reason train_kn_counts caches its trigrams)
+    bg = bigram_counts(docs, text_col).cache()
     left = bg.groupBy("w1").agg(F.sum("c").alias("c1"))
     right = bg.groupBy("w2").agg(F.sum("c").alias("c2"))
     total = bg.agg(F.sum("c")).collect()[0][0]

@@ -244,6 +244,10 @@ def kn_perplexity(
     D = float(discount)
     if not 0.0 < D < 1.0:
         raise ValueError("discount must be in (0, 1)")
+    if alpha <= 0:
+        # alpha=0 would give p1=0 for OOV words -> -log2(0)=inf, which
+        # the fixed-point long cast then traps under ANSI mid-job
+        raise ValueError("alpha must be > 0")
     tg = _trigrams(docs, text_col)
     j = (
         tg.join(model["tri"], ["u", "v", "w"], "left")

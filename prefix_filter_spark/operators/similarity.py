@@ -87,8 +87,13 @@ def cosine_topk(
     hash gates match unchanged (pytest-pinned equality vs cosine_expr).
     """
     spark = embeddings.sparkSession
+    # ids keep their NATIVE Spark types end to end (same convention as
+    # streaming/reservoir.py): object arrays for non-numeric ids, and
+    # the output schema mirrors the inputs
+    q_dt = queries.schema["query_id"].dataType.simpleString()
+    v_dt = embeddings.schema["vec_id"].dataType.simpleString()
     q_rows = queries.select("query_id", "embedding").collect()
-    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qids = np.array([r["query_id"] for r in q_rows], dtype=object)
     qmat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     # strict sequential sum-of-squares per query (bit-equal to the fold)
     qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1]) if len(q_rows) else None
@@ -100,7 +105,7 @@ def cosine_topk(
             if not len(pdf) or not len(ids):
                 continue
             x = np.array(list(pdf["embedding"]), dtype=np.float64)
-            vec_ids = pdf["vec_id"].to_numpy()
+            vec_ids = pdf["vec_id"].to_numpy(dtype=object)
             xnorm = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
             out_q, out_v, out_c = [], [], []
             for qi in range(len(ids)):
@@ -126,7 +131,7 @@ def cosine_topk(
             )
 
     scored = embeddings.select("vec_id", "embedding").mapInPandas(
-        score, schema="query_id long, vec_id long, cosine double"
+        score, schema=f"query_id {q_dt}, vec_id {v_dt}, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -14,9 +14,14 @@ second bucket store on |x|; zeros get a dedicated counter. Because the
 state is exact integer counts over deterministic bucket indices, merge
 is plain per-index addition — associative, commutative, and (unlike
 KLL's coin-flip compaction or t-digest's order-sensitive clustering)
-**bit-identical under any merge order or input partitioning**
-(pytest-pinned), which makes it the strongest determinism story of the
-quantile sketches here.
+**bit-identical under any merge order or input partitioning WHILE NO
+STORE EXCEEDS max_bins** (pytest-pinned), which makes it the strongest
+determinism story of the quantile sketches here. Once a store
+collapses, WHICH low bins folded depends on when the threshold was
+crossed, so chunking can shift the collapsed boundary — the α
+guarantee above the collapsed mass still holds for every order, but
+bit-identity does not; size max_bins for the value range (2048 bins
+at α=1% spans >40 orders of magnitude) when the bit contract matters.
 
 Bounded memory: when the positive store exceeds ``max_bins``, the
 lowest bins collapse into one (the paper's collapsing-lowest variant) —

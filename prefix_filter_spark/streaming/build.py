@@ -278,6 +278,11 @@ def streaming_quantiles_by_source(
     # round() — int() truncates under float representation (0.29*100 ==
     # 28.999... would name the 29th percentile column 'q28')
     q_names = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(q_names)) != len(q_names):
+        raise ValueError(
+            f"quantiles {qs} collide at whole-percent column names "
+            f"{q_names}; pick distinct percents"
+        )
 
     def update(key, pdfs, state: GroupState):
         acc = kll.KllSketch(cfg)
@@ -331,7 +336,9 @@ def streaming_dds_quantiles_by_source(
     above. Because DDSketch state is exact integer bucket counts, the
     running state after any trigger chopping is BIT-IDENTICAL to a
     batch build over the rows seen so far (stronger than the KLL twin's
-    epsilon contract; pytest-pinned). State per source: <= max_bins
+    epsilon contract; pytest-pinned) — PROVIDED no bucket store
+    exceeds max_bins (collapse timing is chunk-dependent; see the
+    dds module docstring). State per source: <= max_bins
     counts per sign store — fixed, stream-length-independent.
 
     Input stream schema: (source string, value double). Output per
@@ -341,6 +348,12 @@ def streaming_dds_quantiles_by_source(
 
     cfg = dds.DDSketchConfig(alpha=alpha, max_bins=max_bins)
     q_names = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(q_names)) != len(q_names):
+        raise ValueError(
+            f"quantiles {qs} collide at whole-percent column names "
+            f"{q_names}; pick distinct percents"
+        )
+    import numpy as _np
 
     def update(key, pdfs, state: GroupState):
         acc = dds.DDSketch(cfg)
@@ -348,7 +361,10 @@ def streaming_dds_quantiles_by_source(
         for pdf in pdfs:
             vals = pdf["value"].to_numpy(dtype="float64")
             acc.update(vals)
-            rows += len(vals)
+            # count what the sketch counts: nulls arrive as NaN and
+            # update() drops non-finite values, so n_rows_total must
+            # track the sketch's own n or the two bookkeepings diverge
+            rows += int(_np.isfinite(vals).sum())
         new_state = acc.to_bytes()
         if state.exists:
             (blob, prev_rows) = state.get

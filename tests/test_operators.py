@@ -454,3 +454,18 @@ def test_winnow_spans_short_doc(spark):
     rows = {r["doc_id"]: r["spans"] for r in T.winnow_spans(docs, 8, 16).collect()}
     assert len(rows[1]) == 1  # shorter than one window: single min
     assert rows[2] == []  # shorter than k: nothing
+
+
+def test_cosine_topk_preserves_string_ids(spark):
+    """The mapInPandas rewrite must keep working for non-long id
+    columns (the original Catalyst version was type-generic)."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    rows = [(f"doc{i}", rng.standard_normal(8).tolist()) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.cosine_topk(emb, q, k=3).collect()
+    assert len(got) == 6
+    assert all(isinstance(r["vec_id"], str) and r["vec_id"].startswith("doc") for r in got)
+    assert all(r["query_id"] != r["vec_id"] for r in got)
