@@ -54,3 +54,24 @@ def test_matches_exact_join_on_synthetic(spark, documents_med):
     g = {(r["doc_id"], r["n_shared"]) for r in got.collect()}
     w = {(r["doc_id"], r["n_shared"]) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_xor_kind_matches_bloom_kind(spark, documents_med):
+    """The static xor runtime filter must produce the same EXACT result
+    as the bloom kind (both are pure physical prunes before the exact
+    verify)."""
+    from pyspark.sql import functions as F
+
+    from prefix_filter_spark.operators.decontaminate import contaminated_docs
+
+    corpus = documents_med
+    bench = documents_med.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    a = {
+        (r["doc_id"], r["n_shared"])
+        for r in contaminated_docs(spark, corpus, bench, kind="bloom").collect()
+    }
+    b = {
+        (r["doc_id"], r["n_shared"])
+        for r in contaminated_docs(spark, corpus, bench, kind="xor").collect()
+    }
+    assert a == b and a

@@ -23,7 +23,7 @@ def _fact_dim(spark):
     return fact, dim
 
 
-@pytest.mark.parametrize("kind", ["bloom", "prefix"])
+@pytest.mark.parametrize("kind", ["bloom", "prefix", "xor"])
 def test_result_equals_plain_join(spark, kind):
     fact, dim = _fact_dim(spark)
     got = fj.runtime_filter_join(
