@@ -1316,8 +1316,9 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kinds: Bloom, blocked-Bloom, two-choice, cuckoo (CF-12-stable),
     the five reference prefix-filter assemblies (Bloom / TC / CF /
     BBF / Impala512 spares) per /root/reference/main-perf.cpp:16-31,
-    and the static Xor-8 filter (sketches/xor.py, outside the
-    reference's comparison set),
+    the static Xor-8 filter (sketches/xor.py, outside the
+    reference's comparison set), and the PF[Xor8] assembly (static
+    xor spare — expressible only in the batch model),
     plus the doc-id probe panel (north star: 'token-ID and doc-ID
     probes'; FP probe skipped there — ids, not words — so its bound
     check is trivially true)."""
@@ -1361,6 +1362,8 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("xor", xorm.build_xor, xorm.ShardedXor,
          lambda n: xorm.XorConfig(n_capacity=n, fingerprint_bits=8, num_shards=8, seed=42),
          lambda cfg: cfg.theoretical_fpr() * 1.5 + 1e-4, "xr"),
+        ("pf_xor", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+         pf_cfg("xor"), 0.006, "pfxr"),
     ]
     words = _word_stream(spark, sf_dir).distinct().cache()
     n = words.count()
@@ -2297,7 +2300,7 @@ def oracle_sql() -> dict[str, str]:
                    true AS fpr_ok
             FROM (VALUES ('bloom'), ('blocked_bloom'), ('two_choice'),
                          ('cuckoo'), ('pf_bloom'), ('pf_tc'), ('pf_cf'),
-                         ('pf_bbf'), ('pf_impala'), ('xor'),
+                         ('pf_bbf'), ('pf_impala'), ('pf_xor'), ('xor'),
                          ('doc_id')) AS k(kind),
                  w, d
             ORDER BY kind

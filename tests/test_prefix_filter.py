@@ -179,3 +179,30 @@ def test_state_config_mismatch_raises(spark):
         bad_handle = pf.ShardedPrefixFilter(bad, handle.states)
         with _pytest.raises(ValueError):
             bad_handle.contains_h(np.arange(10, dtype=np.uint64))
+
+
+def test_xor_spare_assembly(spark, keys_df):
+    """PF[Xor8] — an assembly the reference cannot express (its spare
+    needs incremental Adds; the batch build knows each shard's full
+    eviction set, so a static build-once xor spare works): zero FN,
+    tight FPR, and merge_states raises with the build-once message."""
+    cfg = pf.PrefixFilterConfig(
+        n_capacity=N_KEYS, num_shards=16, seed=11, spare_kind="xor"
+    )
+    built = pf.ShardedPrefixFilter.from_df(
+        cfg, pf.build_prefix_filter(keys_df, "key", cfg)
+    )
+    h = _hashes(spark, keys_df, "key", cfg.seed)
+    assert built.contains_h(h).all(), "PF[xor] false negatives"
+    probes = spark.range(80_000_000, 80_000_000 + 200_000).select(
+        F.col("id").alias("key")
+    )
+    fpr = built.contains_h(_hashes(spark, probes, "key", cfg.seed)).mean()
+    assert fpr <= 0.006, fpr
+    rng = np.random.default_rng(9)
+    keys = as_u64(rng.integers(0, 2**63, 20_000, dtype=np.int64))
+    parts = [pf._build_state(cfg, 2, np.unique(p)) for p in np.array_split(keys, 4)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="build-once"):
+        pf.merge_states(parts, cfg, 2)

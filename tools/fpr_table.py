@@ -56,6 +56,8 @@ def main() -> int:
          pfm.PrefixFilterConfig(n_capacity=n, num_shards=32, seed=17, spare_kind="bbf")),
         ("PF[Impala512]", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
          pfm.PrefixFilterConfig(n_capacity=n, num_shards=32, seed=17, spare_kind="impala512")),
+        ("PF[Xor8]", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+         pfm.PrefixFilterConfig(n_capacity=n, num_shards=32, seed=17, spare_kind="xor")),
         ("Bloom-8", bloom.build_bloom, bloom.ShardedBloom,
          bloom.BloomConfig(n_capacity=n, bits_per_key=8, num_shards=32, seed=17)),
         ("Bloom-12", bloom.build_bloom, bloom.ShardedBloom,
