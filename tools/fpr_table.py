@@ -127,7 +127,12 @@ def main() -> int:
             "reference's bit-packed plain table spends fp_bits+overhead); "
             "CF-13-ss is the bit-packed (PackedTable) layout and is the "
             "space-efficient configuration here, matching the reference's "
-            "semisort recommendation. BBF rounds its block count up to a "
+            "semisort recommendation. Xor-8 (static, build-once) is the "
+            "space-efficiency frontier of the table at BPI/opt 1.23 — the "
+            "Graf-Lemire published factor — at the cost of no incremental "
+            "adds/merges, and PF[Xor8] (static xor spare, an assembly the "
+            "reference cannot express) is the densest PF variant. BBF "
+            "rounds its block count up to a "
             "power of two (simd-block.h sizing), hence its BPI overshoot "
             "vs BBF-Fixed's exact fastrange count.\n"
         )
