@@ -59,6 +59,8 @@ def corpus_power_laws(
     heaps_beta, heaps_k, heaps_r2} as plain Python floats/ints (a
     report, not a table — the vocab-scale intermediates never leave
     the cluster; only the fitted scalars and checkpoint counts do)."""
+    if n_checkpoints < 2:
+        raise ValueError("n_checkpoints must be >= 2 (the fit needs 2 points)")
     ws = docs.select(
         F.col("doc_id"), words_col(text_col).alias("_ws")
     ).where(F.size("_ws") > 0)
@@ -88,7 +90,9 @@ def corpus_power_laws(
     # corpus scale, the exact cliff packing.py exists to avoid).
     from prefix_filter_spark.operators.packing import pack_assignments
 
-    sizes = ws.select("doc_id", F.size("_ws").alias("n"))
+    # tiny (one long per doc) — cached so pack_assignments' three
+    # internal scans don't re-run the corpus tokenization each time
+    sizes = ws.select("doc_id", F.size("_ws").alias("n")).cache()
     offsets = pack_assignments(sizes, "doc_id", "n", budget=2**62).select(
         "doc_id", F.col("tok_offset").alias("off")
     )
@@ -117,6 +121,7 @@ def corpus_power_laws(
         [n for n, _ in keep], [v for _, v in keep]
     )
     counts.unpersist()
+    sizes.unpersist()
     return {
         "n_tokens": n_tokens,
         "vocab_size": vocab,

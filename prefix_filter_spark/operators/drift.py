@@ -99,4 +99,10 @@ def source_drift(
         F.col("types_s").alias("n_types"),
         F.round(kl, 6).alias("kl_bits"),
     ).orderBy(F.desc("kl_bits"), "source")
+    # the result is one tiny row per source: materialize it so the
+    # corpus-scale sw cache can be released before returning (a
+    # monitoring loop calling this per snapshot must not accumulate
+    # pinned corpus partitions)
+    out = out.localCheckpoint(eager=True)
+    sw.unpersist()
     return out

@@ -42,7 +42,6 @@ def run_pipeline(spark, sf_dir: str, out_dir: str | None = None) -> dict:
     )
     from prefix_filter_spark.operators.lm_score import (
         kn_perplexity,
-        perplexity_buckets,
         perplexity_cutoffs_by_group,
         train_kn_counts,
     )
@@ -74,7 +73,11 @@ def run_pipeline(spark, sf_dir: str, out_dir: str | None = None) -> dict:
         .where(F.col("d1") != F.col("d2"))
     )
     near = minhash_lsh_pairs(stage1).select("d1", "d2")
-    comp = connected_components(exact.unionByName(near))
+    # cache the edge set: it feeds BOTH this CC pass and the
+    # leakage-safe split below (which runs its own CC), and uncached it
+    # would re-run the whole LSH candidate pipeline each time
+    edges = exact.unionByName(near).cache()
+    comp = connected_components(edges)
     drop = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -93,22 +96,31 @@ def run_pipeline(spark, sf_dir: str, out_dir: str | None = None) -> dict:
     model = train_kn_counts(docs.where(F.col("lang") == "en"))
     scored = kn_perplexity(stage3, model).join(
         stage3.select("doc_id", "lang", "source"), "doc_id"
-    )
+    ).cache()  # feeds the cutoffs sketch pass AND the bucketing below
     cuts = perplexity_cutoffs_by_group(scored, "lang")
-    bucketed = None
-    for lang, c in cuts.items():
-        part = scored.where(F.col("lang") == lang).withColumn(
-            "ppl_bucket", perplexity_buckets(scored, c)
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    if not cuts:
+        return {"input_docs": n0, "after_quality": n1, "after_dedup": n2,
+                "after_decontam": n3, "sampled": 0, "packed_docs": 0,
+                "n_packs": 0, "langs": []}
+    # ONE nested when-chain over one scored plan (a per-language union
+    # of filtered copies would re-run scoring once per language)
+    c0 = F.lit(None).cast("double")
+    c1 = F.lit(None).cast("double")
+    for lang, (a, b) in sorted(cuts.items()):
+        c0 = F.when(F.col("lang") == lang, F.lit(a)).otherwise(c0)
+        c1 = F.when(F.col("lang") == lang, F.lit(b)).otherwise(c1)
+    bucketed = scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col("perplexity") < c0, F.lit("head"))
+        .when(F.col("perplexity") < c1, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
     head_mid = bucketed.where(F.col("ppl_bucket") != "tail").select(
         "doc_id", "source", "perplexity"
     )
 
-    # 5. leakage-safe split over the near-dup graph
-    split = leakage_safe_split(
-        exact.unionByName(near), stage3.select("doc_id"), test_frac=0.1
-    )
+    # 5. leakage-safe split over the SAME cached edge set
+    split = leakage_safe_split(edges, stage3.select("doc_id"), test_frac=0.1)
     train_ids = split.where(F.col("split") == "train").select("doc_id")
 
     # 6. weighted mixture: 70% of each source's surviving docs,
@@ -128,8 +140,10 @@ def run_pipeline(spark, sf_dir: str, out_dir: str | None = None) -> dict:
     )
 
     # 7. pack token sequences into fixed budgets
+    from prefix_filter_spark.sources.tokenizer import words_col
+
     sized = sampled.join(
-        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")),
+        docs.select("doc_id", F.size(words_col("text")).alias("n_tok")),
         "doc_id",
     )
     packed = pack_assignments(sized, "doc_id", "n_tok", budget=2048)
@@ -140,14 +154,17 @@ def run_pipeline(spark, sf_dir: str, out_dir: str | None = None) -> dict:
         packed.write.mode("overwrite").parquet(f"{out_dir}/train_packed.parquet")
         split.write.mode("overwrite").parquet(f"{out_dir}/split.parquet")
 
-    for df in (docs, stage1, stage2, stage3):
+    for df in (docs, stage1, stage2, stage3, edges, scored):
         df.unpersist()
     return {
         "input_docs": n0,
         "after_quality": n1,
         "after_dedup": n2,
         "after_decontam": n3,
-        "sampled": sampled.count(),
+        # every sampled doc survives the inner join into packing, so
+        # the packed count IS the sample count (counting `sampled`
+        # here would re-run the pipeline after the unpersists above)
+        "sampled": n_packed,
         "packed_docs": n_packed,
         "n_packs": n_packs,
         "langs": sorted(cuts),
