@@ -1328,6 +1328,7 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefix_filter_spark.sketches import cuckoo as ckm
     from prefix_filter_spark.sketches import prefix_filter as pfm
     from prefix_filter_spark.sketches import two_choice as tc
+    from prefix_filter_spark.sketches import bfuse as bfm
     from prefix_filter_spark.sketches import xor as xorm
 
     pf_cfg = lambda spare: (
@@ -1364,6 +1365,9 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
          lambda cfg: cfg.theoretical_fpr() * 1.5 + 1e-4, "xr"),
         ("pf_xor", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
          pf_cfg("xor"), 0.006, "pfxr"),
+        ("bfuse", bfm.build_bfuse, bfm.ShardedBFuse,
+         lambda n: bfm.BFuseConfig(n_capacity=n, fingerprint_bits=8, num_shards=4, seed=42),
+         lambda cfg: cfg.theoretical_fpr() * 1.5 + 1e-4, "bfu"),
     ]
     words = _word_stream(spark, sf_dir).distinct().cache()
     n = words.count()
@@ -2301,7 +2305,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES ('bloom'), ('blocked_bloom'), ('two_choice'),
                          ('cuckoo'), ('pf_bloom'), ('pf_tc'), ('pf_cf'),
                          ('pf_bbf'), ('pf_impala'), ('pf_xor'), ('xor'),
-                         ('doc_id')) AS k(kind),
+                         ('bfuse'), ('doc_id')) AS k(kind),
                  w, d
             ORDER BY kind
         """,

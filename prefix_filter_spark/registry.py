@@ -97,6 +97,14 @@ REGISTRY: dict[str, SketchInfo] = {
         "north-rule extension (DDSketch, Masson et al. VLDB 2019; "
         "no reference wrapper)",
     ),
+    "bfuse": SketchInfo(
+        # static 3-wise binary fuse (Graf-Lemire 2022): denser xor
+        # successor; LOOKUP-only like xor
+        "bfuse", 14, Capability.LOOKUP,
+        "prefix_filter_spark.sketches.bfuse",
+        "companion-filter extension (binary fuse; outside the "
+        "reference's comparison set)",
+    ),
     "xor": SketchInfo(
         # static build-once filter: LOOKUP only (no incremental Add —
         # the peeling order is a global property of the key set)

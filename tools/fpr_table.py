@@ -32,6 +32,7 @@ def main() -> int:
         prefix_filter as pfm,
         two_choice as tc,
         xor as xorm,
+        bfuse as bfm,
     )
 
     spark = get_spark(app_name="fpr-table")
@@ -86,6 +87,10 @@ def main() -> int:
          xorm.XorConfig(n_capacity=n, fingerprint_bits=8, num_shards=32, seed=17)),
         ("Xor-16", xorm.build_xor, xorm.ShardedXor,
          xorm.XorConfig(n_capacity=n, fingerprint_bits=16, num_shards=32, seed=17)),
+        # 2 shards => ~n/2 keys per shard: the fuse layout's density
+        # advantage only materializes at large per-shard batches
+        ("BFuse-8", bfm.build_bfuse, bfm.ShardedBFuse,
+         bfm.BFuseConfig(n_capacity=n, fingerprint_bits=8, num_shards=2, seed=17)),
     ]
 
     rows = []
