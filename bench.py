@@ -189,6 +189,12 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     times["xor_build"] = _timed_best(
         lambda: xorm.build_xor(keys, "key", xr_cfg).count(), name="xor_build"
     )
+    from prefix_filter_spark.sketches import bfuse as bfm
+
+    bf_cfg = bfm.BFuseConfig(n_capacity=N_KEYS, fingerprint_bits=8, num_shards=shards, seed=42)
+    times["bfuse_build"] = _timed_best(
+        lambda: bfm.build_bfuse(keys, "key", bf_cfg).count(), name="bfuse_build"
+    )
     xh = xorm.ShardedXor.from_df(xr_cfg, xorm.build_xor(keys, "key", xr_cfg))
     xfn = register_contains_udf(spark, "bench_xor", xh, xr_cfg.seed)
     uniform.limit(10_000).where(xfn("key")).count()

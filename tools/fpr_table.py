@@ -132,7 +132,7 @@ def main() -> int:
             "reference's bit-packed plain table spends fp_bits+overhead); "
             "CF-13-ss is the bit-packed (PackedTable) layout and is the "
             "space-efficient configuration here, matching the reference's "
-            "semisort recommendation. Xor-8 (static, build-once) is the "
+            "semisort recommendation. BFuse-8 (static binary fuse, 2 shards so the large-batch density shows) is the new space frontier at BPI/opt ~1.15; Xor-8 (static, build-once) is the "
             "space-efficiency frontier of the table at BPI/opt 1.23 — the "
             "Graf-Lemire published factor — at the cost of no incremental "
             "adds/merges, and PF[Xor8] (static xor spare, an assembly the "
