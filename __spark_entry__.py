@@ -1317,8 +1317,10 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     the five reference prefix-filter assemblies (Bloom / TC / CF /
     BBF / Impala512 spares) per /root/reference/main-perf.cpp:16-31,
     the static Xor-8 filter (sketches/xor.py, outside the
-    reference's comparison set), and the PF[Xor8] assembly (static
-    xor spare — expressible only in the batch model),
+    reference's comparison set), the PF[Xor8] assembly (static
+    xor spare — expressible only in the batch model), the binary fuse
+    filter, and the Ribbon filter (sketches/ribbon.py — the densest
+    static row, banded-Gaussian solve),
     plus the doc-id probe panel (north star: 'token-ID and doc-ID
     probes'; FP probe skipped there — ids, not words — so its bound
     check is trivially true)."""
@@ -1329,6 +1331,7 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefix_filter_spark.sketches import prefix_filter as pfm
     from prefix_filter_spark.sketches import two_choice as tc
     from prefix_filter_spark.sketches import bfuse as bfm
+    from prefix_filter_spark.sketches import ribbon as rbm
     from prefix_filter_spark.sketches import xor as xorm
 
     pf_cfg = lambda spare: (
@@ -1368,6 +1371,11 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("bfuse", bfm.build_bfuse, bfm.ShardedBFuse,
          lambda n: bfm.BFuseConfig(n_capacity=n, fingerprint_bits=8, num_shards=4, seed=42),
          lambda cfg: cfg.theoretical_fpr() * 1.5 + 1e-4, "bfu"),
+        ("ribbon", rbm.build_ribbon, rbm.ShardedRibbon,
+         lambda n: rbm.RibbonConfig(n_capacity=n, fingerprint_bits=8, num_shards=8, seed=42),
+         lambda cfg: cfg.theoretical_fpr() * 1.5 + 1e-4, "rbn"),
+        ("pf_ribbon", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+         pf_cfg("ribbon"), 0.006, "pfrbn"),
     ]
     words = _word_stream(spark, sf_dir).distinct().cache()
     n = words.count()
@@ -2305,7 +2313,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES ('bloom'), ('blocked_bloom'), ('two_choice'),
                          ('cuckoo'), ('pf_bloom'), ('pf_tc'), ('pf_cf'),
                          ('pf_bbf'), ('pf_impala'), ('pf_xor'), ('xor'),
-                         ('bfuse'), ('doc_id')) AS k(kind),
+                         ('bfuse'), ('ribbon'), ('pf_ribbon'),
+                         ('doc_id')) AS k(kind),
                  w, d
             ORDER BY kind
         """,

@@ -195,6 +195,22 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     times["bfuse_build"] = _timed_best(
         lambda: bfm.build_bfuse(keys, "key", bf_cfg).count(), name="bfuse_build"
     )
+    from prefix_filter_spark.sketches import ribbon as rbm
+
+    # 64 shards: the banded solve is per-shard sequential Python, so
+    # shards are the parallelism unit (two task waves on 32 cores)
+    rb_cfg = rbm.RibbonConfig(
+        n_capacity=N_KEYS, fingerprint_bits=8, num_shards=max(shards, 64), seed=42
+    )
+    times["ribbon_build"] = _timed_best(
+        lambda: rbm.build_ribbon(keys, "key", rb_cfg).count(), name="ribbon_build"
+    )
+    rh = rbm.ShardedRibbon.from_df(rb_cfg, rbm.build_ribbon(keys, "key", rb_cfg))
+    rfn = register_contains_udf(spark, "bench_ribbon", rh, rb_cfg.seed)
+    uniform.limit(10_000).where(rfn("key")).count()
+    times["ribbon_probe_uniform"] = _timed_best(
+        lambda: uniform.where(rfn("key")).count(), name="ribbon_probe_uniform"
+    )
     xh = xorm.ShardedXor.from_df(xr_cfg, xorm.build_xor(keys, "key", xr_cfg))
     xfn = register_contains_udf(spark, "bench_xor", xh, xr_cfg.seed)
     uniform.limit(10_000).where(xfn("key")).count()

@@ -113,6 +113,14 @@ REGISTRY: dict[str, SketchInfo] = {
         "companion-filter extension (Graf-Lemire Xor filter; outside the "
         "reference's main-perf.cpp:16-31 comparison set)",
     ),
+    "ribbon": SketchInfo(
+        # static banded-Gaussian filter (Dillinger-Walzer 2021): densest
+        # member of the static family (~1.10f bits/key); LOOKUP-only
+        "ribbon", 15, Capability.LOOKUP,
+        "prefix_filter_spark.sketches.ribbon",
+        "companion-filter extension (Ribbon filter; outside the "
+        "reference's comparison set)",
+    ),
 }
 
 

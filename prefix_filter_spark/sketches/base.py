@@ -49,6 +49,7 @@ def build_sharded(
     num_shards: int,
     state_fn: StateFn,
     dedupe: bool = True,
+    spread_tasks: bool = False,
 ) -> DataFrame:
     """Hash keys JVM-side, shuffle once by shard, build each shard in one
     vectorized pandas call.
@@ -57,6 +58,15 @@ def build_sharded(
     column pruning all stay in Catalyst. Keys are deduped *inside* the
     shard build (same key always routes to the same shard), avoiding a
     second shuffle for distinct().
+
+    ``spread_tasks=True`` pins the shuffle to exactly ``num_shards``
+    partitions (an explicit repartition, which AQE will not coalesce).
+    The NumPy builds leave it off — AQE's coalescing is the right call
+    when the per-shard work is a microsecond-scale vector pass over a
+    few hundred KB. The ribbon build turns it on: its banded solve is
+    SECONDS of sequential Python per shard, so packing three shards
+    into one coalesced task triples the critical path (measured 2.9 s
+    → 1.0 s at 4M keys × 64 shards on local[32]).
     """
     from prefix_filter_spark.hashing import shard_of
 
@@ -67,6 +77,12 @@ def build_sharded(
     # the shard id with the arithmetic-identical NumPy fastrange.
     keyed = df.select(h.alias("h"))
     group_key = shard_col(F.col("h"), num_shards).alias("shard_id")
+    if spread_tasks:
+        # hash-repartition on the same expression the groupBy clusters
+        # on: ensureRequirements sees the child already partitioned and
+        # inserts no second exchange, but the explicit count is exempt
+        # from AQE coalescing, so each shard keeps its own task
+        keyed = keyed.repartition(num_shards, shard_col(F.col("h"), num_shards))
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter_ns()

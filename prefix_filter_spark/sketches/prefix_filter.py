@@ -53,7 +53,10 @@ _VERSION = 2
 # state/config mismatch loudly (silent false negatives otherwise)
 _HDR = struct.Struct("<4sBBHIIQI")
 _SEED_MASK = 0xFFFFFFFFFFFFFFFF
-_SPARE_KIND_CODE = {"bloom": 0, "tc": 1, "cuckoo": 2, "bbf": 3, "impala512": 4, "xor": 5}
+_SPARE_KIND_CODE = {
+    "bloom": 0, "tc": 1, "cuckoo": 2, "bbf": 3, "impala512": 4, "xor": 5,
+    "ribbon": 6,
+}
 
 
 @dataclass(frozen=True)
@@ -69,7 +72,7 @@ class PrefixFilterConfig:
     # (main-fpp.cpp:20-23: Prefix_Filter over SimdBlockFilterFixed /
     # CuckooFilterStable<u64,12> / TC_shortcut / Impala512), plus the
     # classic Bloom spare: "bloom" | "tc" | "cuckoo" | "bbf" | "impala512"
-    # — and "xor", an assembly the REFERENCE CANNOT EXPRESS: its spare
+    # — and "xor" / "ribbon", assemblies the REFERENCE CANNOT EXPRESS: the spare
     # must accept incremental Adds (wrappers.hpp:675-720 inserts
     # evictions one at a time), but this engine's batch build knows a
     # shard's full eviction set up front, so a static build-once Xor
@@ -134,6 +137,16 @@ class PrefixFilterConfig:
             seed=self.seed ^ 0x5A5A5A5A,
         )
 
+    def spare_ribbon_config(self):
+        from prefix_filter_spark.sketches import ribbon as rbm
+
+        return rbm.RibbonConfig(
+            n_capacity=self.spare_capacity_per_shard,
+            fingerprint_bits=8,
+            num_shards=1,
+            seed=self.seed ^ 0x5A5A5A5A,
+        )
+
     def spare_cuckoo_config(self):
         """The reference's PF[CF12-Flex] spare: CuckooFilterStable with
         12-bit tags, sized for the eviction stream at stable load
@@ -167,6 +180,10 @@ def _spare_build(cfg: PrefixFilterConfig, keys_u64: np.ndarray) -> bytes:
         from prefix_filter_spark.sketches import xor as xorm
 
         return xorm._build_state(cfg.spare_xor_config(), np.sort(keys_u64))
+    if cfg.spare_kind == "ribbon":
+        from prefix_filter_spark.sketches import ribbon as rbm
+
+        return rbm._build_state(cfg.spare_ribbon_config(), np.sort(keys_u64))
     return bloom._build_state(cfg.spare_bloom_config(), keys_u64)
 
 
@@ -183,10 +200,10 @@ def _spare_merge(cfg: PrefixFilterConfig, states: list[bytes]) -> bytes:
         from prefix_filter_spark.sketches import blocked_bloom as bb
 
         return bb.merge_states(states)
-    if cfg.spare_kind == "xor":
+    if cfg.spare_kind in ("xor", "ribbon"):
         raise ValueError(
-            "PF[xor] is a build-once assembly: the static xor spare "
-            "cannot merge partial states — rebuild from the full key "
+            f"PF[{cfg.spare_kind}] is a build-once assembly: the static "
+            "spare cannot merge partial states — rebuild from the full key "
             "stream, or pick a mergeable spare kind for incremental use"
         )
     return bloom.merge_states(states)
@@ -211,6 +228,10 @@ def _spare_probe(cfg: PrefixFilterConfig, spare_state: bytes, keys_u64: np.ndarr
         from prefix_filter_spark.sketches import xor as xorm
 
         return xorm._contains_in_state(spare_state, keys_u64)
+    if cfg.spare_kind == "ribbon":
+        from prefix_filter_spark.sketches import ribbon as rbm
+
+        return rbm._contains_in_state(spare_state, keys_u64)
     g = mix_with_seed(keys_u64, cfg.spare_bloom_config().seed + 0x5EED)
     return bloom._contains_in_state(spare_state, g)
 

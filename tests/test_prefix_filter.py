@@ -181,19 +181,21 @@ def test_state_config_mismatch_raises(spark):
             bad_handle.contains_h(np.arange(10, dtype=np.uint64))
 
 
-def test_xor_spare_assembly(spark, keys_df):
-    """PF[Xor8] — an assembly the reference cannot express (its spare
-    needs incremental Adds; the batch build knows each shard's full
-    eviction set, so a static build-once xor spare works): zero FN,
-    tight FPR, and merge_states raises with the build-once message."""
+@pytest.mark.parametrize("kind", ["xor", "ribbon"])
+def test_static_spare_assemblies(spark, keys_df, kind):
+    """PF[Xor8] and PF[Ribbon8] — assemblies the reference cannot
+    express (its spare needs incremental Adds; the batch build knows
+    each shard's full eviction set, so a static build-once spare
+    works): zero FN, tight FPR, and merge_states raises with the
+    build-once message."""
     cfg = pf.PrefixFilterConfig(
-        n_capacity=N_KEYS, num_shards=16, seed=11, spare_kind="xor"
+        n_capacity=N_KEYS, num_shards=16, seed=11, spare_kind=kind
     )
     built = pf.ShardedPrefixFilter.from_df(
         cfg, pf.build_prefix_filter(keys_df, "key", cfg)
     )
     h = _hashes(spark, keys_df, "key", cfg.seed)
-    assert built.contains_h(h).all(), "PF[xor] false negatives"
+    assert built.contains_h(h).all(), f"PF[{kind}] false negatives"
     probes = spark.range(80_000_000, 80_000_000 + 200_000).select(
         F.col("id").alias("key")
     )

@@ -33,6 +33,7 @@ def main() -> int:
         two_choice as tc,
         xor as xorm,
         bfuse as bfm,
+        ribbon as rbm,
     )
 
     spark = get_spark(app_name="fpr-table")
@@ -59,6 +60,8 @@ def main() -> int:
          pfm.PrefixFilterConfig(n_capacity=n, num_shards=32, seed=17, spare_kind="impala512")),
         ("PF[Xor8]", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
          pfm.PrefixFilterConfig(n_capacity=n, num_shards=32, seed=17, spare_kind="xor")),
+        ("PF[Ribbon8]", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
+         pfm.PrefixFilterConfig(n_capacity=n, num_shards=32, seed=17, spare_kind="ribbon")),
         ("Bloom-8", bloom.build_bloom, bloom.ShardedBloom,
          bloom.BloomConfig(n_capacity=n, bits_per_key=8, num_shards=32, seed=17)),
         ("Bloom-12", bloom.build_bloom, bloom.ShardedBloom,
@@ -91,6 +94,12 @@ def main() -> int:
         # advantage only materializes at large per-shard batches
         ("BFuse-8", bfm.build_bfuse, bfm.ShardedBFuse,
          bfm.BFuseConfig(n_capacity=n, fingerprint_bits=8, num_shards=2, seed=17)),
+        # banded-Gaussian solve at eps=0.10: ~1.10f bits/key — the
+        # densest static row (vs xor 1.23f, bfuse ~1.13f)
+        ("Ribbon-8", rbm.build_ribbon, rbm.ShardedRibbon,
+         rbm.RibbonConfig(n_capacity=n, fingerprint_bits=8, num_shards=32, seed=17)),
+        ("Ribbon-16", rbm.build_ribbon, rbm.ShardedRibbon,
+         rbm.RibbonConfig(n_capacity=n, fingerprint_bits=16, num_shards=32, seed=17)),
     ]
 
     rows = []
