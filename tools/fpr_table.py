@@ -141,11 +141,15 @@ def main() -> int:
             "reference's bit-packed plain table spends fp_bits+overhead); "
             "CF-13-ss is the bit-packed (PackedTable) layout and is the "
             "space-efficient configuration here, matching the reference's "
-            "semisort recommendation. BFuse-8 (static binary fuse, 2 shards so the large-batch density shows) is the new space frontier at BPI/opt ~1.15; Xor-8 (static, build-once) is the "
-            "space-efficiency frontier of the table at BPI/opt 1.23 — the "
-            "Graf-Lemire published factor — at the cost of no incremental "
-            "adds/merges, and PF[Xor8] (static xor spare, an assembly the "
-            "reference cannot express) is the densest PF variant. BBF "
+            "semisort recommendation. The static build-once family trades "
+            "incremental adds/merges for density, and the table shows its "
+            "published progression: Xor-8 at BPI/opt 1.23 (the Graf-Lemire "
+            "factor), BFuse-8 at ~1.15 (2 shards so the large-batch density "
+            "shows), and Ribbon-8/16 at ~1.10 (banded-Gaussian solve, "
+            "eps=0.10 slot overhead) — the space frontier of the table. "
+            "PF[Ribbon8] (static ribbon spare, an assembly the reference "
+            "cannot express) is accordingly the densest PF variant, a hair "
+            "under PF[Xor8]. BBF "
             "rounds its block count up to a "
             "power of two (simd-block.h sizing), hence its BPI overshoot "
             "vs BBF-Fixed's exact fastrange count.\n"
