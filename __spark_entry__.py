@@ -1319,8 +1319,11 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     the static Xor-8 filter (sketches/xor.py, outside the
     reference's comparison set), the PF[Xor8] assembly (static
     xor spare — expressible only in the batch model), the binary fuse
-    filter, and the Ribbon filter (sketches/ribbon.py — the densest
-    static row, banded-Gaussian solve),
+    filter, the Ribbon filter (sketches/ribbon.py — the densest
+    static row, banded-Gaussian solve), and the ribbon RETRIEVAL
+    structure (sketches/retrieval.py — static function word -> 16-bit
+    value; its row's false_negatives column counts value mismatches,
+    which the exactness contract pins to 0),
     plus the doc-id probe panel (north star: 'token-ID and doc-ID
     probes'; FP probe skipped there — ids, not words — so its bound
     check is trivially true)."""
@@ -1392,6 +1395,22 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         fp = neg.where(fn("word")).count()
         rows.append((kind, n, n - found, bool(fp / 50_000 <= bound)))
+    # ribbon retrieval (static function word -> 16-bit value): the
+    # "false_negatives" column counts VALUE MISMATCHES on member keys —
+    # the static-function exactness contract says it must be 0; the FP
+    # bound is vacuous (non-members return arbitrary values by design)
+    from prefix_filter_spark.functions import register_lookup_udf
+    from prefix_filter_spark.sketches import retrieval as rvm
+
+    val = F.pmod(F.xxhash64("word", F.lit(99)), F.lit(65_536))
+    pairs = words.select("word", val.alias("val"))
+    rcfg = rvm.RetrievalConfig(n_capacity=max(n, 1024), value_bits=16, num_shards=8, seed=42)
+    rhandle = rvm.ShardedRetrieval.from_df(
+        rcfg, rvm.build_retrieval(pairs, "word", "val", rcfg)
+    )
+    rfn = register_lookup_udf(spark, "rvmap_lookup_all", rhandle, rcfg.seed)
+    mismatches = pairs.where(rfn("word") != F.col("val")).count()
+    rows.append(("ribbon_map", n, mismatches, True))
     words.unpersist()
     docs = _docs(spark, sf_dir).select("doc_id")
     nd = docs.count()
@@ -2314,7 +2333,7 @@ def oracle_sql() -> dict[str, str]:
                          ('cuckoo'), ('pf_bloom'), ('pf_tc'), ('pf_cf'),
                          ('pf_bbf'), ('pf_impala'), ('pf_xor'), ('xor'),
                          ('bfuse'), ('ribbon'), ('pf_ribbon'),
-                         ('doc_id')) AS k(kind),
+                         ('ribbon_map'), ('doc_id')) AS k(kind),
                  w, d
             ORDER BY kind
         """,

@@ -79,6 +79,37 @@ def register_contains_udf(
     return ContainsFunction(name, _contains, seed, bc)
 
 
+def register_lookup_udf(
+    spark: SparkSession, name: str, retrieval, seed: int
+) -> "LookupFunction":
+    """Register ``name(h bigint) -> bigint`` over a ShardedRetrieval
+    handle (sketches/retrieval.py): returns the stored value for every
+    inserted key, an arbitrary hash-determined value for non-members
+    (static-function contract). Same broadcast + Arrow-batch shape as
+    register_contains_udf."""
+    bc = spark.sparkContext.broadcast(retrieval)
+
+    @F.pandas_udf(T.LongType())
+    def _lookup(h: pd.Series) -> pd.Series:
+        s = bc.value
+        return pd.Series(s.lookup_h(h.to_numpy()))
+
+    spark.udf.register(name, _lookup)
+    return LookupFunction(name, _lookup, seed, bc)
+
+
+class LookupFunction:
+    def __init__(self, name: str, udf, seed: int, broadcast=None):
+        self.name = name
+        self.udf = udf
+        self.seed = seed
+        self.broadcast = broadcast
+
+    def __call__(self, key: Column | str) -> Column:
+        """lookup(raw key column) — composes the JVM-side xxhash64."""
+        return self.udf(hashed_key_col(key, self.seed))
+
+
 class ContainsFunction:
     def __init__(self, name: str, udf, seed: int, broadcast=None):
         self.name = name

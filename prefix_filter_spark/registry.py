@@ -121,6 +121,15 @@ REGISTRY: dict[str, SketchInfo] = {
         "companion-filter extension (Ribbon filter; outside the "
         "reference's comparison set)",
     ),
+    "ribbon_retrieval": SketchInfo(
+        # static function (key -> r-bit value) from the same banded
+        # solver: exact values for members, arbitrary for non-members
+        "ribbon_retrieval", 16, Capability.LOOKUP,
+        "prefix_filter_spark.sketches.retrieval",
+        "retrieval extension (Dillinger-Walzer ribbon as a static "
+        "function; no reference counterpart — the C++ suite has only "
+        "membership filters)",
+    ),
 }
 
 
