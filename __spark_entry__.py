@@ -1334,6 +1334,7 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefix_filter_spark.sketches import prefix_filter as pfm
     from prefix_filter_spark.sketches import two_choice as tc
     from prefix_filter_spark.sketches import bfuse as bfm
+    from prefix_filter_spark.sketches import quotient as qfm
     from prefix_filter_spark.sketches import ribbon as rbm
     from prefix_filter_spark.sketches import xor as xorm
 
@@ -1379,6 +1380,9 @@ def q_filters_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
          lambda cfg: cfg.theoretical_fpr() * 1.5 + 1e-4, "rbn"),
         ("pf_ribbon", pfm.build_prefix_filter, pfm.ShardedPrefixFilter,
          pf_cfg("ribbon"), 0.006, "pfrbn"),
+        ("quotient", qfm.build_quotient, qfm.ShardedQuotient,
+         lambda n: qfm.QuotientFilterConfig(n_capacity=n, num_shards=8, seed=42),
+         lambda cfg: cfg.theoretical_fpr() * 1.8 + 1e-4, "qf"),
     ]
     words = _word_stream(spark, sf_dir).distinct().cache()
     n = words.count()
@@ -2333,7 +2337,7 @@ def oracle_sql() -> dict[str, str]:
                          ('cuckoo'), ('pf_bloom'), ('pf_tc'), ('pf_cf'),
                          ('pf_bbf'), ('pf_impala'), ('pf_xor'), ('xor'),
                          ('bfuse'), ('ribbon'), ('pf_ribbon'),
-                         ('ribbon_map'), ('doc_id')) AS k(kind),
+                         ('ribbon_map'), ('quotient'), ('doc_id')) AS k(kind),
                  w, d
             ORDER BY kind
         """,

@@ -121,6 +121,16 @@ REGISTRY: dict[str, SketchInfo] = {
         "companion-filter extension (Ribbon filter; outside the "
         "reference's comparison set)",
     ),
+    "quotient": SketchInfo(
+        # RSQF slot layout (Bender 2012 / Pandey 2017): the MERGEABLE
+        # compact-fingerprint filter — canonical state = f(fingerprint
+        # set), so merge is associative + bit-identical; delete-capable
+        # (mask 7 like TC/cuckoo, wrappers.hpp:197-199)
+        "quotient", 17, Capability.LOOKUP | Capability.ADD | Capability.DELETE,
+        "prefix_filter_spark.sketches.quotient",
+        "companion-filter extension (quotient filter; outside the "
+        "reference's comparison set)",
+    ),
     "ribbon_retrieval": SketchInfo(
         # static function (key -> r-bit value) from the same banded
         # solver: exact values for members, arbitrary for non-members

@@ -34,6 +34,7 @@ def main() -> int:
         xor as xorm,
         bfuse as bfm,
         ribbon as rbm,
+        quotient as qfm,
     )
 
     spark = get_spark(app_name="fpr-table")
@@ -100,6 +101,13 @@ def main() -> int:
          rbm.RibbonConfig(n_capacity=n, fingerprint_bits=8, num_shards=32, seed=17)),
         ("Ribbon-16", rbm.build_ribbon, rbm.ShardedRibbon,
          rbm.RibbonConfig(n_capacity=n, fingerprint_bits=16, num_shards=32, seed=17)),
+        # RSQF layout: the mergeable + delete-capable fingerprint row;
+        # (r+2)/alpha bits/key, with 2^ceil slot rounding the actual
+        # load can halve (documented in sketches/quotient.py)
+        ("QF-8", qfm.build_quotient, qfm.ShardedQuotient,
+         qfm.QuotientFilterConfig(n_capacity=n, remainder_bits=8, num_shards=32, seed=17)),
+        ("QF-16", qfm.build_quotient, qfm.ShardedQuotient,
+         qfm.QuotientFilterConfig(n_capacity=n, remainder_bits=16, num_shards=32, seed=17)),
     ]
 
     rows = []
