@@ -211,6 +211,18 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     times["ribbon_probe_uniform"] = _timed_best(
         lambda: uniform.where(rfn("key")).count(), name="ribbon_probe_uniform"
     )
+    from prefix_filter_spark.sketches import quotient as qfm
+
+    qf_cfg = qfm.QuotientFilterConfig(n_capacity=N_KEYS, num_shards=shards, seed=42)
+    times["qf_build"] = _timed_best(
+        lambda: qfm.build_quotient(keys, "key", qf_cfg).count(), name="qf_build"
+    )
+    qh = qfm.ShardedQuotient.from_df(qf_cfg, qfm.build_quotient(keys, "key", qf_cfg))
+    qfn = register_contains_udf(spark, "bench_qf", qh, qf_cfg.seed)
+    uniform.limit(10_000).where(qfn("key")).count()
+    times["qf_probe_uniform"] = _timed_best(
+        lambda: uniform.where(qfn("key")).count(), name="qf_probe_uniform"
+    )
     xh = xorm.ShardedXor.from_df(xr_cfg, xorm.build_xor(keys, "key", xr_cfg))
     xfn = register_contains_udf(spark, "bench_xor", xh, xr_cfg.seed)
     uniform.limit(10_000).where(xfn("key")).count()

@@ -4,8 +4,10 @@ fingerprint filter of the family.
 Pankratz-style quotienting (Bender et al., "Don't thrash: how to cache
 your hash on flash", 2012; Pandey et al., "A general-purpose counting
 filter: RSQF/CQF", SIGMOD 2017 — public algorithms, re-derived here):
-a (q + r)-bit fingerprint splits into a q-bit QUOTIENT (the canonical
-slot) and an r-bit REMAINDER (stored in the slot). Colliding quotients
+a fingerprint splits into a QUOTIENT (the canonical slot — here a
+fastrange reduction of the high remix bits into the EXACT slot count,
+the reference's own non-pow2 "-Flex" sizing move) and an r-bit
+REMAINDER (stored in the slot). Colliding quotients
 form a sorted RUN shifted right of its canonical slot; two metadata
 bitvectors (``occupieds`` — which quotients have a run; ``runends`` —
 which slots end a run) make the layout decodable without per-slot
@@ -42,13 +44,14 @@ preserving):
 
 Space: (r + 2) / alpha bits per key + headers (r bits/slot for the
 remainder, ~2 bits/slot for the two metadata vectors, alpha = design
-load). FPR for a uniform non-member probe ~ alpha * 2^-r (a hit
+load — and with exact fastrange sizing the actual load IS the design
+load, where pow2 slot rounding would let it fall toward alpha/2). FPR for a uniform non-member probe ~ alpha * 2^-r (a hit
 requires the full (q + r)-bit fingerprint to collide).
 
 State layout (little-endian):
-    magic 'PFSQ' | u8 version | u8 remainder_bits | u8 q_bits | u8 pad
-    | u64 m_slots | u64 seed | u32 num_shards
-    | occupieds bitvector (2^q bits, packed u8)
+    magic 'PFSQ' | u8 version | u8 remainder_bits | u16 pad
+    | u64 n_slots | u64 m_slots | u64 seed | u32 num_shards
+    | occupieds bitvector (n_slots bits, packed u8)
     | runends bitvector (m_slots bits, packed u8)
     | remainder array (u8 if r==8 else u16, m_slots entries)
 """
@@ -67,7 +70,7 @@ from prefix_filter_spark.sketches import base
 
 _MAGIC = b"PFSQ"
 _VERSION = 1
-_HDR = struct.Struct("<4sBBBBQQI")
+_HDR = struct.Struct("<4sBBHQQQI")
 _SEED_MASK = 0xFFFFFFFFFFFFFFFF
 _SALT_FP = 0x9F0
 _DTYPE = {8: np.uint8, 16: np.uint16}
@@ -75,12 +78,19 @@ _DTYPE = {8: np.uint8, 16: np.uint16}
 
 @dataclass(frozen=True)
 class QuotientFilterConfig:
-    """``q_bits`` (the slot-count exponent) is fixed from ``n_capacity /
-    num_shards / load`` at CONFIG time, not from the observed batch —
-    that is what makes partial states over the same hash-space
-    partition mergeable. A shard whose distinct-fingerprint count
-    exceeds 2^q raises (a real QF at load 1 is full; resize = rebuild
-    with a bigger config, as in the C implementations)."""
+    """``n_slots`` (per shard) is fixed from ``n_capacity / num_shards /
+    load`` at CONFIG time, not from the observed batch — that is what
+    makes partial states over the same hash-space partition mergeable.
+    The slot count is EXACT, not a power of two: the quotient comes
+    from a fastrange reduction (the reference's own non-pow2 sizing
+    move — CuckooFilterStable / the -Flex variants,
+    cuckoofilter_stable.h:30, wrappers.hpp:636-645), so the design load
+    actually lands at ``load`` instead of dropping toward load/2 at
+    2^ceil rounding (a pow2 QF spends (r+2)/alpha_actual bits/key;
+    exact sizing pins alpha_actual = load). A shard whose distinct-
+    fingerprint count exceeds n_slots raises (a real QF at load 1 is
+    full; resize = rebuild with a bigger config, as in the C
+    implementations)."""
 
     n_capacity: int
     remainder_bits: int = 8  # 8 or 16 (byte-aligned == textbook bits)
@@ -95,9 +105,9 @@ class QuotientFilterConfig:
             raise ValueError("load must be in [0.05, 1.0]")
 
     @property
-    def q_bits(self) -> int:
+    def n_slots(self) -> int:
         per_shard = max(self.n_capacity, 1) / max(self.num_shards, 1) / self.load
-        return max(int(np.ceil(np.log2(max(per_shard, 2.0)))), 4)
+        return max(int(np.ceil(per_shard)), 16)
 
     def theoretical_fpr(self) -> float:
         # expected distinct fingerprints / fingerprint space
@@ -105,11 +115,18 @@ class QuotientFilterConfig:
 
 
 def _fingerprints(cfg: QuotientFilterConfig, hashes_u64: np.ndarray) -> np.ndarray:
-    """Top (q + r) bits of an independent remix — sorted unique u64."""
+    """Sorted unique u64 fingerprints: quotient = fastrange of the high
+    remix bits into [0, n_slots) (order-preserving, so sorting by the
+    packed fingerprint sorts runs by canonical slot), remainder = the
+    low r bits — independent halves of one seeded remix."""
+    from prefix_filter_spark.hashing import fastrange32
+
     g = mix_with_seed(hashes_u64, cfg.seed + _SALT_FP)
     old = np.seterr(over="ignore")
     try:
-        fp = g >> np.uint64(64 - cfg.q_bits - cfg.remainder_bits)
+        quot = fastrange32(g >> np.uint64(32), cfg.n_slots).astype(np.uint64)
+        rem = g & np.uint64((1 << cfg.remainder_bits) - 1)
+        fp = (quot << np.uint64(cfg.remainder_bits)) | rem
     finally:
         np.seterr(**old)
     return np.unique(fp)
@@ -122,12 +139,11 @@ def _encode(cfg: QuotientFilterConfig, fps: np.ndarray) -> bytes:
     starts at max(quotient_i, end_{i-1} + 1); unrolled via
     start = counts_before + max.accumulate(quotient - counts_before).
     """
-    q, r = cfg.q_bits, cfg.remainder_bits
-    n_q = 1 << q
+    n_q, r = cfg.n_slots, cfg.remainder_bits
     if len(fps) > n_q:
         raise ValueError(
             f"quotient filter over capacity: {len(fps)} distinct "
-            f"fingerprints > 2^{q} slots — rebuild with a larger "
+            f"fingerprints > {n_q} slots — rebuild with a larger "
             "n_capacity / smaller load (resize = rebuild, as in the C "
             "implementations)"
         )
@@ -159,8 +175,8 @@ def _encode(cfg: QuotientFilterConfig, fps: np.ndarray) -> bytes:
         rend = np.packbits(rend_bits, bitorder="little")
     return (
         _HDR.pack(
-            _MAGIC, _VERSION, r, q, 0,
-            m, cfg.seed & _SEED_MASK, cfg.num_shards,
+            _MAGIC, _VERSION, r, 0,
+            n_q, m, cfg.seed & _SEED_MASK, cfg.num_shards,
         )
         + occ.tobytes()
         + rend.tobytes()
@@ -169,10 +185,9 @@ def _encode(cfg: QuotientFilterConfig, fps: np.ndarray) -> bytes:
 
 
 def _parse(state: bytes):
-    magic, version, r, q, _pad, m, seed, ns = _HDR.unpack_from(state, 0)
+    magic, version, r, _pad, n_q, m, seed, ns = _HDR.unpack_from(state, 0)
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad quotient filter state header")
-    n_q = 1 << q
     off = _HDR.size
     occ_len = (n_q + 7) // 8
     rend_len = (m + 7) // 8
@@ -181,17 +196,17 @@ def _parse(state: bytes):
     rend = np.frombuffer(state, dtype=np.uint8, count=rend_len, offset=off)
     off += rend_len
     slots = np.frombuffer(state, dtype=_DTYPE[r], count=m, offset=off)
-    return r, q, m, seed, ns, occ, rend, slots
+    return r, n_q, m, seed, ns, occ, rend, slots
 
 
 @functools.lru_cache(maxsize=256)
 def _decode_cached(state: bytes) -> np.ndarray:
     """State -> sorted unique fingerprint array (u64). Cached: probes,
     merges and deletes all decode; states repeat across Arrow batches."""
-    r, q, m, _seed, _ns, occ, rend, slots = _parse(state)
+    r, n_q, m, _seed, _ns, occ, rend, slots = _parse(state)
     if m == 0:
         return np.zeros(0, dtype=np.uint64)
-    occ_bits = np.unpackbits(occ, bitorder="little")[: 1 << q]
+    occ_bits = np.unpackbits(occ, bitorder="little")[:n_q]
     rend_bits = np.unpackbits(rend, bitorder="little")[:m]
     uq = np.flatnonzero(occ_bits).astype(np.int64)
     ends = np.flatnonzero(rend_bits).astype(np.int64)
@@ -213,14 +228,17 @@ def _build_state(cfg: QuotientFilterConfig, hashes_u64: np.ndarray) -> bytes:
 
 
 def _contains_in_state(state: bytes, h_u64: np.ndarray) -> np.ndarray:
-    r, q, _m, seed, _ns, *_ = _parse(state)
+    from prefix_filter_spark.hashing import fastrange32
+
+    r, n_q, _m, seed, _ns, *_ = _parse(state)
     fps = _decode_cached(state)
     if len(h_u64) == 0 or len(fps) == 0:
         return np.zeros(len(h_u64), dtype=bool)
     g = mix_with_seed(h_u64, seed + _SALT_FP)
     old = np.seterr(over="ignore")
     try:
-        probe = g >> np.uint64(64 - q - r)
+        quot = fastrange32(g >> np.uint64(32), n_q).astype(np.uint64)
+        probe = (quot << np.uint64(r)) | (g & np.uint64((1 << r) - 1))
     finally:
         np.seterr(**old)
     idx = np.minimum(np.searchsorted(fps, probe), len(fps) - 1)
@@ -228,20 +246,20 @@ def _contains_in_state(state: bytes, h_u64: np.ndarray) -> np.ndarray:
 
 
 def check_state(cfg: QuotientFilterConfig, state: bytes) -> None:
-    magic, version, r, q, _pad, _m, seed, ns = _HDR.unpack_from(state, 0)
+    magic, version, r, _pad, n_q, _m, seed, ns = _HDR.unpack_from(state, 0)
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad quotient filter state header")
     if (
         r != cfg.remainder_bits
-        or q != cfg.q_bits
+        or n_q != cfg.n_slots
         or seed != (cfg.seed & _SEED_MASK)
         or ns != cfg.num_shards
     ):
         raise ValueError(
-            f"quotient state (r={r}, q={q}, seed={seed}, num_shards={ns}) "
-            f"does not match config (r={cfg.remainder_bits}, "
-            f"q={cfg.q_bits}, seed={cfg.seed & _SEED_MASK}, "
-            f"num_shards={cfg.num_shards})"
+            f"quotient state (r={r}, n_slots={n_q}, seed={seed}, "
+            f"num_shards={ns}) does not match config "
+            f"(r={cfg.remainder_bits}, n_slots={cfg.n_slots}, "
+            f"seed={cfg.seed & _SEED_MASK}, num_shards={cfg.num_shards})"
         )
 
 

@@ -20,3 +20,8 @@ def test_pipeline_demo_smoke(spark):
     assert s["packed_docs"] == s["sampled"]
     assert s["n_packs"] >= 1
     assert "en" in s["langs"]
+    # stage 8 (map-side df-bucket enrichment): coverage holds by
+    # construction, so every token got a bucket and the fraction is a
+    # well-defined [0,1] number
+    assert s["rare_token_frac"] is not None
+    assert 0.0 <= s["rare_token_frac"] <= 1.0

@@ -48,9 +48,9 @@ def test_fpr_within_bound(spark, built):
 def test_bits_per_key(built):
     cfg, handle = built
     bpk = handle.byte_size() * 8 / N_KEYS
-    # (r + 2) / actual-load + headers; config load 0.9 but 2^ceil slots
-    # means actual load can drop toward 0.45, doubling the per-key spend
-    assert bpk < (cfg.remainder_bits + 2) / 0.45 + 1.0, bpk
+    # (r + 2) / load + headers — exact fastrange sizing pins the
+    # actual load at the design load (no pow2 rounding loss)
+    assert bpk < (cfg.remainder_bits + 2) / cfg.load + 1.5, bpk
 
 
 def test_encode_decode_roundtrip_canonical():
@@ -98,10 +98,13 @@ def test_delete_and_collision_caveat():
     surv = qf._contains_in_state(state2, h[500:])
 
     def per_key_fp(keys):
-        from prefix_filter_spark.hashing import mix_with_seed
+        from prefix_filter_spark.hashing import fastrange32, mix_with_seed
 
         g = mix_with_seed(keys, cfg.seed + qf._SALT_FP)
-        return g >> np.uint64(64 - cfg.q_bits - cfg.remainder_bits)
+        quot = fastrange32(g >> np.uint64(32), cfg.n_slots).astype(np.uint64)
+        return (quot << np.uint64(cfg.remainder_bits)) | (
+            g & np.uint64((1 << cfg.remainder_bits) - 1)
+        )
 
     surv_collides = np.isin(per_key_fp(h[500:]), per_key_fp(dead))
     assert (~surv).sum() <= surv_collides.sum()
@@ -174,10 +177,49 @@ def test_distributed_delete_and_incremental_merge(spark, keys_df):
     found = kept.where(fn("key")).count()
     # collision caveat: survivors sharing a full fingerprint with a
     # dead key vanish with it — expected count is
-    # kept * dead / (shards * 2^(q+r)) ~= 28 here; bound at ~4x
-    q_r = cfg.q_bits + cfg.remainder_bits
-    expected = n_kept * 10_000 / (cfg.num_shards * 2**q_r)
+    # kept * dead / (shards * n_slots * 2^r); bound at ~4x
+    fp_space = cfg.n_slots * 2**cfg.remainder_bits
+    expected = n_kept * 10_000 / (cfg.num_shards * fp_space)
     assert n_kept - found <= max(4 * expected, 10), (n_kept, found, expected)
+
+
+def test_streaming_build_equals_batch(spark, tmp_path):
+    """QF through foreach_batch_build: the canonical state makes the
+    streamed accumulation byte-identical to a one-shot batch build —
+    the incremental-Add story the static family cannot offer."""
+    from prefix_filter_spark.streaming.build import foreach_batch_build
+
+    cfg = qf.QuotientFilterConfig(n_capacity=30_000, num_shards=4, seed=17)
+    keys = spark.range(30_000).select(F.col("id").alias("key"))
+    src = f"{tmp_path}/src"
+    for i in range(4):
+        keys.where(F.pmod(F.col("key"), F.lit(4)) == i).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = foreach_batch_build(
+        stream,
+        "key",
+        build_fn=lambda df, k: qf.build_quotient(df, k, cfg),
+        merge_fn=lambda states: qf.merge_states(states, cfg),
+        state_path=f"{tmp_path}/state",
+        checkpoint_dir=f"{tmp_path}/ckpt",
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["shard_id"]: bytes(r["state"])
+        for r in spark.read.parquet(f"{tmp_path}/state").collect()
+    }
+    direct = {
+        r["shard_id"]: bytes(r["state"])
+        for r in qf.build_quotient(keys, "key", cfg).collect()
+    }
+    assert streamed == direct
 
 
 def test_empty_state():

@@ -157,7 +157,11 @@ def main() -> int:
             "eps=0.10 slot overhead) — the space frontier of the table. "
             "PF[Ribbon8] (static ribbon spare, an assembly the reference "
             "cannot express) is accordingly the densest PF variant, a hair "
-            "under PF[Xor8]. BBF "
+            "under PF[Xor8]. QF-8 (RSQF layout, exact fastrange slot "
+            "sizing) is the one row that merges bit-identically AND "
+            "deletes AND enumerates — at ~11.1 bits/item it sits between "
+            "Bloom-12 and CF-13-ss while offering capabilities neither "
+            "has. BBF "
             "rounds its block count up to a "
             "power of two (simd-block.h sizing), hence its BPI overshoot "
             "vs BBF-Fixed's exact fastrange count.\n"

@@ -150,6 +150,32 @@ def run_pipeline(spark, sf_dir: str, out_dir: str | None = None) -> dict:
     n_packed = packed.count()
     n_packs = packed.select("pack_id").distinct().count()
 
+    # 8. map-side vocab enrichment (operators/map_enrich.py): tag every
+    # token of the packed training docs with its corpus document-
+    # frequency bucket via a broadcast retrieval map — the token stream
+    # (the "fact") never shuffles; guard=False because the vocab is
+    # built FROM this corpus, so coverage holds by construction
+    from prefix_filter_spark.operators.map_enrich import (
+        build_enrichment_map,
+        enrich,
+    )
+
+    tok_stream = stage3.join(packed.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", F.explode(words_col("text")).alias("word")
+    )
+    vocab = (
+        stage3.select(F.explode(words_col("text")).alias("word"), "doc_id")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .select("word", F.least(F.floor(F.log2("df")), F.lit(15)).alias("bucket"))
+    )
+    em = build_enrichment_map(vocab, "word", "bucket", seed=29, guard=False)
+    tagged = enrich(spark, tok_stream, "word", em, "df_bucket", udf_prefix="demo_df")
+    rare_frac = tagged.agg(
+        F.avg((F.col("df_bucket") == 0).cast("double")).alias("f")
+    ).collect()[0]["f"]
+
     if out_dir:
         packed.write.mode("overwrite").parquet(f"{out_dir}/train_packed.parquet")
         split.write.mode("overwrite").parquet(f"{out_dir}/split.parquet")
@@ -167,6 +193,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str | None = None) -> dict:
         "sampled": n_packed,
         "packed_docs": n_packed,
         "n_packs": n_packs,
+        "rare_token_frac": round(rare_frac, 6) if rare_frac is not None else None,
         "langs": sorted(cuts),
     }
 
