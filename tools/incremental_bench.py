@@ -6,7 +6,7 @@ state — the distributed form of incremental Add), then time uniform
 lookups and yes lookups at that load.
 
 Writes BENCH/incremental.md. Usage:
-  python tools/incremental_bench.py [n_keys] [filter: pf|bloom]
+  python tools/incremental_bench.py [n_keys] [filter: pf|bloom|qf]
 """
 
 from __future__ import annotations
@@ -41,6 +41,16 @@ def main() -> int:
         build = lambda df: pfm.build_prefix_filter(df, "key", cfg)  # noqa: E731
         merge = lambda states, sid: pfm.merge_states(states, cfg, sid)  # noqa: E731
         handle_cls = pfm.ShardedPrefixFilter
+    elif kind == "qf":
+        # the quotient filter IS this protocol's natural subject: the
+        # only fingerprint filter here whose per-round partial states
+        # merge bit-identically into the running state
+        from prefix_filter_spark.sketches import quotient as qfm
+
+        cfg = qfm.QuotientFilterConfig(n_capacity=n, num_shards=32, seed=23)
+        build = lambda df: qfm.build_quotient(df, "key", cfg)  # noqa: E731
+        merge = lambda states, sid: qfm.merge_states(states, cfg)  # noqa: E731
+        handle_cls = qfm.ShardedQuotient
     else:
         cfg = bloom.BloomConfig(n_capacity=n, bits_per_key=12, num_shards=32, seed=23)
         build = lambda df: bloom.build_bloom(df, "key", cfg)  # noqa: E731
@@ -106,9 +116,10 @@ def main() -> int:
         )
         print(lines[-1])
 
-    with open("BENCH/incremental.md", "w") as f:
+    out = "BENCH/incremental.md" if kind == "pf" else f"BENCH/incremental_{kind}.md"
+    with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("wrote BENCH/incremental.md")
+    print(f"wrote {out}")
     spark.stop()
     return 0
 
