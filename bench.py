@@ -197,10 +197,12 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     )
     from prefix_filter_spark.sketches import ribbon as rbm
 
-    # 64 shards: the banded solve is per-shard sequential Python, so
-    # shards are the parallelism unit (two task waves on 32 cores)
+    # 128 shards: the banded solve is per-shard sequential Python, so
+    # shards are the parallelism unit; 4 task waves on 32 cores beat 2
+    # (A/B at 4M keys: 64 shards 3.1-3.3s, 96-128 shards 2.6-2.9s —
+    # smaller tail stragglers win over per-task overhead)
     rb_cfg = rbm.RibbonConfig(
-        n_capacity=N_KEYS, fingerprint_bits=8, num_shards=max(shards, 64), seed=42
+        n_capacity=N_KEYS, fingerprint_bits=8, num_shards=max(shards, 128), seed=42
     )
     times["ribbon_build"] = _timed_best(
         lambda: rbm.build_ribbon(keys, "key", rb_cfg).count(), name="ribbon_build"

@@ -123,6 +123,10 @@ def main() -> int:
          "corpus shingles probe the benchmark filter map-side "
          "(ArrowEvalPython BEFORE any exchange); only survivors reach "
          "the verify semi-join + per-doc count"),
+        ("map_enrich", None,
+         "the join-replacement contract: fact scan -> guard + lookup "
+         "ArrowEvalPython projections, ZERO exchanges — the dim rides "
+         "as a broadcast retrieval map, the fact never shuffles"),
     ]
 
     out = [
@@ -278,7 +282,23 @@ def main() -> int:
         )
         return _bucket_candidate_pairs(members, ["band", "h"], "doc_id", cap=32)
 
+    def _map_enrich_df():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.map_enrich import (
+            build_enrichment_map,
+            enrich,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dim = docs.select("source").distinct().select(
+            "source", F.pmod(F.xxhash64("source", F.lit(9)), F.lit(256)).alias("b")
+        )
+        em = build_enrichment_map(dim, "source", "b", value_bits=8, seed=31)
+        return enrich(spark, docs, "source", em, "src_bucket", udf_prefix="audit_me")
+
     direct = {"prefix_filter_build": lambda: _pf_build_df()[0],
+              "map_enrich": _map_enrich_df,
               "hot_bucket_pairs_capped": _hot_bucket_df,
               "lm_perplexity": _lm_df,
               "pii_redact": _pii_df,
