@@ -45,12 +45,20 @@ from prefix_filter_spark.sketches import retrieval as rvm
 
 @dataclass
 class EnrichmentMap:
-    """Driver-side handle pair: the value map + the membership guard."""
+    """Driver-side handle pair: the value map + the membership guard.
+
+    After ``enrich`` the registered UDF wrappers land in ``lookup_fn``
+    / ``guard_fn`` so long-running drivers that re-enrich per epoch can
+    release the previous executor broadcasts
+    (``em.lookup_fn.broadcast.unpersist()``) instead of pinning every
+    generation — the same lifecycle contract as ContainsFunction."""
 
     retrieval: rvm.ShardedRetrieval
     guard: object | None  # ShardedBloom when guarded, else None
     guard_cfg: object | None
     seed: int
+    lookup_fn: object | None = None
+    guard_fn: object | None = None
 
 
 def build_enrichment_map(
@@ -108,10 +116,12 @@ def enrich(
     rfn = register_lookup_udf(
         spark, f"{udf_prefix}_lookup", em.retrieval, em.seed
     )
+    em.lookup_fn = rfn
     value: Column = rfn(fact_key)
     if em.guard is not None:
         cfn = register_contains_udf(
             spark, f"{udf_prefix}_guard", em.guard, em.seed
         )
+        em.guard_fn = cfn
         value = F.when(cfn(fact_key), value)
     return fact.withColumn(out_col, value)

@@ -75,6 +75,48 @@ def test_uncovered_nulls_with_bounded_junk(spark, dim):
     assert non_null / 50_000 <= 0.00313 * 2 + 1e-3, non_null
 
 
+def test_streaming_fact_enrichment(spark, dim, tmp_path):
+    """The map-only shape means enrich() composes with a STREAMING fact
+    unchanged (no shuffle, no state): a readStream source enriched per
+    micro-batch must match the batch enrichment exactly."""
+    fact = spark.range(20_000).select(
+        F.col("id").alias("row_id"),
+        F.concat(
+            F.lit("tok_"), F.pmod(F.col("id") * 11, F.lit(N_DIM)).cast("string")
+        ).alias("token"),
+    )
+    src = f"{tmp_path}/src"
+    fact.repartition(4).write.parquet(src)
+    em = me.build_enrichment_map(dim, "token", "bucket", seed=15)
+    stream = (
+        spark.readStream.schema("row_id long, token string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    enriched = me.enrich(spark, stream, "token", em, "bucket", udf_prefix="me_st")
+    assert enriched.isStreaming
+    out: list = []
+    q = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: out.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.row_id, r.bucket) for r in out)
+    want = sorted(
+        (r.row_id, r.bucket)
+        for r in me.enrich(
+            spark, fact, "token", em, "bucket", udf_prefix="me_stb"
+        ).collect()
+    )
+    assert got == want and len(got) == 20_000
+    # epoch-churn lifecycle: the broadcasts are exposed for release
+    assert em.lookup_fn is not None and em.lookup_fn.broadcast is not None
+    em.lookup_fn.broadcast.unpersist()
+    em.guard_fn.broadcast.unpersist()
+
+
 def test_fact_side_is_map_only(spark, dim, fact_covered):
     em = me.build_enrichment_map(dim, "token", "bucket", seed=14)
     out = me.enrich(
