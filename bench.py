@@ -197,12 +197,14 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     )
     from prefix_filter_spark.sketches import ribbon as rbm
 
-    # 128 shards: the banded solve is per-shard sequential Python, so
-    # shards are the parallelism unit; 4 task waves on 32 cores beat 2
-    # (A/B at 4M keys: 64 shards 3.1-3.3s, 96-128 shards 2.6-2.9s —
-    # smaller tail stragglers win over per-task overhead)
+    # one shard per core: the banded solve is per-shard sequential
+    # Python and build_sharded's proxy spreading now guarantees one
+    # task per shard, so a single full-width wave is optimal (A/B at
+    # 4M keys after the spreading fix: 32 shards 1.6-2.0s, 64 2.1-2.2s,
+    # 128 2.9-3.2s — extra waves only add task/Arrow overhead; the
+    # pre-fix Murmur3-collided numbers that favored 128 are obsolete)
     rb_cfg = rbm.RibbonConfig(
-        n_capacity=N_KEYS, fingerprint_bits=8, num_shards=max(shards, 128), seed=42
+        n_capacity=N_KEYS, fingerprint_bits=8, num_shards=max(cores, 16), seed=42
     )
     times["ribbon_build"] = _timed_best(
         lambda: rbm.build_ribbon(keys, "key", rb_cfg).count(), name="ribbon_build"

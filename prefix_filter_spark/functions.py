@@ -98,18 +98,6 @@ def register_lookup_udf(
     return LookupFunction(name, _lookup, seed, bc)
 
 
-class LookupFunction:
-    def __init__(self, name: str, udf, seed: int, broadcast=None):
-        self.name = name
-        self.udf = udf
-        self.seed = seed
-        self.broadcast = broadcast
-
-    def __call__(self, key: Column | str) -> Column:
-        """lookup(raw key column) — composes the JVM-side xxhash64."""
-        return self.udf(hashed_key_col(key, self.seed))
-
-
 class ContainsFunction:
     def __init__(self, name: str, udf, seed: int, broadcast=None):
         self.name = name
@@ -123,6 +111,12 @@ class ContainsFunction:
     def __call__(self, key: Column | str) -> Column:
         """contains(raw key column) — composes the JVM-side xxhash64."""
         return self.udf(hashed_key_col(key, self.seed))
+
+
+class LookupFunction(ContainsFunction):
+    """Same wrapper + broadcast-lifecycle contract as ContainsFunction;
+    the registered UDF returns the stored bigint value instead of a
+    boolean."""
 
 
 def register_sketch_sql(spark: SparkSession) -> None:

@@ -73,26 +73,44 @@ def build_enrichment_map(
     guard_bits_per_key: int = 12,
 ) -> EnrichmentMap:
     """Build the broadcastable map from a (key, value) dim. ``value_col``
-    must be integral in [0, 2**value_bits) — the build raises otherwise
-    (retrieval._build_state's domain check)."""
-    n = dim.count()
-    rcfg = rvm.RetrievalConfig(
-        n_capacity=max(n, 1024), value_bits=value_bits,
-        num_shards=num_shards, seed=seed,
-    )
-    handle = rvm.ShardedRetrieval.from_df(
-        rcfg, rvm.build_retrieval(dim, key_col, value_col, rcfg)
-    )
+    must be integral in [0, 2**value_bits) and non-null — the build
+    raises otherwise (retrieval._build_state's domain check +
+    build_sharded's null check).
+
+    The dim is persisted around the builds: with a guard it is read by
+    two build jobs plus the guard-sizing count (the retrieval structure
+    sizes each shard from its actual batch, so no count is needed for
+    it — guard=False runs exactly one dim job)."""
     ghandle = gcfg = None
     if guard:
         from prefix_filter_spark.sketches import bloom
 
-        gcfg = bloom.BloomConfig(
-            n_capacity=max(n, 1024), bits_per_key=guard_bits_per_key,
+        dim = dim.persist()  # DataFrame default: MEMORY_AND_DISK
+        try:
+            n = dim.count()
+            rcfg = rvm.RetrievalConfig(
+                n_capacity=max(n, 1024), value_bits=value_bits,
+                num_shards=num_shards, seed=seed,
+            )
+            handle = rvm.ShardedRetrieval.from_df(
+                rcfg, rvm.build_retrieval(dim, key_col, value_col, rcfg)
+            )
+            gcfg = bloom.BloomConfig(
+                n_capacity=max(n, 1024), bits_per_key=guard_bits_per_key,
+                num_shards=num_shards, seed=seed,
+            )
+            ghandle = bloom.ShardedBloom.from_df(
+                gcfg, bloom.build_bloom(dim, key_col, gcfg)
+            )
+        finally:
+            dim.unpersist()
+    else:
+        rcfg = rvm.RetrievalConfig(
+            n_capacity=1024, value_bits=value_bits,
             num_shards=num_shards, seed=seed,
         )
-        ghandle = bloom.ShardedBloom.from_df(
-            gcfg, bloom.build_bloom(dim, key_col, gcfg)
+        handle = rvm.ShardedRetrieval.from_df(
+            rcfg, rvm.build_retrieval(dim, key_col, value_col, rcfg)
         )
     return EnrichmentMap(handle, ghandle, gcfg, seed)
 

@@ -37,7 +37,42 @@ SHARD_SCHEMA = (
 )
 
 # state_fn(shard_id, unique_sorted_u64_hashes) -> bytes
+# (with value_col: state_fn(shard_id, raw_u64_hashes, values) -> bytes)
 StateFn = Callable[[int, np.ndarray], bytes]
+
+# proxy table per num_shards: proxies[s] is a long whose Spark Murmur3
+# partition assignment pmod(hash(p), num_shards) equals s — see
+# _shard_proxies
+_PROXY_CACHE: dict[int, list[int]] = {}
+
+
+def _shard_proxies(spark, num_shards: int) -> list[int]:
+    """For each shard id s, a long p with pmod(Murmur3(p), num_shards)
+    == s (F.hash IS Spark's HashPartitioning hash, seed 42). Lets
+    spread_tasks place each shard in ITS OWN shuffle partition: a plain
+    repartition(n, shard_col) re-hashes the shard id, and Murmur3
+    collisions leave ~1/e of the partitions empty while the worst task
+    serializes several shards' sequential solves (measured: 64 shards
+    → 37 occupied partitions, max 4 shards in one task). One tiny
+    64*num_shards-row job computes the table; cached per shard count."""
+    if num_shards not in _PROXY_CACHE:
+        span = 64 * num_shards
+        for _ in range(8):  # widen until every residue is covered
+            rows = (
+                spark.range(0, span)
+                .select("id", F.pmod(F.hash("id"), F.lit(num_shards)).alias("s"))
+                .groupBy("s")
+                .agg(F.min("id").alias("p"))
+                .collect()
+            )
+            m = {int(r["s"]): int(r["p"]) for r in rows}
+            if len(m) == num_shards:
+                break
+            span *= 8
+        else:  # pragma: no cover — P(miss) ~ num_shards * e^-64
+            raise RuntimeError(f"no proxy found for all {num_shards} shards")
+        _PROXY_CACHE[num_shards] = [m[s] for s in range(num_shards)]
+    return _PROXY_CACHE[num_shards]
 
 
 def build_sharded(
@@ -50,6 +85,7 @@ def build_sharded(
     state_fn: StateFn,
     dedupe: bool = True,
     spread_tasks: bool = False,
+    value_col=None,
 ) -> DataFrame:
     """Hash keys JVM-side, shuffle once by shard, build each shard in one
     vectorized pandas call.
@@ -59,14 +95,26 @@ def build_sharded(
     shard build (same key always routes to the same shard), avoiding a
     second shuffle for distinct().
 
-    ``spread_tasks=True`` pins the shuffle to exactly ``num_shards``
-    partitions (an explicit repartition, which AQE will not coalesce).
-    The NumPy builds leave it off — AQE's coalescing is the right call
-    when the per-shard work is a microsecond-scale vector pass over a
-    few hundred KB. The ribbon build turns it on: its banded solve is
-    SECONDS of sequential Python per shard, so packing three shards
-    into one coalesced task triples the critical path (measured 2.9 s
-    → 1.0 s at 4M keys × 64 shards on local[32]).
+    ``spread_tasks=True`` places each shard in ITS OWN shuffle
+    partition (and task). The NumPy builds leave it off — AQE's
+    coalescing is the right call when the per-shard work is a
+    microsecond-scale vector pass over a few hundred KB. The ribbon /
+    retrieval solves turn it on: each is SECONDS of sequential Python
+    per shard, so any two shards sharing a task double the critical
+    path. Mechanism: repartition-and-group on a PROXY expression —
+    Murmur3-preimages of the shard ids (_shard_proxies) — because a
+    plain repartition(n, shard_col) re-hashes the id and collisions
+    leave ~1/e of the partitions empty (measured: 64 shards → 37
+    occupied, worst task 4 shards; with proxies 64/64 occupied, max 1).
+    Grouping on the same proxy expression keeps it one exchange, and
+    the true shard id is recomputed from the hashes inside the build.
+
+    ``value_col`` (optional): ship a long value column through Arrow
+    next to the hash; ``state_fn`` then receives (shard_id, raw_hashes,
+    values) — unsorted, NOT deduped (kv state_fns own duplicate
+    semantics, e.g. the retrieval structure's conflict check). NULL
+    values raise (pandas would silently turn them into float NaN →
+    INT64_MIN garbage).
     """
     from prefix_filter_spark.hashing import shard_of
 
@@ -75,31 +123,49 @@ def build_sharded(
     # JVM-side but not shipped through Arrow — the Python worker sees
     # only the 8-byte hash column (33% less pipe volume) and recomputes
     # the shard id with the arithmetic-identical NumPy fastrange.
-    keyed = df.select(h.alias("h"))
+    if value_col is not None:
+        vcol = value_col if not isinstance(value_col, str) else F.col(value_col)
+        keyed = df.select(h.alias("h"), vcol.cast("long").alias("v"))
+    else:
+        keyed = df.select(h.alias("h"))
     group_key = shard_col(F.col("h"), num_shards).alias("shard_id")
     if spread_tasks:
-        # hash-repartition on the same expression the groupBy clusters
-        # on: ensureRequirements sees the child already partitioned and
-        # inserts no second exchange, but the explicit count is exempt
-        # from AQE coalescing, so each shard keeps its own task
-        keyed = keyed.repartition(num_shards, shard_col(F.col("h"), num_shards))
+        proxies = _shard_proxies(df.sparkSession, num_shards)
+        proxy = F.element_at(
+            F.array(*[F.lit(p).cast("long") for p in proxies]),
+            shard_col(F.col("h"), num_shards) + F.lit(1),
+        )
+        keyed = keyed.repartition(num_shards, proxy)
+        group_key = proxy.alias("spread_key")
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter_ns()
         hashes = as_u64(pdf["h"].to_numpy())
         shard_id = int(shard_of(hashes[:1], num_shards)[0])
         input_rows = len(hashes)
-        if dedupe:
-            hashes = np.unique(hashes)  # sorted + distinct
+        if value_col is not None:
+            if pdf["v"].isnull().any():
+                raise ValueError(
+                    f"NULL value in {sketch_name} build (shard {shard_id}): "
+                    "the value column must be non-null — filter or fill "
+                    "upstream"
+                )
+            values = pdf["v"].to_numpy().astype(np.int64)
+            state = state_fn(shard_id, hashes, values)
+            n_keys = len(np.unique(hashes))
         else:
-            hashes = np.sort(hashes)
-        state = state_fn(shard_id, hashes)
+            if dedupe:
+                hashes = np.unique(hashes)  # sorted + distinct
+            else:
+                hashes = np.sort(hashes)
+            state = state_fn(shard_id, hashes)
+            n_keys = len(hashes)
         return pd.DataFrame(
             {
                 "sketch": [sketch_name],
                 "shard_id": [shard_id],
                 "state": [state],
-                "n_keys": [len(hashes)],
+                "n_keys": [n_keys],
                 "input_rows": [input_rows],
                 "build_ns": [time.perf_counter_ns() - t0],
             }

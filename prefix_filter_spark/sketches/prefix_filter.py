@@ -163,77 +163,93 @@ class PrefixFilterConfig:
         )
 
 
-def _spare_build(cfg: PrefixFilterConfig, keys_u64: np.ndarray) -> bytes:
-    if cfg.spare_kind == "tc":
+def _spare_ops(kind: str):
+    """THE spare dispatch registry: kind -> (build, merge-or-None,
+    probe). Every spare kind registers here exactly once — the previous
+    per-function if-chains had four sites to keep in lockstep, and a
+    kind missing from one silently fell through to the bloom default
+    (silent false negatives at probe time). merge is None for the
+    static build-once kinds (xor / ribbon)."""
+    if kind == "bloom":
+        return (
+            lambda cfg, keys: bloom._build_state(cfg.spare_bloom_config(), keys),
+            lambda cfg, states: bloom.merge_states(states),
+            lambda cfg, state, keys: bloom._contains_in_state(
+                state, mix_with_seed(keys, cfg.spare_bloom_config().seed + 0x5EED)
+            ),
+        )
+    if kind == "tc":
         from prefix_filter_spark.sketches import two_choice as tc
 
-        return tc._build_state(cfg.spare_tc_config(), keys_u64)
-    if cfg.spare_kind == "cuckoo":
+        return (
+            lambda cfg, keys: tc._build_state(cfg.spare_tc_config(), keys),
+            lambda cfg, states: tc.merge_states(states, cfg.spare_tc_config()),
+            lambda cfg, state, keys: tc._contains_in_state(
+                cfg.spare_tc_config(), state, keys
+            ),
+        )
+    if kind == "cuckoo":
         from prefix_filter_spark.sketches import cuckoo as ck
 
-        return ck._build_state(cfg.spare_cuckoo_config(), keys_u64)
-    if cfg.spare_kind in ("bbf", "impala512"):
+        return (
+            lambda cfg, keys: ck._build_state(cfg.spare_cuckoo_config(), keys),
+            lambda cfg, states: ck.merge_states(states, cfg.spare_cuckoo_config()),
+            lambda cfg, state, keys: ck._contains_in_state(
+                cfg.spare_cuckoo_config(), state, keys
+            ),
+        )
+    if kind in ("bbf", "impala512"):
         from prefix_filter_spark.sketches import blocked_bloom as bb
 
-        return bb._build_state(cfg.spare_bbf_config(), keys_u64)
-    if cfg.spare_kind == "xor":
+        def _bb_probe(cfg, state, keys):
+            bcfg = cfg.spare_bbf_config()
+            return bb._contains_in_state(
+                bcfg, state, mix_with_seed(keys, bcfg.seed + 0xBB0C)
+            )
+
+        return (
+            lambda cfg, keys: bb._build_state(cfg.spare_bbf_config(), keys),
+            lambda cfg, states: bb.merge_states(states),
+            _bb_probe,
+        )
+    if kind == "xor":
         from prefix_filter_spark.sketches import xor as xorm
 
-        return xorm._build_state(cfg.spare_xor_config(), np.sort(keys_u64))
-    if cfg.spare_kind == "ribbon":
+        return (
+            lambda cfg, keys: xorm._build_state(cfg.spare_xor_config(), np.sort(keys)),
+            None,
+            lambda cfg, state, keys: xorm._contains_in_state(state, keys),
+        )
+    if kind == "ribbon":
         from prefix_filter_spark.sketches import ribbon as rbm
 
-        return rbm._build_state(cfg.spare_ribbon_config(), np.sort(keys_u64))
-    return bloom._build_state(cfg.spare_bloom_config(), keys_u64)
+        return (
+            lambda cfg, keys: rbm._build_state(cfg.spare_ribbon_config(), np.sort(keys)),
+            None,
+            lambda cfg, state, keys: rbm._contains_in_state(state, keys),
+        )
+    raise ValueError(
+        f"unknown spare_kind {kind!r} — one of {sorted(_SPARE_KIND_CODE)}"
+    )
+
+
+def _spare_build(cfg: PrefixFilterConfig, keys_u64: np.ndarray) -> bytes:
+    return _spare_ops(cfg.spare_kind)[0](cfg, keys_u64)
 
 
 def _spare_merge(cfg: PrefixFilterConfig, states: list[bytes]) -> bytes:
-    if cfg.spare_kind == "tc":
-        from prefix_filter_spark.sketches import two_choice as tc
-
-        return tc.merge_states(states, cfg.spare_tc_config())
-    if cfg.spare_kind == "cuckoo":
-        from prefix_filter_spark.sketches import cuckoo as ck
-
-        return ck.merge_states(states, cfg.spare_cuckoo_config())
-    if cfg.spare_kind in ("bbf", "impala512"):
-        from prefix_filter_spark.sketches import blocked_bloom as bb
-
-        return bb.merge_states(states)
-    if cfg.spare_kind in ("xor", "ribbon"):
+    merge = _spare_ops(cfg.spare_kind)[1]
+    if merge is None:
         raise ValueError(
             f"PF[{cfg.spare_kind}] is a build-once assembly: the static "
             "spare cannot merge partial states — rebuild from the full key "
             "stream, or pick a mergeable spare kind for incremental use"
         )
-    return bloom.merge_states(states)
+    return merge(cfg, states)
 
 
 def _spare_probe(cfg: PrefixFilterConfig, spare_state: bytes, keys_u64: np.ndarray) -> np.ndarray:
-    if cfg.spare_kind == "tc":
-        from prefix_filter_spark.sketches import two_choice as tc
-
-        return tc._contains_in_state(cfg.spare_tc_config(), spare_state, keys_u64)
-    if cfg.spare_kind == "cuckoo":
-        from prefix_filter_spark.sketches import cuckoo as ck
-
-        return ck._contains_in_state(cfg.spare_cuckoo_config(), spare_state, keys_u64)
-    if cfg.spare_kind in ("bbf", "impala512"):
-        from prefix_filter_spark.sketches import blocked_bloom as bb
-
-        bcfg = cfg.spare_bbf_config()
-        g = mix_with_seed(keys_u64, bcfg.seed + 0xBB0C)
-        return bb._contains_in_state(bcfg, spare_state, g)
-    if cfg.spare_kind == "xor":
-        from prefix_filter_spark.sketches import xor as xorm
-
-        return xorm._contains_in_state(spare_state, keys_u64)
-    if cfg.spare_kind == "ribbon":
-        from prefix_filter_spark.sketches import ribbon as rbm
-
-        return rbm._contains_in_state(spare_state, keys_u64)
-    g = mix_with_seed(keys_u64, cfg.spare_bloom_config().seed + 0x5EED)
-    return bloom._contains_in_state(spare_state, g)
+    return _spare_ops(cfg.spare_kind)[2](cfg, spare_state, keys_u64)
 
 
 def _derive_pd_qr(hashes_u64: np.ndarray, cfg: PrefixFilterConfig):

@@ -199,10 +199,14 @@ def _parse(state: bytes):
     return r, n_q, m, seed, ns, occ, rend, slots
 
 
-@functools.lru_cache(maxsize=256)
+@functools.lru_cache(maxsize=32)
 def _decode_cached(state: bytes) -> np.ndarray:
-    """State -> sorted unique fingerprint array (u64). Cached: probes,
-    merges and deletes all decode; states repeat across Arrow batches."""
+    """State -> sorted unique fingerprint array (u64). LRU for ad-hoc
+    driver-side decode (merge/delete); NOTE bytes hashing is O(state
+    size) per call, so the broadcast-probe hot path does NOT go through
+    this — ShardedQuotient.predecode() decodes once per handle and
+    register_contains_udf ships the decoded arrays (the same predecode
+    protocol the other sketches use)."""
     r, n_q, m, _seed, _ns, occ, rend, slots = _parse(state)
     if m == 0:
         return np.zeros(0, dtype=np.uint64)
@@ -227,11 +231,14 @@ def _build_state(cfg: QuotientFilterConfig, hashes_u64: np.ndarray) -> bytes:
     return _encode(cfg, _fingerprints(cfg, hashes_u64))
 
 
-def _contains_in_state(state: bytes, h_u64: np.ndarray) -> np.ndarray:
+def _contains_in_state(
+    state: bytes, h_u64: np.ndarray, fps: np.ndarray | None = None
+) -> np.ndarray:
     from prefix_filter_spark.hashing import fastrange32
 
     r, n_q, _m, seed, _ns, *_ = _parse(state)
-    fps = _decode_cached(state)
+    if fps is None:
+        fps = _decode_cached(state)
     if len(h_u64) == 0 or len(fps) == 0:
         return np.zeros(len(h_u64), dtype=bool)
     g = mix_with_seed(h_u64, seed + _SALT_FP)
@@ -329,10 +336,23 @@ class ShardedQuotient:
     def __init__(self, cfg: QuotientFilterConfig, states: dict[int, bytes]):
         self.cfg = cfg
         self.states = states
+        self._decoded: dict[int, np.ndarray] | None = None
 
     @classmethod
     def from_df(cls, cfg: QuotientFilterConfig, shards_df: DataFrame) -> "ShardedQuotient":
         return cls(cfg, base.collect_states(shards_df))
+
+    def predecode(self) -> None:
+        """Decode every shard's fingerprint array once, so the probe
+        path never pays the O(state-size) bytes hash of the LRU per
+        Arrow batch. register_contains_udf calls this before
+        broadcasting (the decoded arrays ship with the handle)."""
+        if self._decoded is None:
+            for st in self.states.values():
+                check_state(self.cfg, st)
+            self._decoded = {
+                sid: _decode_cached(st) for sid, st in self.states.items()
+            }
 
     def byte_size(self) -> int:
         return sum(len(s) for s in self.states.values())
@@ -351,6 +371,11 @@ class ShardedQuotient:
             idx = order[lo:hi]
             state = self.states.get(int(sid))
             if state is not None:
-                check_state(self.cfg, state)
-                out[idx] = _contains_in_state(state, h[idx])
+                if self._decoded is not None:
+                    out[idx] = _contains_in_state(
+                        state, h[idx], fps=self._decoded[int(sid)]
+                    )
+                else:
+                    check_state(self.cfg, state)
+                    out[idx] = _contains_in_state(state, h[idx])
         return out

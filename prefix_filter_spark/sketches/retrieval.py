@@ -36,16 +36,12 @@ State layout (little-endian):
 from __future__ import annotations
 
 import struct
-import time
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from prefix_filter_spark.hashing import as_u64, shard_of
-from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col
 from prefix_filter_spark.sketches import base
 from prefix_filter_spark.sketches.ribbon import _MAX_ATTEMPTS, _W, _derive, _m_for, _solve
 
@@ -180,37 +176,19 @@ def build_retrieval(
 ) -> DataFrame:
     """(key, value) DataFrame -> shard-row DataFrame (base.SHARD_SCHEMA).
 
-    Same one-shuffle shape as base.build_sharded, with the value column
-    riding next to the 8-byte hash through Arrow. The shuffle is pinned
-    to exactly num_shards partitions (the banded solve is sequential
-    Python per shard — see build_sharded's spread_tasks note)."""
-    h = hashed_key_col(key_col, cfg.seed)
-    vcol = value_col if not isinstance(value_col, str) else F.col(value_col)
-    keyed = df.select(h.alias("h"), vcol.cast("long").alias("v"))
-    keyed = keyed.repartition(cfg.num_shards, shard_col(F.col("h"), cfg.num_shards))
-    group_key = shard_col(F.col("h"), cfg.num_shards).alias("shard_id")
-    name = f"ribbon_retrieval{cfg.value_bits}"
-
-    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.perf_counter_ns()
-        hashes = as_u64(pdf["h"].to_numpy())
-        values = pdf["v"].to_numpy().astype(np.int64)
-        shard_id = int(shard_of(hashes[:1], cfg.num_shards)[0])
-        input_rows = len(hashes)
-        state = _build_state(cfg, hashes, values)
-        n_keys = len(np.unique(hashes))
-        return pd.DataFrame(
-            {
-                "sketch": [name],
-                "shard_id": [shard_id],
-                "state": [state],
-                "n_keys": [n_keys],
-                "input_rows": [input_rows],
-                "build_ns": [time.perf_counter_ns() - t0],
-            }
-        )
-
-    return keyed.groupBy(group_key).applyInPandas(build_group, schema=base.SHARD_SCHEMA)
+    The shared one-shuffle build with the value column riding next to
+    the 8-byte hash through Arrow; spread_tasks puts each sequential
+    banded solve in its own task (see base.build_sharded)."""
+    return base.build_sharded(
+        df,
+        key_col,
+        sketch_name=f"ribbon_retrieval{cfg.value_bits}",
+        seed=cfg.seed,
+        num_shards=cfg.num_shards,
+        state_fn=lambda sid, hashes, values: _build_state(cfg, hashes, values),
+        spread_tasks=True,
+        value_col=value_col,
+    )
 
 
 class ShardedRetrieval:
