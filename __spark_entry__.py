@@ -523,6 +523,46 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged distinct-cardinality panel (round-4 session-8: frees one
+    slot in the driver's 50-entry gate window for boilerplate_lines,
+    same precedent as filters_membership): the HLL single-set estimate
+    and the KMV set-expression estimates in ONE single-row gate. Exact
+    counts hash-match DuckDB; the sketch estimates are self-asserted
+    against their published bounds, as before."""
+    return q_hll_distinct(spark, sf_dir).crossJoin(q_kmv_set_ops(spark, sf_dir))
+
+
+_BP_SPLIT_WORDS = ("the", "a", "table", "value", "fast", "row")
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate removal
+    (operators/boilerplate.py): lines occurring in >= 2% of documents
+    are template chrome and get dropped; documents are rebuilt from the
+    surviving lines in order. The synthetic corpus is single-line, so
+    the gate derives lines deterministically in BOTH engines by
+    replacing six frequent words with newlines (literal left-to-right
+    replace — identical semantics in Spark and DuckDB); short
+    inter-word chunks then repeat across documents organically, giving
+    ~29 frequent lines at every SF. Threshold in exact integer
+    arithmetic (ceil(n/50) via (n+49)//50) — no float ceil whose
+    IEEE rounding could diverge between engines."""
+    from prefix_filter_spark.operators.boilerplate import drop_boilerplate_lines
+
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    for w in _BP_SPLIT_WORDS:
+        text = F.replace(text, F.lit(f" {w} "), F.lit("\n"))
+    docs = docs.withColumn("text", text)
+    n_docs = docs.count()
+    min_docs = max(2, (n_docs + 49) // 50)
+    out = drop_boilerplate_lines(docs, min_docs=min_docs)
+    return out.select(
+        "doc_id", "text", "n_lines_kept", "n_lines_dropped"
+    ).orderBy("doc_id")
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prefix_filter_spark.sketches import cms
 
@@ -2119,8 +2159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_source_counts": q_salted_source_counts,
         "lang_predictions": q_lang_predictions,
         "media_features": q_media_features,
-        "hll_distinct": q_hll_distinct,
-        "kmv_set_ops": q_kmv_set_ops,
+        "distinct_sketches": q_distinct_sketches,
+        "boilerplate_lines": q_boilerplate_lines,
         "heavy_hitters": q_heavy_hitters,
         "sequence_packing": q_sequence_packing,
         "mixture_sample": q_mixture_sample,
@@ -2370,16 +2410,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(range(256)) AS i)
             GROUP BY 1 ORDER BY 1
         """,
-        "hll_distinct": f"""
-            SELECT count(DISTINCT w) AS exact_distinct, true AS hll_ok
-            FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
-        """,
-        "kmv_set_ops": f"""
+        "distinct_sketches": f"""
             WITH a AS (SELECT DISTINCT unnest({_DUCK_WORDS}) AS w
                        FROM documents WHERE doc_id % 2 = 0),
                  b AS (SELECT DISTINCT unnest({_DUCK_WORDS}) AS w
                        FROM documents WHERE doc_id % 2 = 1)
             SELECT
+              (SELECT count(DISTINCT w)
+               FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents))
+                AS exact_distinct,
+              true AS hll_ok,
               (SELECT count(*) FROM (SELECT w FROM a UNION SELECT w FROM b))
                 AS exact_union,
               (SELECT count(*) FROM (SELECT w FROM a INTERSECT SELECT w FROM b))
@@ -2387,6 +2427,41 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(*) FROM (SELECT w FROM a EXCEPT SELECT w FROM b))
                 AS exact_a_minus_b,
               true AS kmv_union_ok, true AS kmv_inter_ok, true AS kmv_diff_ok
+        """,
+        "boilerplate_lines": """
+            WITH split AS (
+              SELECT doc_id,
+                     string_split(
+                       replace(replace(replace(replace(replace(replace(text,
+                         ' the ', chr(10)), ' a ', chr(10)), ' table ', chr(10)),
+                         ' value ', chr(10)), ' fast ', chr(10)), ' row ', chr(10)),
+                       chr(10)) AS lst
+              FROM documents),
+            lines AS (
+              SELECT doc_id, i AS pos, trim(lst[i]) AS line
+              FROM split, UNNEST(generate_series(1, len(lst))) AS s(i)
+              WHERE trim(lst[i]) <> ''),
+            thr AS (
+              SELECT greatest(2, (count(*) + 49) // 50) AS min_docs
+              FROM documents),
+            freq AS (
+              SELECT line FROM lines GROUP BY line
+              HAVING count(DISTINCT doc_id) >= (SELECT min_docs FROM thr)),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line FROM lines l
+              LEFT JOIN freq f ON l.line = f.line WHERE f.line IS NULL),
+            agg AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                     count(*) AS n_lines_kept
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id)
+            SELECT s.doc_id, coalesce(a.text, '') AS text,
+                   coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+                   coalesce(t.n, 0) - coalesce(a.n_lines_kept, 0)
+                     AS n_lines_dropped
+            FROM split s
+            LEFT JOIN agg a USING (doc_id) LEFT JOIN tot t USING (doc_id)
+            ORDER BY doc_id
         """,
         "heavy_hitters": f"""
             (SELECT 'cms' AS sketch, w AS word, count(*) AS cnt, true AS sketch_ok
