@@ -764,10 +764,35 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         and abs(est.overlap - shared) / max(shared, 1) <= tol
         and abs(est.est_join_rows - join_rows) / max(join_rows, 1) <= 2 * tol
     )
+
+    # AMS (round-4): join rows WITH duplicates + per-side self-join
+    # size, no frequency model — exact F2 hash-matches DuckDB, the
+    # inner-product estimate self-asserts inside its 4-sigma band
+    from prefix_filter_spark.operators.join_stats import estimate_join_rows_ams
+    from prefix_filter_spark.sketches import ams as amsm
+
+    aest = estimate_join_rows_ams(
+        li, "l_orderkey", od, "o_orderkey", amsm.AmsConfig(width=4096, depth=7, seed=23)
+    )
+    self_join = (
+        li.groupBy("l_orderkey")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    f2_tol = 4 * amsm.AmsConfig(width=4096).rel_error_f2()
+    ams_ok = (
+        abs(aest.est_join_rows - join_rows) <= aest.tolerance
+        and abs(aest.f2_a - self_join) <= f2_tol * self_join
+        # orders keys are unique: F2 == rows exactly in expectation
+        and abs(aest.f2_b - od.count()) <= f2_tol * od.count()
+    )
     return spark.createDataFrame(
-        [(int(da), int(db), int(shared), int(join_rows), bool(ok))],
+        [(int(da), int(db), int(shared), int(join_rows), int(self_join),
+          bool(ok), bool(ams_ok))],
         "n_keys_lineitem long, n_keys_orders long, n_shared long, "
-        "join_rows long, kmv_ok boolean",
+        "join_rows long, self_join_rows_lineitem long, "
+        "kmv_ok boolean, ams_ok boolean",
     )
 
 
@@ -2555,7 +2580,10 @@ def oracle_sql() -> dict[str, str]:
                    ON a.l_orderkey = b.o_orderkey) AS n_shared,
               (SELECT count(*) FROM lineitem JOIN orders
                  ON l_orderkey = o_orderkey) AS join_rows,
-              true AS kmv_ok
+              (SELECT CAST(sum(c * c) AS BIGINT) FROM
+                 (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey))
+                AS self_join_rows_lineitem,
+              true AS kmv_ok, true AS ams_ok
         """,
         "srp_near_dup_pairs": """
             WITH base AS (

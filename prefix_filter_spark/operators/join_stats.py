@@ -1,4 +1,4 @@
-"""Pre-join cardinality estimation from KMV sketches.
+"""Pre-join cardinality estimation from KMV and AMS sketches.
 
 Answering "how big is this join?" BEFORE shuffling 100 TB: two
 map-side KMV sketch builds (one tiny tree-merge each, no data
@@ -8,6 +8,13 @@ estimate adds the uniform-frequency assumption (rows/distinct per
 side), the same first-order model cost-based optimizers start from —
 exact for key-to-key joins (multiplicity 1), documented bias when
 per-key multiplicity correlates with key overlap.
+
+``estimate_join_rows_ams`` removes that assumption entirely: the AMS
+inner-product identity (sketches/ams.py) estimates the TRUE join row
+count sum_k fA(k)*fB(k) — duplicates included, no frequency model —
+from two more shuffle-free sketch builds, plus each side's self-join
+size F2 (the skew signal: F2 >> rows means a hot key and a salted or
+skew-AQE plan).
 
 Use it to pick a strategy up front: broadcast (tiny distinct dim),
 bucketed write (repeated joins on the same key), or a runtime-filter
@@ -21,7 +28,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-from prefix_filter_spark.sketches import kmv
+from prefix_filter_spark.sketches import ams, kmv
 
 
 @dataclass(frozen=True)
@@ -67,4 +74,39 @@ def estimate_join(
         rows_b=rows_b,
         est_join_rows=ov * (rows_a / da) * (rows_b / db),
         rel_error=cfg.rel_error(),
+    )
+
+
+@dataclass(frozen=True)
+class AmsJoinEstimate:
+    est_join_rows: int   # AMS inner product: sum_k fA(k) * fB(k)
+    f2_a: int            # self-join size of A on the key (skew signal)
+    f2_b: int
+    tolerance: float     # 4 * sqrt(2 * f2_a * f2_b / width) per-row std
+
+
+def estimate_join_rows_ams(
+    dfa: DataFrame,
+    key_a,
+    dfb: DataFrame,
+    key_b,
+    cfg: ams.AmsConfig | None = None,
+) -> AmsJoinEstimate:
+    """Exact-in-expectation join row count WITH duplicates, from two
+    shuffle-free AMS builds (per-partition partials + tree merge). Both
+    sides sketch with the SAME config so the states are comparable.
+    ``tolerance`` is the 4-sigma per-row band; the reported median of
+    ``cfg.depth`` rows concentrates well inside it."""
+    import math
+
+    cfg = cfg or ams.AmsConfig()
+    sa = ams.sketch_bytes(dfa.select(key_a), dfa.select(key_a).columns[0], cfg)
+    sb = ams.sketch_bytes(dfb.select(key_b), dfb.select(key_b).columns[0], cfg)
+    f2a = ams.f2_estimate(sa)
+    f2b = ams.f2_estimate(sb)
+    return AmsJoinEstimate(
+        est_join_rows=ams.inner_product_estimate(sa, sb),
+        f2_a=f2a,
+        f2_b=f2b,
+        tolerance=4.0 * math.sqrt(2.0 * max(f2a, 1) * max(f2b, 1) / cfg.width),
     )
