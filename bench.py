@@ -522,6 +522,31 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         ).collect()
 
     times["bm25_score"] = _timed_best(_bm25, name="bm25_score")
+
+    # round-4 session-8: line-level boilerplate removal (map-only
+    # literal apply over the derived multi-line corpus) and the AMS
+    # pre-join sizing pass (two shuffle-free sketch builds)
+    def _boiler():
+        import __spark_entry__ as em
+
+        em.q_boilerplate_lines(spark, sf_dir).count()
+
+    times["boilerplate_lines"] = _timed_best(_boiler, name="boilerplate_lines")
+
+    def _ams():
+        from prefix_filter_spark.operators.join_stats import (
+            estimate_join_rows_ams,
+        )
+        from prefix_filter_spark.sketches import ams as amsm
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        estimate_join_rows_ams(
+            li, "l_orderkey", od, "o_orderkey",
+            amsm.AmsConfig(width=4096, depth=7, seed=23),
+        )
+
+    times["ams_join_size"] = _timed_best(_ams, name="ams_join_size")
     return times
 
 
