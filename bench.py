@@ -547,6 +547,21 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         )
 
     times["ams_join_size"] = _timed_best(_ams, name="ams_join_size")
+
+    # round-4 session-9: frequent-directions matrix sketch over the
+    # embeddings table (one pass, per-partition states, tree-merge —
+    # the data never shuffles)
+    def _fd():
+        from prefix_filter_spark.sketches import fd as fdm
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()["embedding"])
+        st = fdm.sketch_bytes(
+            emb.repartition(32), "embedding", fdm.FdConfig(ell=16, dim=dim)
+        )
+        assert fdm.shrink_mass(st) <= fdm.frobenius_sq(st) / 16
+
+    times["fd_build"] = _timed_best(_fd, name="fd_build")
     return times
 
 

@@ -5,7 +5,8 @@ Brand-new engine (not a port) with the capabilities of the reference AMQ
 filter library TomerEven/Prefix-Filter (PVLDB 15(7), arXiv:2203.17139):
 prefix-filter approximate membership (pocket-dictionary L1 + spare L2),
 Bloom, HyperLogLog, count-min, KLL, t-digest, KMV/theta, Misra-Gries,
-DDSketch and a static Xor filter — all built as mergeable,
+DDSketch, AMS, frequent-directions and a static Xor filter — all built
+as mergeable,
 associative aggregators over DataFrames of pre-tokenized sequences
 ``(doc_id string, tokens array<int32>, n_tok int, source string)``,
 using vectorized pandas/Arrow UDFs (no per-row Python).
