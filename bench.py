@@ -562,6 +562,23 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         assert fdm.shrink_mass(st) <= fdm.frobenius_sq(st) / 16
 
     times["fd_build"] = _timed_best(_fd, name="fd_build")
+
+    # round-4 session-9: PQ compressed ANN — train bounded-sample
+    # codebooks once, then the ADC scan (corpus streams its m-byte
+    # codes, never shuffles; 32x less scan I/O than the exact path)
+    def _pq():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators import pq as pqm
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        books = pqm.pq_train_codebooks(emb, pqm.PqConfig(m=8, k=64, seed=7))
+        pqm.pq_adc_topk(emb, q, k=5, books=books).collect()
+
+    times["pq_adc_topk"] = _timed_best(_pq, name="pq_adc_topk")
     return times
 
 
