@@ -127,6 +127,19 @@ def main() -> int:
          "the join-replacement contract: fact scan -> guard + lookup "
          "ArrowEvalPython projections, ZERO exchanges — the dim rides "
          "as a broadcast retrieval map, the fact never shuffles"),
+        ("pq_encode", None,
+         "compressed-mirror write path: scan -> ONE ArrowEvalPython "
+         "projection (codebooks ride a broadcast), ZERO exchanges — "
+         "the m-byte code column costs one map-only pass"),
+        ("pq_adc_topk", None,
+         "ADC scan: corpus streams once through MapInPandas (encode + "
+         "LUT gather + per-partition top-k); the only exchange is the "
+         "final window over partitions x queries x k candidate rows — "
+         "the corpus itself never shuffles"),
+        ("fd_build", None,
+         "matrix sketch: same partials + tree-merge shape as kmv/hll — "
+         "MapInPandas over the embedding column, tiny state rows, no "
+         "data shuffle"),
     ]
 
     out = [
@@ -297,7 +310,36 @@ def main() -> int:
         em = build_enrichment_map(dim, "source", "b", value_bits=8, seed=31)
         return enrich(spark, docs, "source", em, "src_bucket", udf_prefix="audit_me")
 
+    def _pq_encode_df():
+        from prefix_filter_spark.operators import pq
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        books = pq.pq_train_codebooks(emb, pq.PqConfig(m=8, k=64, seed=7))
+        return pq.pq_encode(emb, books)
+
+    def _pq_adc_df():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators import pq
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        books = pq.pq_train_codebooks(emb, pq.PqConfig(m=8, k=64, seed=7))
+        return pq.pq_adc_topk(emb, q, k=5, books=books)
+
+    def _fd_build_df():
+        from prefix_filter_spark.sketches import fd
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()["embedding"])
+        return fd.build_fd(emb, "embedding", fd.FdConfig(ell=16, dim=dim))
+
     direct = {"prefix_filter_build": lambda: _pf_build_df()[0],
+              "pq_encode": _pq_encode_df,
+              "pq_adc_topk": _pq_adc_df,
+              "fd_build": _fd_build_df,
               "map_enrich": _map_enrich_df,
               "hot_bucket_pairs_capped": _hot_bucket_df,
               "lm_perplexity": _lm_df,
