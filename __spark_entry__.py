@@ -1883,18 +1883,31 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-ANN gate: emits the EXACT brute-force top-k table (DuckDB-
-    mirrorable, the same machinery as embedding_topk) plus a
-    self-asserted recall bound for the SRP-LSH path against that exact
-    answer (>= 0.85). The gate probes the high-recall band setting
-    (bands=32, i.e. 2-bit chunks — measured recall 1.0 at every SF
-    incl. the 500-vector minimum, where top-5 neighbors of isotropic
-    data are near-random and bands=16 dips to 0.775); band count is
-    the documented recall/cost knob, and the bench times the lean
-    bands=16 configuration. The ANN plan stays the scale path: banded
-    signature buckets + candidates-only rerank, never all-pairs."""
-    from prefix_filter_spark.operators.similarity import cosine_topk, srp_ann_topk
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-family gate (merged round-4 session-9 from the separate
+    srp_ann_topk / ivf_ann_topk gates to free a slot under the
+    driver's 50-entry cap — the round-3 lesson): emits the EXACT
+    brute-force top-k table (DuckDB-mirrorable, the same machinery as
+    embedding_topk) plus one self-asserted recall flag per ANN scale
+    path against that exact answer.
+
+    - SRP-LSH at the high-recall band setting (bands=32; measured
+      recall 1.0 at every SF; bands=16 is the lean bench setting).
+    - IVF at nlist=16/nprobe=10 — isotropic embeddings are IVF's
+      worst case; measured 0.75 (sf0.01) / 0.925 (sf0.1),
+      asserted >= 0.7.
+    - PQ-ADC CANDIDATE containment: the exact top-5 must lie inside
+      the ADC top-100 candidate set (the two-stage contract —
+      operators/pq.py: ADC generates, exact rerank orders); measured
+      0.925/1.0/0.825 at sf0.001/0.01/0.1 on worst-case isotropic
+      data, asserted >= 0.7.
+    """
+    from prefix_filter_spark.operators.pq import PqConfig, pq_adc_topk, pq_train_codebooks
+    from prefix_filter_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        srp_ann_topk,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8).select(
@@ -1902,60 +1915,45 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = 5
     exact = cosine_topk(emb, queries, k=k)
-    ann = srp_ann_topk(emb, queries, k=k, bands=32)
     n_exact = exact.count()
-    hits = (
-        exact.select("query_id", "vec_id")
-        .join(ann.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
-        .count()
-    )
-    recall_ok = bool(n_exact > 0 and hits / n_exact >= 0.85)
+    exact_ids = exact.select("query_id", "vec_id")
+
+    def _recall(ann: DataFrame) -> float:
+        hits = exact_ids.join(
+            ann.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+        ).count()
+        return hits / n_exact if n_exact else 0.0
+
+    srp_ok = bool(_recall(srp_ann_topk(emb, queries, k=k, bands=32)) >= 0.85)
+    ivf_ok = bool(_recall(ivf_ann_topk(emb, queries, k=k, nlist=16, nprobe=10)) >= 0.7)
+    books = pq_train_codebooks(emb, PqConfig(m=8, k=64, seed=7))
+    pq_ok = bool(_recall(pq_adc_topk(emb, queries, k=100, books=books)) >= 0.7)
     return (
         exact.select(
             "query_id",
             "vec_id",
             F.round("cosine", 6).alias("cosine"),
             "rank",
-            F.lit(recall_ok).alias("ann_recall_ok"),
+            F.lit(srp_ok).alias("srp_recall_ok"),
+            F.lit(ivf_ok).alias("ivf_recall_ok"),
+            F.lit(pq_ok).alias("pq_recall_ok"),
         )
         .orderBy("query_id", "rank")
     )
 
 
-def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN gate (the brief's second ANN scale path beside SRP-LSH):
-    exact top-k table mirrored in SQL + self-asserted IVF recall. The
-    synthetic embeddings are isotropic (no cluster structure), the
-    worst case for IVF — recall at nlist=16/nprobe=10 measures 0.75
-    (sf0.01) / 0.925 (sf0.1), deterministic under the seeded trainer;
-    asserted >= 0.7. On real clustered embeddings the same index
-    reaches high recall at much lower nprobe."""
-    from prefix_filter_spark.operators.similarity import cosine_topk, ivf_ann_topk
+def q_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout gate: the Morton codes the layout sorts by are a
+    pure function of the data (minmax rank -> bit interleave, all
+    integer/IEEE-exact), so DuckDB reproduces them bit-for-bit with
+    the same shift-and-mask chain (sources/zorder.py). Gating the
+    CODE gates the layout: repartitionByRange+sort preserve rows and
+    order by z deterministically."""
+    from prefix_filter_spark.sources import zorder
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    k = 5
-    exact = cosine_topk(emb, queries, k=k)
-    ann = ivf_ann_topk(emb, queries, k=k, nlist=16, nprobe=10)
-    n_exact = exact.count()
-    hits = (
-        exact.select("query_id", "vec_id")
-        .join(ann.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
-        .count()
-    )
-    recall_ok = bool(n_exact > 0 and hits / n_exact >= 0.7)
-    return (
-        exact.select(
-            "query_id",
-            "vec_id",
-            F.round("cosine", 6).alias("cosine"),
-            "rank",
-            F.lit(recall_ok).alias("ivf_recall_ok"),
-        )
-        .orderBy("query_id", "rank")
-    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    z = zorder.zorder_value(ev, ["user_id", "event_id"], modes=["minmax", "minmax"])
+    return ev.select("event_id", z.alias("z")).orderBy("event_id")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2141,7 +2139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     single-row membership gates are consolidated into
     ``filters_membership`` (one row per filter kind, same assertions),
     and the seven queries that fell past the cap in round 3
-    (simhash_pairs, srp_ann_topk, ivf_ann_topk, runtime_filter_join,
+    (simhash_pairs, the ANN gates — merged into ann_topk in round-4
+    session-9, freeing the slot used by zorder_morton — runtime_filter_join,
     pf_join_probe, plus the two quantile gates) are registered early.
     Round-4 session-4 merges freed two more slots — the two quantile
     gates became ``sketch_quantiles`` and the two heavy-hitter gates
@@ -2157,8 +2156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "events_json_props": q_events_json_props,
         "simhash_pairs": q_simhash_pairs,
-        "srp_ann_topk": q_srp_ann_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
+        "ann_topk": q_ann_topk,
+        "zorder_morton": q_zorder_morton,
         "runtime_filter_join": q_runtime_filter_join,
         "pf_join_probe": q_pf_join_probe,
         "sketch_quantiles": q_sketch_quantiles,
@@ -2870,7 +2869,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
             ORDER BY l_returnflag
         """,
-        "srp_ann_topk": """
+        "ann_topk": """
             WITH pairs AS (
               SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
                      list_dot_product(q.emb_d, e.emb_d)
@@ -2887,28 +2886,35 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, vec_id) AS rank
               FROM pairs)
             SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank,
-                   true AS ann_recall_ok
+                   true AS srp_recall_ok, true AS ivf_recall_ok,
+                   true AS pq_recall_ok
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
-        "ivf_ann_topk": """
-            WITH pairs AS (
-              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                     list_dot_product(q.emb_d, e.emb_d)
-                       / (sqrt(list_dot_product(q.emb_d, q.emb_d))
-                          * sqrt(list_dot_product(e.emb_d, e.emb_d))) AS cosine
-              FROM (SELECT vec_id, list_transform(embedding, x -> x::double) emb_d
-                    FROM embeddings WHERE vec_id < 8) q
-              JOIN (SELECT vec_id, list_transform(embedding, x -> x::double) emb_d
-                    FROM embeddings) e
-                ON q.vec_id <> e.vec_id),
-            ranked AS (
-              SELECT query_id, vec_id, cosine,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, vec_id) AS rank
-              FROM pairs)
-            SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank,
-                   true AS ivf_recall_ok
-            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        "zorder_morton": """
+            WITH stats AS (
+              SELECT min(user_id) AS lo_a, max(user_id) AS hi_a,
+                     min(event_id) AS lo_b, max(event_id) AS hi_b
+              FROM events),
+            r AS (
+              SELECT event_id,
+                     least(CAST(floor(((user_id::DOUBLE - lo_a::DOUBLE)
+                              / (hi_a::DOUBLE - lo_a::DOUBLE)) * 65536.0)
+                            AS BIGINT), 65535) AS a,
+                     least(CAST(floor(((event_id::DOUBLE - lo_b::DOUBLE)
+                              / (hi_b::DOUBLE - lo_b::DOUBLE)) * 65536.0)
+                            AS BIGINT), 65535) AS b
+              FROM events, stats),
+            s1 AS (SELECT event_id, (a | (a << 16)) & 281470681808895 AS a,
+                          (b | (b << 16)) & 281470681808895 AS b FROM r),
+            s2 AS (SELECT event_id, (a | (a << 8)) & 71777214294589695 AS a,
+                          (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+            s3 AS (SELECT event_id, (a | (a << 4)) & 1085102592571150095 AS a,
+                          (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+            s4 AS (SELECT event_id, (a | (a << 2)) & 3689348814741910323 AS a,
+                          (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+            s5 AS (SELECT event_id, (a | (a << 1)) & 6148914691236517205 AS a,
+                          (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
+            SELECT event_id, (a | (b << 1)) AS z FROM s5 ORDER BY event_id
         """,
         "simhash_pairs": """
             SELECT (SELECT count(*) FROM documents WHERE n_chars % 17 = 0)
