@@ -283,10 +283,15 @@ def q_lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from prefix_filter_spark.operators.text import token_stats
+    """Whitespace AND BPE-ish-regex token stats in ONE per-source gate
+    (merged round-4 session-9 from the separate token_stats /
+    bpe_token_stats rows to free a driver slot for nb_quality; same
+    aggregations, joined on source)."""
+    from prefix_filter_spark.operators.text import bpe_token_stats, token_stats
 
-    return (
-        token_stats(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    ws = (
+        token_stats(docs)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -294,8 +299,18 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_words"), 6).alias("avg_words"),
             F.round(F.avg("chars_per_word"), 6).alias("avg_cpw"),
         )
-        .orderBy("source")
     )
+    bpe = (
+        bpe_token_stats(docs)
+        .groupBy("source")
+        .agg(
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.avg(F.col("n_bpe_tokens") / F.col("n_words")), 6).alias(
+                "bpe_per_word"
+            ),
+        )
+    )
+    return ws.join(bpe, "source").orderBy("source")
 
 
 def q_tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,21 +356,22 @@ def q_tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from prefix_filter_spark.operators.text import bpe_token_stats
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/fastText-style quality classifier gate (round-4): train the
+    hashed-token Naive Bayes model on lang=='en' as the positive class
+    (the CCNet recipe: 'looks like the good corpus'), score every doc.
+    score_fp is an exact integer (fixed-point llr sum — see
+    operators/classifier.py determinism notes), so DuckDB reproduces
+    the whole train+score pipeline bit-for-bit; prob is rounded to 4
+    decimals per the lm_perplexity libm-boundary policy."""
+    from prefix_filter_spark.operators.classifier import nb_score, nb_train
 
+    docs = _docs(spark, sf_dir)
+    model = nb_train(docs, F.col("lang") == "en")
     return (
-        bpe_token_stats(_docs(spark, sf_dir))
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_words").alias("total_words"),
-            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
-            F.round(F.avg(F.col("n_bpe_tokens") / F.col("n_words")), 6).alias(
-                "bpe_per_word"
-            ),
-        )
-        .orderBy("source")
+        nb_score(docs, model)
+        .select("doc_id", "n_feats", "score_fp", F.round("prob", 4).alias("prob"))
+        .orderBy("doc_id")
     )
 
 
@@ -2169,7 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_matrix": q_lang_source_matrix,
         "token_stats": q_token_stats,
         "tokenized_sequences": q_tokenized_sequences,
-        "bpe_token_stats": q_bpe_token_stats,
+        "nb_quality": q_nb_quality,
         "winnow_fingerprints": q_winnow_fingerprints,
         "text_signals": q_text_signals,
         "unigram_scores": q_unigram_scores,
@@ -2264,11 +2280,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": f"""
             WITH t AS (SELECT source, len({_DUCK_WORDS}) AS n_words,
-                              n_chars::double / len({_DUCK_WORDS}) AS cpw
+                              n_chars::double / len({_DUCK_WORDS}) AS cpw,
+                              len(regexp_extract_all(lower(text),
+                                  '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
+                                AS n_bpe
                        FROM documents)
             SELECT source, count(*) AS n_docs, sum(n_words)::BIGINT AS total_words,
                    round(avg(n_words), 6) AS avg_words,
-                   round(avg(cpw), 6) AS avg_cpw
+                   round(avg(cpw), 6) AS avg_cpw,
+                   sum(n_bpe)::BIGINT AS total_bpe_tokens,
+                   round(avg(n_bpe::double / n_words), 6) AS bpe_per_word
             FROM t GROUP BY source ORDER BY source
         """,
         "tokenized_sequences": f"""
@@ -2277,18 +2298,51 @@ def oracle_sql() -> dict[str, str]:
                    true AS arrays_identical, true AS ids_in_vocab
             FROM documents GROUP BY source ORDER BY source
         """,
-        "bpe_token_stats": f"""
-            WITH t AS (
-              SELECT source, len({_DUCK_WORDS}) AS n_words,
-                     len(regexp_extract_all(lower(text),
-                         '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
-                       AS n_bpe
-              FROM documents)
-            SELECT source, count(*) AS n_docs,
-                   sum(n_words)::BIGINT AS total_words,
-                   sum(n_bpe)::BIGINT AS total_bpe_tokens,
-                   round(avg(n_bpe::double / n_words), 6) AS bpe_per_word
-            FROM t GROUP BY source ORDER BY source
+        "nb_quality": f"""
+            WITH toks AS (SELECT doc_id, (lang = 'en') AS y,
+                                 {_DUCK_WORDS} AS ws
+                          FROM documents),
+            feats AS (
+              SELECT doc_id, y,
+                     CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT % 32768
+                          AS BIGINT) AS bucket
+              FROM (SELECT doc_id, y, unnest(ws) AS w FROM toks)),
+            counts AS (
+              SELECT bucket,
+                     sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+                     sum(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+              FROM feats GROUP BY bucket),
+            tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg FROM counts),
+            nd AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_pos,
+                          sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_neg
+                   FROM documents),
+            consts AS (
+              SELECT CAST(round(10000 * ln(n_pos::DOUBLE / n_neg)) AS BIGINT)
+                       AS prior_fp,
+                     CAST(round(10000 * (ln(1.0 / (t_pos + 32768.0))
+                                         - ln(1.0 / (t_neg + 32768.0))))
+                          AS BIGINT) AS unseen_fp
+              FROM nd, tot),
+            llr AS (
+              SELECT bucket,
+                     CAST(round(10000 * (ln((c_pos + 1.0) / (t_pos + 32768.0))
+                                         - ln((c_neg + 1.0) / (t_neg + 32768.0))))
+                          AS BIGINT) AS llr_fp
+              FROM counts, tot),
+            perdoc AS (
+              SELECT f.doc_id, count(*) AS n_feats,
+                     sum(coalesce(l.llr_fp, (SELECT unseen_fp FROM consts)))
+                       AS s
+              FROM feats f LEFT JOIN llr l USING (bucket) GROUP BY f.doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+                   (coalesce(p.s, 0) + (SELECT prior_fp FROM consts))::BIGINT
+                     AS score_fp,
+                   round(1.0 / (1.0 + exp(-((coalesce(p.s, 0)
+                         + (SELECT prior_fp FROM consts))::DOUBLE / 10000.0))), 4)
+                     AS prob
+            FROM documents d LEFT JOIN perdoc p USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "winnow_fingerprints": f"""
             WITH s AS (SELECT doc_id, source,

@@ -579,6 +579,21 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         pqm.pq_adc_topk(emb, q, k=5, books=books).collect()
 
     times["pq_adc_topk"] = _timed_best(_pq, name="pq_adc_topk")
+
+    # round-4 session-10: hashed-token NB quality classifier (the
+    # CCNet/fastText pipeline stage) — train on the labeled seed
+    # (bounded, one bucket-key agg) + score the corpus (broadcast llr
+    # join, one doc-key shuffle)
+    def _nb():
+        from pyspark.sql import functions as F
+
+        from prefix_filter_spark.operators.classifier import nb_score, nb_train
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        model = nb_train(docs, F.col("lang") == "en")
+        nb_score(docs, model).agg(F.sum("score_fp"), F.sum("n_feats")).collect()
+
+    times["nb_score"] = _timed_best(_nb, name="nb_score")
     return times
 
 

@@ -80,9 +80,12 @@ def test_zorder_layout_prunes_box_queries(spark):
         .distinct()
         .count()
     )
-    # the box is 1/64 of the space: z-order confines it to <= 4 of 16
-    # partitions; a-sorted layout puts a b-stripe in EVERY partition
-    assert z_parts <= 4, f"z-order box touched {z_parts} partitions"
+    # the box is 1/64 of the space: z-order confines it to ~4 of 16
+    # partitions (4 z-ranges worst case, +-2 because repartitionByRange
+    # SAMPLES its boundaries — 100 rows/input-partition — so cut points
+    # jitter run to run); a-sorted layout puts a b-stripe in EVERY
+    # partition
+    assert z_parts <= 6, f"z-order box touched {z_parts} partitions"
     assert lin_parts >= 14, f"a-sort control touched only {lin_parts}"
     # even the unbounded b-stripe touches fewer z-partitions than the
     # a-sorted control (both dimensions keep locality)
