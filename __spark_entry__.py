@@ -2163,8 +2163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     became ``heavy_hitters`` — used by the new ``span_dedup`` and
     ``dsir_select`` gates. Round-4 session-6 merged the two per-source
     text gates (``quality_scores`` + ``repetition_scores``) into
-    ``text_signals``, freeing the slot for ``unigram_scores``. Every
-    individual q_* callable remains available as API and for pytest."""
+    ``text_signals``, freeing the slot for ``unigram_scores``.
+    Round-4 session-10 merged ``bpe_token_stats`` into ``token_stats``
+    (same aggregations, joined on source), freeing the slot for the
+    ``nb_quality`` classifier gate. Every individual q_* callable
+    remains available as API and for pytest."""
     return {
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
