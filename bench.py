@@ -53,6 +53,29 @@ _BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", 5))
 _HEAVY_CUTOFF_S = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_S", 3.0))
 
 
+def _gc_nudge() -> None:
+    """Untimed Python + JVM collection before each row's trial loop
+    (the JMH between-iteration System.gc() discipline). Motivation:
+    ~25 rows into the session, garbage from earlier rows' builds and
+    broadcast probes piles up until full-GC pauses land INSIDE a later
+    row's trials — qf_build measured [1.37, 1.88, 5.48, 8.56, 8.43] s
+    in-session vs a stable [1.2, 1.09, 0.92, 0.66, 0.66] s in an
+    isolated session (same code, same keys). A pre-row nudge costs
+    ~60 ms (measured on the 16 GB driver heap) and compacts the heap
+    so each row's trials measure the job, not its predecessors."""
+    import gc
+
+    gc.collect()
+    try:
+        from pyspark import SparkContext  # noqa: PLC0415
+
+        sc = SparkContext._active_spark_context
+        if sc is not None:
+            sc._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _timed_best(fn, repeats: int | None = None, name: str | None = None):
     """MEDIAN-of-N (round-4; the reference medians ROUNDS=9 full runs,
     smart_tests.hpp:20 + Generate-median-csv.py:176-186): N = 5 by
@@ -64,6 +87,7 @@ def _timed_best(fn, repeats: int | None = None, name: str | None = None):
     import statistics
 
     reps = _BENCH_TRIALS if repeats is None else repeats
+    _gc_nudge()
     ts = [_timed(fn) for _ in range(min(3, reps))]
     if reps > 3 and statistics.median(ts) < _HEAVY_CUTOFF_S:
         ts += [_timed(fn) for _ in range(reps - 3)]
