@@ -112,10 +112,11 @@ def tokenizer_fertility(
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Deterministic quality heuristics: length score, stopword ratio,
-    mean word length, combined score. Exact closed-form (oracle-able)."""
-    ws = words_col("text")
+def quality_exprs(text_col: str = "text") -> dict:
+    """The quality-heuristic expressions as reusable Columns (ONE code
+    path: quality_score's gate output and curation's map-only filter
+    both come from here, so the threshold semantics can never drift)."""
+    ws = words_col(text_col)
     n_words = F.size(ws)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
@@ -129,6 +130,24 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.lit(0.4) * length_score
         + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * 5.0)
         + F.lit(0.3) * F.least(F.lit(1.0), mean_wlen / 6.0)
+    )
+    return {
+        "n_words": n_words,
+        "stop_ratio": stop_ratio,
+        "mean_word_len": mean_wlen,
+        "quality": score,
+    }
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics: length score, stopword ratio,
+    mean word length, combined score. Exact closed-form (oracle-able)."""
+    q = quality_exprs("text")
+    n_words, stop_ratio, mean_wlen, score = (
+        q["n_words"],
+        q["stop_ratio"],
+        q["mean_word_len"],
+        q["quality"],
     )
     return docs.select(
         "doc_id",
