@@ -329,6 +329,76 @@ def build_partials(
     return src.mapInPandas(run, schema=SHARD_SCHEMA)
 
 
+def build_partials_multi(
+    df: DataFrame,
+    value_cols: dict,
+    sketches: dict,
+) -> DataFrame:
+    """N accumulator sketches from ONE pass over the data — the
+    scan-count win of the partials family at 100 TB: the standard
+    observability suite (distinct + frequency + heavy hitters +
+    quantiles) costs one corpus read instead of one per sketch.
+
+    ``value_cols``: {col_key: Column-or-name} — each value expression
+    is evaluated once JVM-side and shipped once through Arrow, shared
+    by every sketch bound to it. ``sketches``: {sketch_name: (col_key,
+    acc_factory)}. NULL values are skipped per sketch (so one exploded
+    row stream can carry a per-ROW value in one column and a per-GROUP
+    value materialized only on the group's first row in another —
+    NULLs elsewhere). Nullable long columns arrive in pandas as
+    float64 + NaN; after dropna they are cast back to int64, exact for
+    |v| < 2^53 (every token-id / count column here).
+
+    Output: SHARD_SCHEMA rows, one per (partition, sketch) — the same
+    shape ``build_partials`` emits, so ``tree_merge`` and the lineage
+    tooling apply unchanged. ``build_ns`` records the partition's
+    whole-scan time on each of its rows (the accumulators share the
+    pass; per-sketch attribution would be fiction). Callers fanning
+    out into per-sketch tree_merges should cache the returned
+    DataFrame first — each downstream filter re-scans otherwise.
+    """
+    sel = []
+    for k, col in value_cols.items():
+        c = F.col(col) if isinstance(col, str) else col
+        sel.append(c.alias(k))
+    src = df.select(*sel, F.spark_partition_id().alias("pid"))
+
+    def run(batches):
+        accs = {name: fac() for name, (_, fac) in sketches.items()}
+        rows = {name: 0 for name in sketches}
+        pid = -1
+        t0 = time.perf_counter_ns()
+        total = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            total += len(pdf)
+            for name, (key, _) in sketches.items():
+                v = pdf[key].dropna()
+                if not len(v):
+                    continue
+                arr = v.to_numpy()
+                if arr.dtype.kind == "f":
+                    arr = arr.astype(np.int64)
+                accs[name].update(arr)
+                rows[name] += len(v)
+        if total:
+            ns = time.perf_counter_ns() - t0
+            yield pd.DataFrame(
+                {
+                    "sketch": list(sketches),
+                    "shard_id": [pid] * len(sketches),
+                    "state": [accs[n].to_bytes() for n in sketches],
+                    "n_keys": [rows[n] for n in sketches],
+                    "input_rows": [total] * len(sketches),
+                    "build_ns": [ns] * len(sketches),
+                }
+            )
+
+    return src.mapInPandas(run, schema=SHARD_SCHEMA)
+
+
 def tree_merge(
     df: DataFrame,
     merge_fn: Callable[[list[bytes]], bytes],
