@@ -477,7 +477,11 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         # 4.7] s — pure interference). Unpersist exactly the RDDs this
         # trial created, leaving the bench's own caches alone.
         before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
-        connected_components(edges).count()
+        # shuffle width sized to the PAIR SET (200k edges), not the
+        # session's corpus-sized 128 — see the num_shuffle_partitions
+        # doc in components.py (~5 exchanges/round x ~8 rounds of
+        # 1.5k-row tasks otherwise)
+        connected_components(edges, num_shuffle_partitions=32).count()
         after = sc._jsc.getPersistentRDDs()
         for k in after.keySet().toArray():
             if int(k) not in before:

@@ -144,6 +144,7 @@ def connected_components(
     dst: str = "d2",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    num_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = the
     smallest node id reachable from it. Raises if ``max_iter`` rounds
@@ -169,10 +170,39 @@ def connected_components(
     appears — no cross-round fingerprint, no confirmation round, no
     init-fingerprint job. An input that is already a star forest pays
     one idempotent round instead of a pre-loop check: non-trivial
-    inputs (the common case) save that job every call."""
+    inputs (the common case) save that job every call.
+
+    ``num_shuffle_partitions``: width of every per-round exchange
+    (groupBy-min, join, distinct). The rounds inherit the session's
+    ``spark.sql.shuffle.partitions`` by default — sized for the
+    CORPUS, not for the pair set, which is orders of magnitude
+    smaller (dup pairs, not documents) and shrinks every round; an
+    iterative job pays that mismatch ~5 exchanges x rounds times.
+    Size it to the edge count (~50k-500k edges/task): the gate-scale
+    graph (200k edges) at the bench session's 128 -> 1.5k rows/task
+    of pure task overhead vs 32. Scoped via a conf set/restore around
+    the loop (the value is read at each round's plan time), so
+    concurrent queries on the session should not rely on the session
+    width while a CC call is in flight — same caveat the per-query
+    conf overrides in bench.py already document."""
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    if num_shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(num_shuffle_partitions)
+        )
+        try:
+            out = connected_components(
+                pairs, src, dst, max_iter, checkpoint_dir, None
+            )
+            # the returned plan is rooted at the final round's
+            # checkpointed RDD, so its partitioning is already fixed —
+            # restoring the session width here cannot widen it
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     def _truncate(df: DataFrame) -> DataFrame:
         # lazy: the per-round star-forest check is the materializing

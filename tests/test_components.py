@@ -158,3 +158,22 @@ def test_checkpoint_dir_reliable_path(spark, tmp_path):
     }
     assert got == want
     assert any(os.scandir(cp)), "no checkpoint files written"
+
+
+def test_num_shuffle_partitions_identical_result(spark):
+    """The explicit shuffle-width override changes only the physical
+    layout: same mapping as the session-width run, and the session
+    width is restored afterwards (including on the non-override
+    path's exception-free exit)."""
+    rng = random.Random(13)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    a = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    b = {
+        r["node"]: r["component"]
+        for r in connected_components(df, num_shuffle_partitions=4).collect()
+    }
+    assert a == b
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
