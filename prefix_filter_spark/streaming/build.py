@@ -398,3 +398,114 @@ def streaming_dds_quantiles_by_source(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+def streaming_token_profile_by_source(
+    events: DataFrame,
+    *,
+    timeout: str = "NoTimeout",
+):
+    """Streaming twin of ``operators.profile.token_sketch_profile``:
+    the per-``source`` running SIX-sketch observability suite (HLL +
+    KMV distinct, CMS frequencies, Misra-Gries heavy hitters, KLL +
+    t-digest quantiles) as ONE applyInPandasWithState operator — six
+    sketches, one pass over the stream, O(six small states) per group.
+
+    Input stream schema mirrors the batch projection: (source string,
+    token long, ntok_once long) — every token occurrence once in
+    ``token``, each doc's n_tok exactly once in ``ntok_once`` (NULL on
+    every other row of the doc; the NULL skip routes it only to the
+    quantile sketches).
+
+    Output per (batch, source): the six serialized states (queryable
+    downstream with functions.register_sketch_sql — hll_estimate /
+    cms_point / kll_quantile / ... over the output table) plus
+    headline estimates and the cumulative row count ``n_total`` (the
+    final row per source = max n_total).
+
+    Equivalence to batch (pytest, test_token_profile.py): the
+    canonical-merge sketches (HLL register-max, CMS counter-add, KMV
+    k-min union) finish BIT-IDENTICAL to a batch
+    ``build_partials_multi`` over the same rows under ANY trigger
+    chopping; MG/KLL/t-digest finish within their published
+    merge-order bounds (their states are not canonical under
+    regrouping — same caveat their batch merge tests pin).
+    """
+    import numpy as np
+
+    from prefix_filter_spark.sketches import cms, hll, kll, kmv, mg, tdigest
+
+    mods = {
+        "hll": (hll, lambda: hll.HllAccumulator(hll.HllConfig())),
+        "cms": (cms, lambda: cms.CmsAccumulator(cms.CmsConfig())),
+        "mg": (mg, lambda: mg.MgAccumulator(mg.MgConfig())),
+        "kmv": (kmv, lambda: kmv.KmvAccumulator(kmv.KmvConfig())),
+        "kll": (kll, lambda: kll.KllSketch(kll.KllConfig())),
+        "td": (tdigest, lambda: tdigest.TDigest(tdigest.TDigestConfig())),
+    }
+    order = list(mods)
+
+    def _ints(series):
+        v = series.dropna()
+        if not len(v):
+            return None
+        arr = v.to_numpy()
+        if arr.dtype.kind == "f":
+            arr = arr.astype(np.int64)
+        return arr
+
+    def update(key, pdfs, state: GroupState):
+        accs = {n: fac() for n, (_, fac) in mods.items()}
+        rows = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            tok = _ints(pdf["token"])
+            if tok is not None:
+                for n in ("hll", "cms", "mg", "kmv"):
+                    accs[n].update(tok)
+            no = _ints(pdf["ntok_once"])
+            if no is not None:
+                accs["kll"].update(no)
+                accs["td"].update(no)
+        new = {n: accs[n].to_bytes() for n in order}
+        if state.exists:
+            prev = state.get
+            n_total = int(prev[-1]) + rows
+            new = {
+                n: mods[n][0].merge_states([bytes(prev[i]), new[n]])
+                for i, n in enumerate(order)
+            }
+        else:
+            n_total = rows
+        state.update(tuple(new[n] for n in order) + (n_total,))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_total": [n_total],
+                "distinct_est": [hll.estimate(new["hll"])],
+                "total_tokens": [cms.total_count(new["cms"])],
+                "p50_ntok": [kll.KllSketch.from_bytes(new["kll"]).quantile(0.5)],
+                **{n: [new[n]] for n in order},
+            }
+        )
+
+    timeout_conf = getattr(GroupStateTimeout, timeout, None)
+    if timeout_conf is None:
+        raise ValueError(
+            f"unknown timeout {timeout!r}; expected a GroupStateTimeout name"
+        )
+    return events.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "source string, n_total long, distinct_est double, "
+            "total_tokens long, p50_ntok double, "
+            "hll binary, cms binary, mg binary, kmv binary, "
+            "kll binary, td binary"
+        ),
+        stateStructType=(
+            "hll binary, cms binary, mg binary, kmv binary, "
+            "kll binary, td binary, n_total long"
+        ),
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )

@@ -139,3 +139,74 @@ def test_single_scan_plan(spark, tmp_path):
     # six sketches per populated partition, one scan
     got = partials.groupBy("sketch").count().collect()
     assert {r["sketch"] for r in got} == {"hll", "cms", "mg", "kmv", "kll", "td"}
+
+
+def test_streaming_twin_matches_batch(spark, tmp_path):
+    """streaming_token_profile_by_source over trigger-chopped files ==
+    batch build over the same rows: HLL/CMS/KMV states bit-identical
+    (canonical merges), MG/KLL/t-digest estimates within bounds."""
+    from prefix_filter_spark.sketches import base, cms, hll, kmv
+    from prefix_filter_spark.streaming.build import (
+        streaming_token_profile_by_source,
+    )
+
+    df, rows = _seqs(spark, n_docs=150, seed=3)
+    ex = df.select(
+        F.lit("s0").alias("source"),
+        F.posexplode("tokens").alias("pos", "tok"),
+        F.col("n_tok"),
+    ).select(
+        "source",
+        F.col("tok").cast("long").alias("token"),
+        F.when(F.col("pos") == 0, F.col("n_tok"))
+        .cast("long")
+        .alias("ntok_once"),
+    )
+    src = str(tmp_path / "stream_src")
+    # several files -> several stream chops
+    ex.repartition(5).write.parquet(src)
+    stream = spark.readStream.schema(
+        "source string, token long, ntok_once long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_token_profile_by_source(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tok_profile_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    pdf = spark.sql(
+        "SELECT * FROM tok_profile_stream ORDER BY n_total DESC LIMIT 1"
+    ).toPandas()
+    assert int(pdf["n_total"].iloc[0]) == ex.count()
+
+    batch = {}
+    for name, (col, fac, mod) in {
+        "hll": ("token", lambda: hll.HllAccumulator(hll.HllConfig()), hll),
+        "cms": ("token", lambda: cms.CmsAccumulator(cms.CmsConfig()), cms),
+        "kmv": ("token", lambda: kmv.KmvAccumulator(kmv.KmvConfig()), kmv),
+    }.items():
+        part = base.build_partials(
+            ex.select(col).where(F.col(col).isNotNull()),
+            col,
+            sketch_name=name,
+            acc_factory=fac,
+        )
+        batch[name] = bytes(
+            base.tree_merge(part, mod.merge_states).collect()[0]["state"]
+        )
+    for name in ("hll", "cms", "kmv"):
+        assert bytes(pdf[name].iloc[0]) == batch[name], name
+    # bound checks for the non-canonical sketches
+    flat = [t for _, toks, _, _ in rows for t in toks]
+    ntoks = sorted(n for _, _, n, _ in rows)
+    assert pdf["total_tokens"].iloc[0] == len(flat)
+    p50 = pdf["p50_ntok"].iloc[0]
+    import bisect
+
+    lo = bisect.bisect_left(ntoks, p50) / len(ntoks)
+    hi = bisect.bisect_right(ntoks, p50) / len(ntoks)
+    assert lo - 0.05 <= 0.5 <= hi + 0.05
