@@ -129,6 +129,12 @@ def token_sketch_profile(
         rows = base.tree_merge(
             partials.where(F.col("sketch") == name), merge_fn
         ).collect()
+        if not rows:
+            partials.unpersist()
+            raise ValueError(
+                "token_sketch_profile: empty input (no token rows) — "
+                "nothing to profile"
+            )
         states[name] = bytes(rows[0]["state"])
     partials.unpersist()
 

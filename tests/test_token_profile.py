@@ -210,3 +210,13 @@ def test_streaming_twin_matches_batch(spark, tmp_path):
     lo = bisect.bisect_left(ntoks, p50) / len(ntoks)
     hi = bisect.bisect_right(ntoks, p50) / len(ntoks)
     assert lo - 0.05 <= 0.5 <= hi + 0.05
+
+
+def test_empty_input_raises_clearly(spark):
+    import pytest
+
+    empty = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    with pytest.raises(ValueError, match="empty input"):
+        token_sketch_profile(empty)
