@@ -622,6 +622,53 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         nb_score(docs, model).agg(F.sum("score_fp"), F.sum("n_feats")).collect()
 
     times["nb_score"] = _timed_best(_nb, name="nb_score")
+
+    # round-4 session-11: per-file membership index (data skipping) —
+    # build one Bloom state per file of a 32-file range layout (uniform
+    # mode: per-slice partials, only states shuffle), then answer a
+    # 64-key needle probe by scanning only the surviving files. The
+    # layout rewrite itself is table maintenance, not the op — done
+    # once outside the timed fn.
+    import shutil
+    import tempfile
+
+    fidx_dir = tempfile.mkdtemp(prefix="pfs_fidx_")
+    try:
+        from prefix_filter_spark.sources import file_index as fidx
+
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .repartitionByRange(32, "l_orderkey")
+            .write.mode("overwrite")
+            .parquet(fidx_dir)
+        )
+        probe_keys = [
+            r["l_orderkey"]
+            for r in spark.read.parquet(fidx_dir)
+            .select("l_orderkey")
+            .distinct()
+            .limit(64)
+            .collect()
+        ]
+        fcfg = fidx.FileIndexConfig(
+            bits_per_key=12, expected_keys_per_file=1 << 17
+        )
+
+        def _file_index():
+            df = spark.read.parquet(fidx_dir)
+            idx = fidx.build_file_index(df, "l_orderkey", fcfg).cache()
+            idx.count()
+            try:
+                n = fidx.pruned_read(
+                    spark, idx, "l_orderkey", probe_keys, fcfg
+                ).count()
+                assert n > 0
+            finally:
+                idx.unpersist()
+
+        times["file_index"] = _timed_best(_file_index, name="file_index")
+    finally:
+        shutil.rmtree(fidx_dir, ignore_errors=True)
     return times
 
 

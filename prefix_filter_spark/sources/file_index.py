@@ -1,0 +1,278 @@
+"""Per-file membership index: AMQ-based data skipping for point probes.
+
+Z-order (``sources/zorder.py``) makes parquet min/max footer stats prune
+*range* predicates; this module adds the complementary index for
+*membership* predicates — the same role Iceberg/Delta bloom-filter
+metadata and parquet column bloom filters play, but built with this
+library's own filter states so the index is a first-class sketch table:
+mergeable, resumable, SQL-inspectable, and probed with the exact same
+vectorized kernels as every other filter here.
+
+Shape
+-----
+``build_file_index`` scans ONLY the key column (column-pruned parquet
+read) tagged with ``input_file_name()`` and emits one Bloom state per
+file:
+
+- **uniform mode** (``exact_size=False``, the 100 TB path): every
+  per-task slice folds its keys into a state sized from
+  ``expected_keys_per_file``; identical headers make slice partials
+  OR-mergeable, so the only shuffle moves ``O(n_files)`` tiny states —
+  the raw keys never leave their input split (map-side combine, the
+  ``build_partials`` shape from ``sketches/base.py``).
+- **exact mode** (``exact_size=True``): groupBy(file) over the hashes,
+  one state sized to the file's true distinct-key count — tightest
+  bits/key, used by the FPR assertions in tests; shuffle is 8 bytes
+  per key, same budget as any ``build_sharded`` build.
+
+``prune_files`` probes every file's state against a (small) probe-key
+set and returns the surviving file list; ``pruned_read`` reads only
+those files and applies the exact predicate. Zero false negatives in
+the underlying Bloom state make ``pruned_read`` *identical* to the
+full scan (property-tested), while absent keys skip the large majority
+of files — at 100 TB that is the difference between a metadata-sized
+job and a full corpus scan for needle queries (dedup against a
+blocklist, doc-id lookups, leakage spot checks).
+
+At cluster scale the index table itself stays distributed
+(``probe_file_index`` is a mapInPandas over index rows with the probe
+hashes broadcast via closure); only the surviving *file names* are
+collected, bounded by the file count, to drive the pruned scan.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.hashing import as_u64, mix_with_seed
+from prefix_filter_spark.plans.sharding import hashed_key_col
+from prefix_filter_spark.sketches.bloom import (
+    BloomConfig,
+    _build_state,
+    _contains_in_state,
+    merge_states,
+)
+
+INDEX_SCHEMA = (
+    "file string, state binary, n_keys long, input_rows long, build_ns long"
+)
+
+
+@dataclass(frozen=True)
+class FileIndexConfig:
+    """Sizing for the per-file states.
+
+    ``expected_keys_per_file`` only matters in uniform mode; size it
+    from table metadata (rows / files) with headroom — an over-full
+    Bloom state degrades FPR smoothly, never correctness.
+    """
+
+    bits_per_key: int = 12
+    expected_keys_per_file: int = 1 << 20
+    seed: int = 42
+    exact_size: bool = False
+
+    def _cfg_for(self, n_keys: int) -> BloomConfig:
+        # num_shards=1: each file's state is a single unsharded Bloom
+        # block; the file axis IS the sharding.
+        return BloomConfig(
+            n_capacity=max(64, int(n_keys)),
+            bits_per_key=self.bits_per_key,
+            num_shards=1,
+            seed=self.seed,
+        )
+
+
+def _tagged_keys(df: DataFrame, key_col: str, seed: int) -> DataFrame:
+    return df.select(
+        F.input_file_name().alias("file"),
+        hashed_key_col(key_col, seed).alias("h"),
+    )
+
+
+def build_file_index(
+    df: DataFrame, key_col: str, cfg: FileIndexConfig | None = None
+) -> DataFrame:
+    """One Bloom state per underlying file of ``df``'s scan.
+
+    ``df`` must come straight from a file source (``input_file_name()``
+    is empty for shuffled/derived frames — detected and rejected).
+    Returns ``(file, state, n_keys, input_rows, build_ns)``; in uniform
+    mode ``n_keys`` is the sum of per-slice distinct counts (an upper
+    bound on the file's distinct keys — exact when one slice per file).
+    """
+    cfg = cfg or FileIndexConfig()
+    src = _tagged_keys(df, key_col, cfg.seed)
+
+    if cfg.exact_size:
+        bpk, seed = cfg.bits_per_key, cfg.seed
+
+        def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            t0 = time.perf_counter_ns()
+            fname = pdf["file"].iloc[0]
+            if not fname:
+                raise ValueError(
+                    "input_file_name() is empty: build_file_index needs a "
+                    "DataFrame read directly from files"
+                )
+            hashes = np.unique(as_u64(pdf["h"].to_numpy()))
+            fc = FileIndexConfig(bits_per_key=bpk, seed=seed)._cfg_for(
+                len(hashes)
+            )
+            state = _build_state(fc, hashes)
+            return pd.DataFrame(
+                {
+                    "file": [fname],
+                    "state": [state],
+                    "n_keys": [len(hashes)],
+                    "input_rows": [len(pdf)],
+                    "build_ns": [time.perf_counter_ns() - t0],
+                }
+            )
+
+        return src.groupBy("file").applyInPandas(build_group, INDEX_SCHEMA)
+
+    # uniform mode: per-slice partials (no raw-key shuffle), OR-merge per file
+    slice_cfg = cfg._cfg_for(cfg.expected_keys_per_file)
+
+    def build_slices(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t0 = time.perf_counter_ns()
+            for fname, grp in pdf.groupby("file", sort=False):
+                if not fname:
+                    raise ValueError(
+                        "input_file_name() is empty: build_file_index needs "
+                        "a DataFrame read directly from files"
+                    )
+                hashes = np.unique(as_u64(grp["h"].to_numpy()))
+                yield pd.DataFrame(
+                    {
+                        "file": [fname],
+                        "state": [_build_state(slice_cfg, hashes)],
+                        "n_keys": [len(hashes)],
+                        "input_rows": [len(grp)],
+                        "build_ns": [time.perf_counter_ns() - t0],
+                    }
+                )
+                t0 = time.perf_counter_ns()
+
+    partials = src.mapInPandas(build_slices, schema=INDEX_SCHEMA)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter_ns()
+        state = merge_states(list(pdf["state"]))
+        return pd.DataFrame(
+            {
+                "file": [pdf["file"].iloc[0]],
+                "state": [state],
+                "n_keys": [int(pdf["n_keys"].sum())],
+                "input_rows": [int(pdf["input_rows"].sum())],
+                "build_ns": [
+                    int(pdf["build_ns"].sum())
+                    + (time.perf_counter_ns() - t0)
+                ],
+            }
+        )
+
+    return partials.groupBy("file").applyInPandas(merge_group, INDEX_SCHEMA)
+
+
+def hash_probe_keys(spark: SparkSession, keys: list, seed: int = 42) -> np.ndarray:
+    """xxhash64(key, seed) for driver-held probe keys — computed by the
+    SAME JVM expression as the build side so the families can never
+    drift (one tiny 1-partition job; probe sets are small by contract)."""
+    kdf = spark.createDataFrame([(k,) for k in keys], ["k"]).coalesce(1)
+    rows = kdf.select(hashed_key_col("k", seed).alias("h")).collect()
+    return as_u64(np.array([r["h"] for r in rows], dtype=np.int64))
+
+
+def probe_file_index(
+    index_df: DataFrame, probe_hashes: np.ndarray, cfg: FileIndexConfig | None = None
+) -> DataFrame:
+    """(file, n_maybe) — how many probe keys each file MAY contain.
+
+    Distributed: the index rows stay where they are; the (small) probe
+    hash set ships inside the UDF closure. Zero false negatives: a file
+    that truly holds a probe key always reports n_maybe >= 1.
+    """
+    cfg = cfg or FileIndexConfig()
+    g = mix_with_seed(as_u64(np.asarray(probe_hashes)), cfg.seed + 0x5EED)
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_maybe = [
+                int(_contains_in_state(bytes(s), g).sum()) for s in pdf["state"]
+            ]
+            yield pd.DataFrame({"file": pdf["file"], "n_maybe": n_maybe})
+
+    return index_df.mapInPandas(probe, schema="file string, n_maybe long")
+
+
+def prune_files(
+    index_df: DataFrame,
+    probe_hashes: np.ndarray,
+    cfg: FileIndexConfig | None = None,
+) -> list[str]:
+    """File names whose state may contain ANY probe key (sorted)."""
+    hits = (
+        probe_file_index(index_df, probe_hashes, cfg)
+        .filter(F.col("n_maybe") > 0)
+        .select("file")
+        .collect()
+    )
+    return sorted(r["file"] for r in hits)
+
+
+def pruned_read(
+    spark: SparkSession,
+    index_df: DataFrame,
+    key_col: str,
+    keys: list,
+    cfg: FileIndexConfig | None = None,
+) -> DataFrame:
+    """Read ONLY the files that may contain ``keys``, then apply the
+    exact predicate — result is identical to filtering the full scan
+    (zero-FN guarantee), at the cost of scanning only the survivors.
+
+    Returns an empty-but-typed DataFrame when every file is pruned.
+    """
+    cfg = cfg or FileIndexConfig()
+    hashes = hash_probe_keys(spark, keys, cfg.seed)
+    files = prune_files(index_df, hashes, cfg)
+    if not files:
+        any_file = index_df.select("file").first()
+        schema = spark.read.parquet(any_file["file"]).schema
+        return spark.createDataFrame([], schema).filter(
+            F.col(key_col).isin(keys)
+        )
+    return spark.read.parquet(*files).filter(F.col(key_col).isin(keys))
+
+
+def skip_report(
+    index_df: DataFrame,
+    probe_hashes: np.ndarray,
+    cfg: FileIndexConfig | None = None,
+) -> dict:
+    """{'n_files', 'n_survivors', 'skip_ratio'} for a probe set."""
+    probed = probe_file_index(index_df, probe_hashes, cfg)
+    agg = probed.agg(
+        F.count("*").alias("n_files"),
+        F.sum((F.col("n_maybe") > 0).cast("long")).alias("n_survivors"),
+    ).first()
+    n_files = int(agg["n_files"])
+    n_surv = int(agg["n_survivors"] or 0)
+    return {
+        "n_files": n_files,
+        "n_survivors": n_surv,
+        "skip_ratio": 1.0 - (n_surv / n_files) if n_files else 0.0,
+    }

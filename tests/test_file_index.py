@@ -1,0 +1,135 @@
+"""Per-file membership index (data skipping): zero-FN pruned reads.
+
+Layout under test: the sf0.001 lineitem table rewritten as 16 parquet
+files range-partitioned by l_orderkey (repartitionByRange), the layout
+a real table maintenance job would produce — so a point probe's keys
+live in few files and membership skipping has something to skip.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prefix_filter_spark.sources.file_index import (
+    FileIndexConfig,
+    build_file_index,
+    hash_probe_keys,
+    prune_files,
+    pruned_read,
+    probe_file_index,
+    skip_report,
+)
+
+from conftest import SF_DIR
+
+N_FILES = 16
+
+
+@pytest.fixture(scope="module")
+def layout(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fidx") / "lineitem16")
+    (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .repartitionByRange(N_FILES, "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return FileIndexConfig(bits_per_key=12, expected_keys_per_file=4096)
+
+
+@pytest.fixture(scope="module")
+def index(spark, layout, cfg):
+    df = spark.read.parquet(layout)
+    idx = build_file_index(df, "l_orderkey", cfg).cache()
+    idx.count()
+    return idx
+
+
+def test_index_has_one_row_per_file(index):
+    rows = index.collect()
+    assert len(rows) == N_FILES
+    assert all(r["n_keys"] > 0 and len(r["state"]) > 0 for r in rows)
+
+
+def test_pruned_read_equals_full_scan(spark, layout, index, cfg):
+    """Zero-FN: pruned read returns exactly the full-scan filter rows."""
+    full = spark.read.parquet(layout)
+    keys = [r["l_orderkey"] for r in full.select("l_orderkey").distinct().limit(40).collect()]
+    got = (
+        pruned_read(spark, index, "l_orderkey", keys, cfg)
+        .orderBy("l_orderkey", "l_linenumber")
+        .collect()
+    )
+    want = (
+        full.filter(F.col("l_orderkey").isin(keys))
+        .orderBy("l_orderkey", "l_linenumber")
+        .collect()
+    )
+    assert got == want
+    assert len(want) > 0
+
+
+def test_absent_keys_skip_most_files(spark, index, cfg):
+    """Keys outside the domain prune ~all files (FPR-bounded survivors)."""
+    absent = [-(10**9) - i for i in range(64)]
+    hashes = hash_probe_keys(spark, absent, cfg.seed)
+    rep = skip_report(index, hashes, cfg)
+    assert rep["n_files"] == N_FILES
+    # 64 probes x 16 files at FPR ~2^-8: expected ~4 file-hits; allow slack
+    assert rep["skip_ratio"] >= 0.5
+
+
+def test_single_present_key_survives_few_files(spark, layout, index, cfg):
+    """Range layout => one key lives in ~1 file; the index finds it."""
+    full = spark.read.parquet(layout)
+    key = full.select(F.min("l_orderkey")).first()[0]
+    hashes = hash_probe_keys(spark, [key], cfg.seed)
+    files = prune_files(index, hashes, cfg)
+    assert 1 <= len(files) <= 4
+    # and the file really holds the key
+    assert (
+        spark.read.parquet(*files).filter(F.col("l_orderkey") == key).count()
+        > 0
+    )
+
+
+def test_exact_mode_matches_uniform_on_fn(spark, layout, cfg):
+    """Exact per-file sizing: same zero-FN contract, tighter states."""
+    df = spark.read.parquet(layout)
+    exact_cfg = FileIndexConfig(bits_per_key=12, exact_size=True)
+    idx = build_file_index(df, "l_orderkey", exact_cfg)
+    rows = idx.collect()
+    assert len(rows) == N_FILES
+    all_keys = [r["l_orderkey"] for r in df.select("l_orderkey").distinct().collect()]
+    hashes = hash_probe_keys(spark, all_keys, exact_cfg.seed)
+    probed = probe_file_index(idx, hashes, exact_cfg)
+    # every file must report at least its own keys as maybe-present
+    per_file_keys = {
+        r["file"]: r["nk"]
+        for r in build_file_index(df, "l_orderkey", exact_cfg)
+        .selectExpr("file", "n_keys as nk")
+        .collect()
+    }
+    for r in probed.collect():
+        assert r["n_maybe"] >= per_file_keys[r["file"]]
+    # exact sizing stays near the configured bits/key
+    total_bits = sum(len(r["state"]) * 8 for r in rows)
+    total_keys = sum(r["n_keys"] for r in rows)
+    assert total_bits / total_keys < 16
+
+
+def test_pruned_read_empty_when_all_pruned(spark, index, cfg):
+    out = pruned_read(spark, index, "l_orderkey", [-12345], cfg)
+    assert out.count() == 0
+    assert "l_orderkey" in out.columns
+
+
+def test_rejects_derived_frames(spark, layout, cfg):
+    df = spark.read.parquet(layout).repartition(4)
+    with pytest.raises(Exception, match="input_file_name"):
+        build_file_index(df, "l_orderkey", cfg).collect()
