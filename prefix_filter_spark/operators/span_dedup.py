@@ -169,3 +169,82 @@ def strip_duplicated_spans(
         F.size("_kept").alias("n_words_kept"),
         (F.size("_ws") - F.size("_kept")).alias("n_words_dropped"),
     )
+
+
+def elect_canonical_spans(
+    docs: DataFrame, spans: DataFrame, *, seed: int = 0x2C4A
+) -> DataFrame:
+    """Keep-one-copy election over duplicated spans (Lee et al. 2022
+    keep semantics — the policy the strip_duplicated_spans docstring
+    defers): spans are grouped by their exact WORD CONTENT, and the
+    occurrence with the smallest (doc_id, start_pos) is canonical.
+
+    -> spans columns + (span_fp long, is_canonical boolean). Feed the
+    non-canonical rows to ``strip_duplicated_spans`` (see
+    ``strip_non_canonical_spans``) to drop every duplicated passage
+    EXCEPT its first occurrence.
+
+    Scope: identical maximal spans dedup to one copy. Partially
+    overlapping spans have different content, land in different
+    groups, and are each their own canonical — deliberately
+    conservative (never strips a passage that exists nowhere else
+    verbatim).
+
+    Plan: one join to re-slice span words from the doc (broadcast-or-
+    hash, AQE decides), then ONE groupBy(span_fp) min-aggregation —
+    map-side partial agg, so a boilerplate span occurring in 10^9 docs
+    is a combiner-friendly hot key, not a single-task window (contrast
+    a row_number() over span_fp, which would serialize that group).
+    """
+    wsd = docs.select("doc_id", words_col("text").alias("_ws"))
+    length = F.col("end_pos") - F.col("start_pos") + 1
+    sp = spans.join(wsd, "doc_id").withColumn(
+        "span_fp",
+        F.xxhash64(
+            F.concat_ws(
+                " ", F.slice("_ws", F.col("start_pos") + 1, length)
+            ),
+            F.lit(seed),
+        ),
+    ).drop("_ws")
+    first = sp.groupBy("span_fp").agg(
+        F.min(F.struct("doc_id", "start_pos")).alias("_first")
+    )
+    return (
+        sp.join(first, "span_fp")
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("start_pos") == F.col("_first.start_pos")),
+        )
+        .drop("_first")
+    )
+
+
+def strip_non_canonical_spans(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    min_count: int = 2,
+    hash_grams: bool = False,
+    seed: int = 0x5FA2,
+) -> DataFrame:
+    """End-to-end ExactSubstr dedup with keep-one semantics:
+    duplicated_spans -> elect_canonical_spans -> strip everything
+    that is not the canonical occurrence.
+
+    -> (doc_id, clean_text, n_words_kept, n_words_dropped) for EVERY
+    input doc (docs with no duplicated spans pass through unchanged).
+    Invariant (tested): a passage duplicated verbatim across N docs
+    survives in exactly one of them — the smallest (doc_id,
+    start_pos) — and every distinct duplicated k-gram still occurs
+    somewhere in the cleaned corpus.
+    """
+    spans = duplicated_spans(
+        docs, k=k, min_count=min_count, hash_grams=hash_grams, seed=seed
+    )
+    elected = elect_canonical_spans(docs, spans)
+    drop = elected.filter(~F.col("is_canonical")).select(
+        "doc_id", "start_pos", "end_pos", "n_grams"
+    )
+    return strip_duplicated_spans(docs, drop)

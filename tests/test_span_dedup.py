@@ -139,3 +139,57 @@ def test_positional_kgrams_short_doc_empty(spark):
 def test_k_validation(planted):
     with pytest.raises(ValueError):
         duplicated_spans(planted, k=1)
+
+
+def test_elect_canonical_one_per_group(planted):
+    from prefix_filter_spark.operators.span_dedup import elect_canonical_spans
+
+    spans = duplicated_spans(planted, k=K)
+    elected = elect_canonical_spans(planted, spans).toPandas()
+    # both occurrences carry the same content fingerprint
+    assert elected["span_fp"].nunique() == 1
+    per_group = elected.groupby("span_fp")["is_canonical"].sum()
+    assert (per_group == 1).all()
+    canon = elected[elected["is_canonical"]].iloc[0]
+    assert (canon["doc_id"], canon["start_pos"]) == (1, 3)
+
+
+def test_strip_non_canonical_keeps_one_copy(planted, spark):
+    from prefix_filter_spark.operators.span_dedup import (
+        strip_non_canonical_spans,
+    )
+
+    cleaned = strip_non_canonical_spans(planted, k=K)
+    got = {r["doc_id"]: r for r in cleaned.collect()}
+    # doc 1 is canonical: untouched; doc 2 loses exactly the 9 boiler words
+    assert got[1]["n_words_dropped"] == 0
+    assert got[2]["n_words_dropped"] == 9
+    assert got[2]["clean_text"] == "zeta eta theta iota kappa"
+    # unique docs pass through
+    assert got[3]["n_words_dropped"] == 0 and got[4]["n_words_dropped"] == 0
+    # the passage survives exactly once corpus-wide
+    boiler = "this content is licensed under the synthetic license v2"
+    n_copies = sum(boiler in r["clean_text"] for r in got.values())
+    assert n_copies == 1
+
+
+def test_canonical_preserves_every_duplicated_gram(planted, spark):
+    from pyspark.sql import functions as F
+
+    from prefix_filter_spark.operators.span_dedup import (
+        strip_non_canonical_spans,
+    )
+
+    grams_before = positional_kgrams(planted, K)
+    dup_grams = {
+        r["g"]
+        for r in grams_before.groupBy("g")
+        .count()
+        .where(F.col("count") >= 2)
+        .collect()
+    }
+    cleaned = strip_non_canonical_spans(planted, k=K).selectExpr(
+        "doc_id", "clean_text as text"
+    )
+    grams_after = {r["g"] for r in positional_kgrams(cleaned, K).collect()}
+    assert dup_grams <= grams_after
