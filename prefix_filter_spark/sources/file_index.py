@@ -108,8 +108,12 @@ def build_file_index(
     bound on the file's distinct keys — exact when one slice per file).
     """
     cfg = cfg or FileIndexConfig()
-    src = _tagged_keys(df, key_col, cfg.seed)
+    return _build_from_tagged(_tagged_keys(df, key_col, cfg.seed), cfg)
 
+
+def _build_from_tagged(src: DataFrame, cfg: FileIndexConfig) -> DataFrame:
+    """Build from a pre-tagged (file, h) frame — shared by the fresh
+    build and incremental update paths."""
     if cfg.exact_size:
         bpk, seed = cfg.bits_per_key, cfg.seed
 
@@ -276,3 +280,29 @@ def skip_report(
         "n_survivors": n_surv,
         "skip_ratio": 1.0 - (n_surv / n_files) if n_files else 0.0,
     }
+
+
+def update_file_index(
+    index_df: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    cfg: FileIndexConfig | None = None,
+) -> DataFrame:
+    """Incremental maintenance: index ONLY files not already indexed.
+
+    Parquet files are immutable once written, so an existing state row
+    stays valid forever; new ingest batches add files, and this scans
+    just those (anti-join on file name prunes at the source — at
+    100 TB the daily update touches the day's files, not the corpus).
+    Returns old index UNION new states — same schema, so persisting
+    the index is a plain parquet write and resume is a plain read.
+    """
+    cfg = cfg or FileIndexConfig()
+    # tag BEFORE joining: input_file_name() only resolves while the
+    # plan has a single file source, and the anti-join adds a second
+    known = index_df.select("file")
+    fresh = _tagged_keys(df, key_col, cfg.seed).join(
+        known, "file", "left_anti"
+    )
+    new_states = _build_from_tagged(fresh, cfg)
+    return index_df.unionByName(new_states)
