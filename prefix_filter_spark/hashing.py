@@ -119,3 +119,75 @@ def bit_length_u64(z) -> np.ndarray:
         z[big] >>= s
     out[z > 0] += 1
     return out
+
+
+# XXH64 primes (Collet, xxHash — public domain; same constants as
+# Spark's catalyst XXH64, which is what F.xxhash64 evaluates).
+_XX_P1 = np.uint64(0x9E3779B185EBCA87)
+_XX_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XX_P3 = np.uint64(0x165667B19E3779F9)
+_XX_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XX_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def xxh64_long(value, seed) -> np.ndarray:
+    """Vectorized XXH64 of a single 64-bit word — arithmetic-identical
+    to Spark's ``XXH64.hashLong`` (the kernel behind ``F.xxhash64`` on
+    a bigint column). ``seed`` may be a scalar or a per-element array
+    (needed for the chained multi-argument form).
+    JVM-equality is pytest-pinned (test_hashing.py)."""
+    old = np.seterr(over="ignore")
+    try:
+        v = as_u64(np.asarray(value))
+        s = as_u64(np.asarray(seed))
+        h = s + _XX_P5 + np.uint64(8)
+        h = h ^ (_rotl64(v * _XX_P2, 31) * _XX_P1)
+        h = _rotl64(h, 27) * _XX_P1 + _XX_P4
+        h ^= h >> np.uint64(33)
+        h *= _XX_P2
+        h ^= h >> np.uint64(29)
+        h *= _XX_P3
+        h ^= h >> np.uint64(32)
+        return h
+    finally:
+        np.seterr(**old)
+
+
+def spark_xxhash64_long(keys, seed: int) -> np.ndarray:
+    """Driver-side twin of ``plans.sharding.hashed_key_col`` for
+    INTEGER keys: ``F.xxhash64(key, lit(seed))`` folds its arguments
+    left-to-right starting from Spark's fixed initial seed 42 —
+    ``hashLong(seed_literal, hashLong(key, 42))``. Lets probe-side
+    code hash driver-held keys with zero Spark jobs."""
+    h1 = xxh64_long(keys, np.uint64(42))
+    # hashed_key_col appends the seed as a Python-int literal: pyspark
+    # makes that an IntegerType lit (4-byte path) when it fits int32,
+    # LongType (8-byte path) otherwise — mirror the switch exactly
+    if -(2**31) <= int(seed) < 2**31:
+        return xxh64_int(np.uint64(np.int64(seed)), h1)
+    return xxh64_long(np.uint64(np.int64(seed)), h1)
+
+
+def xxh64_int(value, seed) -> np.ndarray:
+    """Vectorized XXH64 of a 32-bit word — Spark's ``XXH64.hashInt``
+    (what ``F.xxhash64`` runs for an IntegerType argument, e.g. the
+    ``F.lit(seed)`` in ``hashed_key_col``)."""
+    old = np.seterr(over="ignore")
+    try:
+        v = as_u64(np.asarray(value)) & np.uint64(0xFFFFFFFF)
+        s = as_u64(np.asarray(seed))
+        h = s + _XX_P5 + np.uint64(4)
+        h = h ^ (v * _XX_P1)
+        h = _rotl64(h, 23) * _XX_P2 + _XX_P3
+        h ^= h >> np.uint64(33)
+        h *= _XX_P2
+        h ^= h >> np.uint64(29)
+        h *= _XX_P3
+        h ^= h >> np.uint64(32)
+        return h
+    finally:
+        np.seterr(**old)

@@ -48,9 +48,10 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 from pyspark.sql import functions as F
 
-from prefix_filter_spark.hashing import as_u64, mix_with_seed
+from prefix_filter_spark.hashing import as_u64, mix_with_seed, spark_xxhash64_long
 from prefix_filter_spark.plans.sharding import hashed_key_col
 from prefix_filter_spark.sketches.bloom import (
     BloomConfig,
@@ -90,9 +91,18 @@ class FileIndexConfig:
 
 
 def _tagged_keys(df: DataFrame, key_col: str, seed: int) -> DataFrame:
+    # integral keys are pinned to the 8-byte hash path (cast bigint) so
+    # the driver-side NumPy twin in hash_probe_keys agrees regardless
+    # of the column's storage width (an int32 column would otherwise
+    # take the JVM's 4-byte path and silently break zero-FN)
+    col = F.col(key_col)
+    if isinstance(
+        df.schema[key_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        col = col.cast("bigint")
     return df.select(
         F.input_file_name().alias("file"),
-        hashed_key_col(key_col, seed).alias("h"),
+        hashed_key_col(col, seed).alias("h"),
     )
 
 
@@ -190,12 +200,27 @@ def _build_from_tagged(src: DataFrame, cfg: FileIndexConfig) -> DataFrame:
 
 
 def hash_probe_keys(spark: SparkSession, keys: list, seed: int = 42) -> np.ndarray:
-    """xxhash64(key, seed) for driver-held probe keys — computed by the
-    SAME JVM expression as the build side so the families can never
-    drift (one tiny 1-partition job; probe sets are small by contract)."""
-    kdf = spark.createDataFrame([(k,) for k in keys], ["k"]).coalesce(1)
-    rows = kdf.select(hashed_key_col("k", seed).alias("h")).collect()
-    return as_u64(np.array([r["h"] for r in rows], dtype=np.int64))
+    """xxhash64(key, seed) for driver-held probe keys.
+
+    Integer keys: the NumPy twin of the build expression
+    (``hashing.spark_xxhash64_long``, JVM-equality pytest-pinned) —
+    ZERO Spark jobs, which is what keeps a needle probe metadata-cheap
+    (the createDataFrame/collect round-trip measured ~4 s of fixed
+    Python-RDD overhead per call in this image). Other key types fall
+    back to one JVM literal-row projection (no Python-RDD scan)."""
+    if keys and all(isinstance(k, (int, np.integer)) for k in keys):
+        return spark_xxhash64_long(np.array(keys, dtype=np.int64), seed)
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                hashed_key_col(F.lit(k), seed).alias(f"h{i}")
+                for i, k in enumerate(keys)
+            ]
+        )
+        .first()
+    )
+    return as_u64(np.array([row[i] for i in range(len(keys))], dtype=np.int64))
 
 
 def probe_file_index(
@@ -306,3 +331,42 @@ def update_file_index(
     )
     new_states = _build_from_tagged(fresh, cfg)
     return index_df.unionByName(new_states)
+
+
+def append_index_updates(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    key_col: str,
+    cfg: FileIndexConfig | None = None,
+) -> int:
+    """Idempotent index-maintenance job: bring the persisted index at
+    ``index_path`` up to date with the parquet table at ``data_path``.
+
+    The index table is APPEND-ONLY — parquet data files are immutable,
+    so a state row never changes and covering a new file is one new
+    row. The anti-join on file name makes the job exactly-once for the
+    index no matter how often it runs (a replay appends zero rows), so
+    it slots in after any ingest: a batch load, a Structured Streaming
+    parquet sink's micro-batches, a backfill. Returns the number of
+    newly indexed files.
+
+    First run (no index yet) indexes everything. Reads of a
+    concurrently-growing index are safe because rows are only added;
+    a probe with a stale index simply cannot prune the newest files —
+    callers wanting zero-FN pruning over the WHOLE table should run
+    this first and read the index after it returns.
+    """
+    cfg = cfg or FileIndexConfig()
+    data = spark.read.parquet(data_path)
+    tagged = _tagged_keys(data, key_col, cfg.seed)
+    try:
+        known = spark.read.parquet(index_path).select("file")
+        fresh = tagged.join(known, "file", "left_anti")
+    except Exception:  # no index yet — first run
+        fresh = tagged
+    new_states = _build_from_tagged(fresh, cfg)
+    n_new = new_states.count()
+    if n_new:
+        new_states.write.mode("append").parquet(index_path)
+    return n_new

@@ -170,3 +170,35 @@ def test_update_file_index_only_new_files(spark, layout, index, cfg, tmp_path):
     got = pruned_read(spark, updated, "l_orderkey", [int(key)], cfg).count()
     assert got > 0
     updated.unpersist()
+
+
+def test_append_index_updates_idempotent(spark, layout, cfg, tmp_path):
+    from prefix_filter_spark.sources.file_index import append_index_updates
+
+    idx_path = str(tmp_path / "idx_maint")
+    # first run indexes every file; immediate re-run adds nothing
+    assert append_index_updates(spark, layout, idx_path, "l_orderkey", cfg) == N_FILES
+    assert append_index_updates(spark, layout, idx_path, "l_orderkey", cfg) == 0
+
+    # simulate an ingest batch: append rows (new files) to the table
+    (
+        spark.read.parquet(layout)
+        .limit(60)
+        .withColumn("l_orderkey", F.col("l_orderkey") + 10**8)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(layout)
+    )
+    n = append_index_updates(spark, layout, idx_path, "l_orderkey", cfg)
+    assert n >= 1
+    assert append_index_updates(spark, layout, idx_path, "l_orderkey", cfg) == 0
+
+    # index now covers the whole table: pruned read finds the new keys
+    idx = spark.read.parquet(idx_path)
+    new_key = int(
+        spark.read.parquet(layout)
+        .filter(F.col("l_orderkey") >= 10**8)
+        .select(F.min("l_orderkey"))
+        .first()[0]
+    )
+    assert pruned_read(spark, idx, "l_orderkey", [new_key], cfg).count() > 0

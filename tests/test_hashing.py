@@ -42,3 +42,23 @@ def test_shard_of_matches_jvm_expression(spark):
     pdf = df.select(h.alias("h"), shard_col(h, 33).alias("shard")).toPandas()
     np_shard = hashing.shard_of(pdf["h"].to_numpy(), 33)
     assert (np_shard.astype(np.int64) == pdf["shard"].to_numpy()).all()
+
+
+def test_spark_xxhash64_long_twin_matches_jvm(spark):
+    """Driver-side NumPy XXH64 twin == F.xxhash64(bigint, lit(seed))
+    for every seed width (int-literal 4-byte path and long-literal
+    8-byte path) — the equality hash_probe_keys' zero-job path rests on."""
+    import numpy as np
+
+    from prefix_filter_spark.hashing import spark_xxhash64_long
+    from prefix_filter_spark.plans.sharding import hashed_key_col
+
+    vals = [0, 1, -1, 42, 2**62, -(2**62), 123456789012345, -987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    for seed in (7, 42, 0x5EED, -3, 2**40):
+        jvm = [
+            r[0] & (2**64 - 1)
+            for r in df.select(hashed_key_col("k", seed)).collect()
+        ]
+        py = [int(x) for x in spark_xxhash64_long(np.array(vals, dtype=np.int64), seed)]
+        assert jvm == py, f"seed {seed}"
