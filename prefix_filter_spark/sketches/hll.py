@@ -33,8 +33,19 @@ _SEED_MASK = 0xFFFFFFFFFFFFFFFF
 
 @dataclass(frozen=True)
 class HllConfig:
+    """``sparse=True`` (opt-in) serializes states whose nonzero-register
+    count is below m/4 as sorted (idx, rank) entries (~3.25 B/entry)
+    instead of the dense m-byte array — the per-GROUP memory fix at
+    scale: a million per-source HLLs at p=14 cost 16 GB dense but only
+    ~n_distinct*3 B sparse while a group is small, with AUTOMATIC dense
+    promotion (the format is per-state, chosen at serialize time).
+    Register CONTENT is identical either way, so estimates, merges
+    (mixed formats welcome) and the dense default's byte layout are
+    all unchanged."""
+
     p: int = 14  # 16384 registers, ~0.81% rel. std error
     seed: int = 42
+    sparse: bool = False
 
     @property
     def m(self) -> int:
@@ -63,26 +74,57 @@ class HllAccumulator(base.Accumulator):
         np.maximum.at(self.registers, idx, rho)
 
     def to_bytes(self) -> bytes:
-        return (
-            _HDR.pack(_MAGIC, _VERSION, self.cfg.p, 0, self.cfg.seed & _SEED_MASK)
-            + self.registers.tobytes()
+        return _serialize(
+            self.cfg.p, self.cfg.seed, self.registers, sparse=self.cfg.sparse
         )
 
 
+# pad field doubles as the format tag: 0 = dense register array,
+# 1 = sparse sorted u32 entries (idx << 8 | rank)
+_FMT_DENSE, _FMT_SPARSE = 0, 1
+
+
+def _serialize(p: int, seed: int, regs: np.ndarray, *, sparse: bool) -> bytes:
+    m = 1 << p
+    nnz = int((regs != 0).sum())
+    if sparse and nnz < m // 4:
+        idx = np.flatnonzero(regs).astype(np.uint32)
+        entries = (idx << np.uint32(8)) | regs[idx].astype(np.uint32)
+        return (
+            _HDR.pack(_MAGIC, _VERSION, p, _FMT_SPARSE, seed & _SEED_MASK)
+            + entries.tobytes()
+        )
+    return _HDR.pack(_MAGIC, _VERSION, p, _FMT_DENSE, seed & _SEED_MASK) + regs.tobytes()
+
+
 def _parse_state(state: bytes) -> tuple[int, np.ndarray]:
-    magic, version, p, _, _seed = _HDR.unpack_from(state, 0)
+    magic, version, p, fmt, _seed = _HDR.unpack_from(state, 0)
     if magic != _MAGIC or version != _VERSION:
         raise ValueError("bad hll state")
+    if fmt == _FMT_SPARSE:
+        entries = np.frombuffer(state, dtype=np.uint32, offset=_HDR.size)
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        regs[(entries >> np.uint32(8)).astype(np.int64)] = (
+            entries & np.uint32(0xFF)
+        ).astype(np.uint8)
+        return p, regs
     return p, np.frombuffer(state, dtype=np.uint8, offset=_HDR.size)
 
 
 def merge_states(states: list[bytes]) -> bytes:
-    hdr = states[0][: _HDR.size]
-    if any(s[: _HDR.size] != hdr for s in states[1:]):
+    metas = [_HDR.unpack_from(s, 0) for s in states]
+    if any(
+        (m[0], m[1], m[2], m[4]) != (metas[0][0], metas[0][1], metas[0][2], metas[0][4])
+        for m in metas[1:]
+    ):
         raise ValueError("cannot merge HLLs with different p or seed")
     parsed = [_parse_state(s) for s in states]
     regs = reduce(np.maximum, (r for _, r in parsed))
-    return hdr + regs.tobytes()
+    p, seed = metas[0][2], metas[0][4]
+    # result stays sparse only if every input chose sparse (keeps the
+    # dense default's bytes unchanged and the format monotone)
+    all_sparse = all(m[3] == _FMT_SPARSE for m in metas)
+    return _serialize(p, seed, regs, sparse=all_sparse)
 
 
 def estimate(state: bytes) -> float:

@@ -122,3 +122,52 @@ def test_tree_merge_produces_single_row(spark):
     assert abs(est - 100_000) / 100_000 < 0.1
     # lineage columns survive the tree merge
     assert rows[0]["input_rows"] == 100_000
+
+
+def test_hll_sparse_same_registers_and_estimate():
+    """Sparse serialization: identical register content + estimate,
+    much smaller state while the sketch is far from full."""
+    vals = np.arange(500, dtype=np.int64)
+    dense_acc = hll.HllAccumulator(hll.HllConfig(p=14, sparse=False))
+    sparse_acc = hll.HllAccumulator(hll.HllConfig(p=14, sparse=True))
+    dense_acc.update(vals)
+    sparse_acc.update(vals)
+    sd, ss = dense_acc.to_bytes(), sparse_acc.to_bytes()
+    pd_, rd = hll._parse_state(sd)
+    ps, rs = hll._parse_state(ss)
+    assert (pd_, ps) == (14, 14)
+    assert np.array_equal(rd, rs)
+    assert hll.estimate(sd) == hll.estimate(ss)
+    assert len(ss) < len(sd) / 8  # ~1.6 KB vs 16 KB at 500 distinct
+
+
+def test_hll_sparse_promotes_to_dense_when_full():
+    vals = np.arange(50_000, dtype=np.int64)
+    acc = hll.HllAccumulator(hll.HllConfig(p=10, sparse=True))
+    acc.update(vals)
+    # nnz ~ m at 50k >> m=1024: serializer must fall back to dense
+    assert len(acc.to_bytes()) == hll._HDR.size + 1024
+
+
+def test_hll_merge_mixed_formats_equals_dense_merge():
+    rng = np.random.default_rng(7)
+    parts = [rng.integers(0, 10**12, 300) for _ in range(4)]
+    dense_states, mixed_states = [], []
+    for i, vals in enumerate(parts):
+        d = hll.HllAccumulator(hll.HllConfig(p=12, sparse=False))
+        m = hll.HllAccumulator(hll.HllConfig(p=12, sparse=(i % 2 == 0)))
+        d.update(vals.astype(np.int64))
+        m.update(vals.astype(np.int64))
+        dense_states.append(d.to_bytes())
+        mixed_states.append(m.to_bytes())
+    want = hll.merge_states(dense_states)
+    got = hll.merge_states(mixed_states)
+    # a mixed merge densifies; content must equal the dense merge
+    assert hll._parse_state(got)[1].tolist() == hll._parse_state(want)[1].tolist()
+    assert hll.estimate(got) == hll.estimate(want)
+    # all-sparse merge stays sparse and round-trips identically
+    all_sparse = [
+        s for i, s in enumerate(mixed_states) if i % 2 == 0
+    ]
+    merged_sparse = hll.merge_states(all_sparse)
+    assert hll._HDR.unpack_from(merged_sparse, 0)[3] == hll._FMT_SPARSE
