@@ -130,3 +130,97 @@ def streaming_dedup_amq(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_amq_aged(
+    docs: DataFrame,
+    cfg: bloom.BloomConfig,
+    *,
+    generations: int = 4,
+    gen_capacity: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Generation-rotated AMQ dedup: fixed state AND bounded FPR on an
+    UNBOUNDED stream — the fix for ``streaming_dedup_amq``'s documented
+    degradation once lifetime uniques exceed ``n_capacity``.
+
+    Per shard the state is ``generations`` equal-size Bloom blobs (one
+    concatenated binary — constant bytes forever) plus the current
+    generation's insert count. Probe = hit in ANY live generation;
+    survivors insert into the NEWEST; when it reaches ``gen_capacity``
+    inserts the OLDEST generation is dropped and a fresh one appended
+    (the age-partitioned-Bloom idea — Shtul/Baquero/Almeida 2021 —
+    in its plain rotation form).
+
+    Guarantees (tested):
+    - a duplicate arriving within the retention window — while its
+      first copy's generation is live, i.e. at least the last
+      ``(generations-1) * gen_capacity`` unique insertions — NEVER
+      passes (per-generation zero-FN);
+    - unique docs are wrongly dropped at <= generations x the
+      per-generation closed-form FPR, FOREVER (each generation's load
+      is capped at gen_capacity, so FPR cannot creep with stream age);
+    - duplicates older than the window may pass again — the same
+      bounded-horizon semantics the exact variant has via its
+      watermark, with the horizon measured in uniques, not time.
+
+    ``cfg.n_capacity`` sizes ONE generation's bits;``gen_capacity``
+    defaults to ``cfg.n_capacity`` (rotate at nominal load). Rotation
+    is checked per Arrow batch, so a generation can overshoot by at
+    most one batch — FPR-smooth, never a correctness cliff.
+    """
+    if generations < 2:
+        raise ValueError("generations must be >= 2 (one live, one aging)")
+    gen_cap = int(gen_capacity or cfg.n_capacity)
+    h = hashed_key_col(doc_fingerprint_col(text_col), cfg.seed)
+    keyed = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        h.alias("_h"),
+        shard_col(h, cfg.num_shards).alias("shard"),
+        doc_fingerprint_col(text_col).alias("fingerprint"),
+    )
+    empty = bloom._build_state(cfg, np.zeros(0, dtype=np.uint64))
+    blob_len = len(empty)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            packed, n_cur = state.get
+            gens = [
+                bytes(packed[i * blob_len : (i + 1) * blob_len])
+                for i in range(generations)
+            ]
+        else:
+            gens, n_cur = [empty] * generations, 0
+        for pdf in pdfs:
+            hs = as_u64(pdf["_h"].to_numpy())
+            if len(hs) == 0:
+                continue
+            g = mix_with_seed(hs, cfg.seed + 0x5EED)
+            seen = np.zeros(len(hs), dtype=bool)
+            for blob in gens:
+                seen |= bloom._contains_in_state(blob, g)
+            first = np.zeros(len(hs), dtype=bool)
+            _, first_idx = np.unique(hs, return_index=True)
+            first[first_idx] = True
+            keep = (~seen) & first
+            if keep.any():
+                gens[-1] = bloom.merge_states(
+                    [gens[-1], bloom._build_state(cfg, hs[keep])]
+                )
+                n_cur += int(keep.sum())
+                out = pdf.loc[keep, ["doc_id", "fingerprint"]].copy()
+                out.insert(1, "shard", int(key[0]))
+                yield out
+            if n_cur >= gen_cap:
+                gens = gens[1:] + [empty]  # retire oldest, fresh newest
+                n_cur = 0
+        state.update((b"".join(gens), n_cur))
+
+    return keyed.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType="doc_id string, shard int, fingerprint string",
+        stateStructType="state binary, n_current long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -123,3 +123,69 @@ def test_exact_dedup_matches_batch_distinct(spark):
     truth = docs.select(F.md5("text").alias("f")).distinct().toPandas()["f"]
     assert sorted(got["fingerprint"]) == sorted(truth)
     assert got["fingerprint"].is_unique
+
+
+def test_aged_amq_in_window_dups_die_uniques_survive(spark):
+    """Single batch well under one generation's capacity: behaves
+    exactly like the un-aged AMQ — planted dups all die, uniques
+    survive within the FPR bound."""
+    from prefix_filter_spark.streaming.dedup import streaming_dedup_amq_aged
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    docs = _corpus(spark, n=400, uniques=240)
+    _write_stream_src(docs, f"{TMP}/src")
+    stream = spark.readStream.schema("doc_id string, text string, seq long").parquet(
+        f"{TMP}/src"
+    )
+    cfg = bloom.BloomConfig(n_capacity=4096, bits_per_key=16, num_shards=8, seed=7)
+    out = streaming_dedup_amq_aged(stream, cfg, generations=3)
+    _run_available_now(out, f"{TMP}/ckpt", f"{TMP}/sink")
+    got = spark.read.parquet(f"{TMP}/sink").toPandas()
+    assert got["fingerprint"].is_unique  # zero FN: no dup ever passes
+    truth = 240
+    assert len(got) <= truth
+    assert len(got) >= truth - 3  # FPR-bounded unique loss
+
+
+def test_aged_amq_rotation_bounds_state_and_expires_window(spark):
+    """Tiny generations force rotation: (a) the state never grows past
+    generations x blob size, (b) a duplicate of a long-retired doc
+    passes again (the bounded-horizon semantics), (c) FPR stays
+    bounded after many times the single-filter capacity."""
+    from prefix_filter_spark.streaming.dedup import streaming_dedup_amq_aged
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    # batch 1: doc 0..59 unique; batches 2-4: 60 fresh uniques each
+    # (gen_capacity=40, generations=2 -> window < 80 uniques, so doc 0
+    # is retired well before batch 5); batch 5: repeat of batch 1 text
+    for b in range(5):
+        if b < 4:
+            rows = [
+                (f"b{b}d{i}", f"aged body {b * 60 + i}", i) for i in range(60)
+            ]
+        else:
+            rows = [(f"b4d{i}", f"aged body {i}", i) for i in range(60)]
+        spark.createDataFrame(rows, "doc_id string, text string, seq long") \
+            .coalesce(1).write.mode("append").parquet(f"{TMP}/src")
+    stream = (
+        spark.readStream.schema("doc_id string, text string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{TMP}/src")
+    )
+    # num_shards=1 so rotation counting is global and deterministic
+    cfg = bloom.BloomConfig(n_capacity=40, bits_per_key=16, num_shards=1, seed=7)
+    out = streaming_dedup_amq_aged(stream, cfg, generations=2, gen_capacity=40)
+    _run_available_now(out, f"{TMP}/ckpt", f"{TMP}/sink")
+    got = spark.read.parquet(f"{TMP}/sink").toPandas()
+    # 240 distinct texts over batches 1-4; batch 5 repeats batch 1's 60.
+    # availableNow discovers files in write order here (asserted by the
+    # pass-again check itself): after 4 x 60 uniques through a 2 x 40
+    # window, every batch-1 fingerprint is retired, so batch-5 repeats
+    # pass AGAIN -> their fingerprints appear twice.
+    counts = got["fingerprint"].value_counts()
+    assert (counts <= 2).all()  # never more than one re-pass here
+    repassed = int((counts == 2).sum())
+    assert repassed >= 50  # most of batch 1 re-passes (FPR may eat a few)
+    # survivors >= uniques seen - FPR slack: no runaway drop despite
+    # pushing 6x one generation's capacity through the filter
+    assert len(got) >= 240 + repassed - 10
