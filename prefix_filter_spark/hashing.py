@@ -191,3 +191,80 @@ def xxh64_int(value, seed) -> np.ndarray:
         return h
     finally:
         np.seterr(**old)
+
+
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _xxh64_bytes_py(data: bytes, seed: int) -> int:
+    """XXH64 over a byte string — plain-Python, arithmetic-identical to
+    Spark's ``XXH64.hashUnsafeBytes`` (what ``F.xxhash64`` runs on a
+    StringType column's UTF-8 bytes). Probe-key scale only (a few
+    thousand keys); the vectorized twin for longs is xxh64_long."""
+    P1, P2, P3, P4, P5 = (int(_XX_P1), int(_XX_P2), int(_XX_P3), int(_XX_P4), int(_XX_P5))
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    length = len(data)
+    off = 0
+    if length >= 32:
+        v1 = (seed + P1 + P2) & _M64
+        v2 = (seed + P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - P1) & _M64
+        while off + 32 <= length:
+            for i, v in enumerate((v1, v2, v3, v4)):
+                k = int.from_bytes(data[off + 8 * i : off + 8 * i + 8], "little")
+                v = (v + k * P2) & _M64
+                v = (rotl(v, 31) * P1) & _M64
+                if i == 0:
+                    v1 = v
+                elif i == 1:
+                    v2 = v
+                elif i == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            off += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * P2) & _M64, 31) * P1) & _M64
+            h = (h * P1 + P4) & _M64
+    else:
+        h = (seed + P5) & _M64
+    h = (h + length) & _M64
+    while off + 8 <= length:
+        k = int.from_bytes(data[off : off + 8], "little")
+        h ^= (rotl((k * P2) & _M64, 31) * P1) & _M64
+        h = (rotl(h, 27) * P1 + P4) & _M64
+        off += 8
+    if off + 4 <= length:
+        k = int.from_bytes(data[off : off + 4], "little")
+        h ^= (k * P1) & _M64
+        h = (rotl(h, 23) * P2 + P3) & _M64
+        off += 4
+    while off < length:
+        h ^= (data[off] * P5) & _M64
+        h = (rotl(h, 11) * P1) & _M64
+        off += 1
+    h ^= h >> 33
+    h = (h * P2) & _M64
+    h ^= h >> 29
+    h = (h * P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64_str(keys, seed: int) -> np.ndarray:
+    """Driver-side twin of ``hashed_key_col`` for STRING keys:
+    ``F.xxhash64(key, lit(seed))`` = hash the UTF-8 bytes from Spark's
+    initial seed 42, then fold the seed literal in (int or long path by
+    literal width, mirroring pyspark's lit typing)."""
+    h1 = np.array(
+        [_xxh64_bytes_py(str(k).encode("utf-8"), 42) for k in keys],
+        dtype=np.uint64,
+    )
+    if -(2**31) <= int(seed) < 2**31:
+        return xxh64_int(np.uint64(np.int64(seed)), h1)
+    return xxh64_long(np.uint64(np.int64(seed)), h1)

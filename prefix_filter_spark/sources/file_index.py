@@ -51,7 +51,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 from pyspark.sql import functions as F
 
-from prefix_filter_spark.hashing import as_u64, mix_with_seed, spark_xxhash64_long
+from prefix_filter_spark.hashing import (
+    as_u64,
+    mix_with_seed,
+    spark_xxhash64_long,
+    spark_xxhash64_str,
+)
 from prefix_filter_spark.plans.sharding import hashed_key_col
 from prefix_filter_spark.sketches.bloom import (
     BloomConfig,
@@ -210,6 +215,8 @@ def hash_probe_keys(spark: SparkSession, keys: list, seed: int = 42) -> np.ndarr
     back to one JVM literal-row projection (no Python-RDD scan)."""
     if keys and all(isinstance(k, (int, np.integer)) for k in keys):
         return spark_xxhash64_long(np.array(keys, dtype=np.int64), seed)
+    if keys and all(isinstance(k, str) for k in keys):
+        return spark_xxhash64_str(keys, seed)
     row = (
         spark.range(1)
         .select(

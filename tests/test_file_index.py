@@ -202,3 +202,29 @@ def test_append_index_updates_idempotent(spark, layout, cfg, tmp_path):
         .first()[0]
     )
     assert pruned_read(spark, idx, "l_orderkey", [new_key], cfg).count() > 0
+
+
+def test_string_key_index_zero_fn(spark, tmp_path):
+    """String (fingerprint-style) keys: build + pruned read via the
+    string hash twin — same zero-FN contract as integer keys."""
+    path = str(tmp_path / "docs_str")
+    (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("cast(doc_id as string) as doc_id", "text", "source")
+        .repartitionByRange(8, "doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path)
+    cfg = FileIndexConfig(bits_per_key=12, expected_keys_per_file=4096)
+    idx = build_file_index(df, "doc_id", cfg)
+    keys = [r["doc_id"] for r in df.select("doc_id").distinct().limit(20).collect()]
+    got = sorted(
+        r["doc_id"]
+        for r in pruned_read(spark, idx, "doc_id", keys, cfg).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in df.filter(F.col("doc_id").isin(keys)).collect()
+    )
+    assert got == want and len(got) == 20

@@ -62,3 +62,26 @@ def test_spark_xxhash64_long_twin_matches_jvm(spark):
         ]
         py = [int(x) for x in spark_xxhash64_long(np.array(vals, dtype=np.int64), seed)]
         assert jvm == py, f"seed {seed}"
+
+
+def test_spark_xxhash64_str_twin_matches_jvm(spark):
+    """Plain-Python XXH64-over-UTF8 twin == F.xxhash64(string,
+    lit(seed)) across every length class (empty, <4, 4-7, 8-31, 32+,
+    non-ASCII) — the string-key zero-job path in hash_probe_keys."""
+    from prefix_filter_spark.hashing import spark_xxhash64_str
+    from prefix_filter_spark.plans.sharding import hashed_key_col
+
+    vals = [
+        "", "a", "abcd", "abcdefg", "abcdefgh", "0123456789abcde",
+        "0123456789abcdef", "x" * 31, "y" * 32, "z" * 33, "w" * 64,
+        "hello world this is a longer test string",
+        "üñïçødé-ключ-键",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    for seed in (7, 42, 0x5EED, -3, 2**40):
+        jvm = [
+            r[0] & (2**64 - 1)
+            for r in df.select(hashed_key_col("k", seed)).collect()
+        ]
+        py = [int(x) for x in spark_xxhash64_str(vals, seed)]
+        assert jvm == py, f"seed {seed}"
