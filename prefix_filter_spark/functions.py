@@ -251,3 +251,37 @@ def register_sketch_sql(spark: SparkSession) -> None:
     spark.udf.register("kmv_intersection", kmv_intersection)
     spark.udf.register("kmv_difference", kmv_difference)
     spark.udf.register("kmv_jaccard", kmv_jaccard)
+
+
+def probe_keys_local(handle, keys) -> "pd.Series":
+    """Driver-side membership probe: ZERO Spark jobs.
+
+    ``handle`` is any collected sharded handle exposing ``contains_h``
+    and a ``cfg.seed`` (ShardedBloom / ShardedPrefixFilter /
+    ShardedXor / …); ``keys`` are raw integer or string keys, hashed
+    with the NumPy/Python twins of the build-side JVM expression
+    (``hashing.spark_xxhash64_long`` / ``_str``, JVM-equality
+    pytest-pinned). The batch analogue of the reference's single-key
+    ``Contain`` (/root/reference/Tests/wrappers.hpp:648-659) for
+    needle checks: a blocklist lookup or debugging probe should not
+    cost a cluster round-trip.
+    """
+    import numpy as np
+
+    from prefix_filter_spark.hashing import (
+        spark_xxhash64_long,
+        spark_xxhash64_str,
+    )
+
+    keys = list(keys)
+    seed = handle.cfg.seed
+    if keys and all(isinstance(k, (int, np.integer)) for k in keys):
+        h = spark_xxhash64_long(np.array(keys, dtype=np.int64), seed)
+    elif keys and all(isinstance(k, str) for k in keys):
+        h = spark_xxhash64_str(keys, seed)
+    else:
+        raise TypeError(
+            "probe_keys_local needs all-int or all-str keys; mixed or "
+            "other types must go through the SQL UDF path"
+        )
+    return pd.Series(handle.contains_h(h), index=keys)

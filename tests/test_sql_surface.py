@@ -96,3 +96,27 @@ def test_sql_mg_heavy_hitters(spark):
     assert row["a"] == 0
     true_h = 10_000
     assert row["e"] <= true_h <= row["e"] + row["err"]
+
+
+def test_probe_keys_local_zero_fn_and_fpr(spark):
+    """Driver-side probe (no Spark jobs): members all true, absent
+    keys at <= FPR bound — for both int and string key families."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from prefix_filter_spark.functions import probe_keys_local
+    from prefix_filter_spark.sketches import bloom
+
+    cfg = bloom.BloomConfig(n_capacity=20_000, bits_per_key=12, num_shards=8, seed=11)
+    keys_df = spark.range(20_000).select(F.col("id").alias("k"))
+    handle = bloom.ShardedBloom.from_df(cfg, bloom.build_bloom(keys_df, "k", cfg))
+    members = probe_keys_local(handle, list(range(0, 20_000, 97)))
+    assert bool(members.all())
+    absent = probe_keys_local(handle, list(range(10**9, 10**9 + 2000)))
+    assert int(absent.sum()) <= 2000 * cfg.theoretical_fpr() * 4 + 8
+
+    scfg = bloom.BloomConfig(n_capacity=1000, bits_per_key=12, num_shards=4, seed=3)
+    sdf = spark.range(1000).selectExpr("concat('doc-', id) as k")
+    sh = bloom.ShardedBloom.from_df(scfg, bloom.build_bloom(sdf, "k", scfg))
+    got = probe_keys_local(sh, [f"doc-{i}" for i in range(0, 1000, 41)])
+    assert bool(got.all())
