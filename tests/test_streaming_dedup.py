@@ -189,3 +189,34 @@ def test_aged_amq_rotation_bounds_state_and_expires_window(spark):
     # survivors >= uniques seen - FPR slack: no runaway drop despite
     # pushing 6x one generation's capacity through the filter
     assert len(got) >= 240 + repassed - 10
+
+
+def test_streaming_filter_probe_stateless(spark):
+    """Streaming decontamination shape: a batch-built library filter
+    (benchmark fingerprints) prunes a STREAM map-only via the same
+    registered UDF the batch path uses — no state store, no shuffle:
+    the filter rides the broadcast into every micro-batch."""
+    from prefix_filter_spark.functions import register_contains_udf
+    from prefix_filter_spark.sketches import bloom
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    # "benchmark" = every even-numbered body; stream = 200 docs
+    docs = _corpus(spark, n=200, uniques=200)
+    bench_keys = docs.where(F.col("seq") % 2 == 0).select(
+        F.md5("text").alias("k")
+    )
+    cfg = bloom.BloomConfig(n_capacity=4096, bits_per_key=16, num_shards=4, seed=5)
+    handle = bloom.ShardedBloom.from_df(cfg, bloom.build_bloom(bench_keys, "k", cfg))
+    fn = register_contains_udf(spark, "stream_decon", handle, cfg.seed)
+
+    _write_stream_src(docs, f"{TMP}/src")
+    stream = spark.readStream.schema("doc_id string, text string, seq long").parquet(
+        f"{TMP}/src"
+    )
+    clean = stream.where(~fn(F.md5("text")))
+    _run_available_now(clean, f"{TMP}/ckpt", f"{TMP}/sink")
+    got = spark.read.parquet(f"{TMP}/sink").toPandas()
+    # zero FN: no contaminated (even-seq) doc survives; odd docs pass
+    # except Bloom-FPR casualties
+    assert (got["seq"] % 2 == 1).all()
+    assert len(got) >= 100 - 3
