@@ -248,3 +248,34 @@ def test_cc_round_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") <= 5, plan.count(
         "Exchange hashpartitioning"
     )
+
+
+def test_file_index_uniform_build_shuffles_states_only(spark, tmp_path):
+    """Uniform-mode file index: the ONLY exchange is the per-file state
+    merge (O(n_files) tiny rows) — raw keys never shuffle, and the
+    probe side has no exchange at all (index rows stay put, probe
+    hashes ride the closure)."""
+    from prefix_filter_spark.sources import file_index as fidx
+
+    path = str(tmp_path / "li8")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .repartitionByRange(8, "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path)
+    cfg = fidx.FileIndexConfig(bits_per_key=12, expected_keys_per_file=4096)
+    idx = fidx.build_file_index(df, "l_orderkey", cfg)
+    plan = _plan(idx)
+    assert plan.count("Exchange hashpartitioning") == 1  # states only
+    assert "BatchEvalPython" not in plan
+
+    import numpy as np
+
+    probed = fidx.probe_file_index(idx.cache(), np.array([1, 2, 3], dtype=np.uint64), cfg)
+    idx.count()
+    probe_plan = _plan(probed)
+    head, _, tail = probe_plan.partition("InMemoryTableScan")
+    assert "Exchange" not in head  # no exchange above the cached index
+    idx.unpersist()
