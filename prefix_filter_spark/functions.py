@@ -253,6 +253,36 @@ def register_sketch_sql(spark: SparkSession) -> None:
     spark.udf.register("kmv_jaccard", kmv_jaccard)
 
 
+def register_state_contains(spark: SparkSession, name: str = "bf_state_contains"):
+    """SQL membership over a STATE COLUMN: ``bf_state_contains(state,
+    h)`` probes each row's serialized Bloom state (seed read from the
+    state header) with the base-hash value ``h`` — no driver handle,
+    so any TABLE of states is queryable in plain SQL, e.g. the
+    per-file data-skipping index::
+
+        SELECT file FROM file_index
+        WHERE bf_state_contains(state, xxhash64(CAST(42 AS BIGINT), 42))
+
+    Row-at-a-state but Arrow-batched across rows; intended for
+    state-table scale (one row per file/shard), not per-key scans —
+    key-column probes belong to register_contains_udf.
+    """
+    from prefix_filter_spark.sketches import bloom
+
+    @F.pandas_udf(T.BooleanType())
+    def _state_contains(state: pd.Series, h: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = [
+            bool(bloom.contains_h_in_state(bytes(s), np.array([v]))[0])
+            for s, v in zip(state, h)
+        ]
+        return pd.Series(out)
+
+    spark.udf.register(name, _state_contains)
+    return _state_contains
+
+
 def probe_keys_local(handle, keys) -> "pd.Series":
     """Driver-side membership probe: ZERO Spark jobs.
 

@@ -197,3 +197,13 @@ class ShardedBloom:
                 check_state(self.cfg, state)
                 out[idx] = _contains_in_state(state, g[idx])
         return out
+
+
+def contains_h_in_state(state: bytes, h) -> np.ndarray:
+    """Probe base-hash values against ONE serialized state, reading the
+    seed from the state header — the state-COLUMN path (SQL UDF over a
+    table of states, e.g. the per-file index), where no driver handle
+    exists to carry the config."""
+    _magic, _ver, _k, _, _m, seed, _ns = _HDR.unpack_from(state, 0)
+    g = mix_with_seed(as_u64(np.asarray(h)), seed + 0x5EED)
+    return _contains_in_state(state, g)

@@ -120,3 +120,39 @@ def test_probe_keys_local_zero_fn_and_fpr(spark):
     sh = bloom.ShardedBloom.from_df(scfg, bloom.build_bloom(sdf, "k", scfg))
     got = probe_keys_local(sh, [f"doc-{i}" for i in range(0, 1000, 41)])
     assert bool(got.all())
+
+
+def test_bf_state_contains_sql_over_file_index(spark, tmp_path):
+    """The per-file index is plain-SQL queryable through the
+    state-column UDF; SQL survivors == prune_files survivors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from prefix_filter_spark.functions import register_state_contains
+    from prefix_filter_spark.sources import file_index as fidx
+
+    path = str(tmp_path / "li_sql")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .repartitionByRange(8, "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path)
+    cfg = fidx.FileIndexConfig(bits_per_key=12, expected_keys_per_file=4096)
+    idx = fidx.build_file_index(df, "l_orderkey", cfg).cache()
+    idx.createOrReplaceTempView("file_index_sql")
+    register_state_contains(spark)
+
+    key = int(df.select(F.min("l_orderkey")).first()[0])
+    (h,) = fidx.hash_probe_keys(spark, [key], cfg.seed)
+    sql_files = sorted(
+        r["file"]
+        for r in spark.sql(
+            "SELECT file FROM file_index_sql "
+            f"WHERE bf_state_contains(state, {np.int64(h)}L)"
+        ).collect()
+    )
+    assert sql_files == fidx.prune_files(idx, np.array([h]), cfg)
+    assert len(sql_files) >= 1
+    idx.unpersist()
