@@ -47,6 +47,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 from pyspark.sql import functions as F
@@ -204,6 +205,12 @@ def _build_from_tagged(src: DataFrame, cfg: FileIndexConfig) -> DataFrame:
     return partials.groupBy("file").applyInPandas(merge_group, INDEX_SCHEMA)
 
 
+def _state_header_seed(state: bytes) -> int:
+    from prefix_filter_spark.sketches.bloom import _HDR as _BLOOM_HDR
+
+    return _BLOOM_HDR.unpack_from(state, 0)[5]
+
+
 def hash_probe_keys(spark: SparkSession, keys: list, seed: int = 42) -> np.ndarray:
     """xxhash64(key, seed) for driver-held probe keys.
 
@@ -241,14 +248,25 @@ def probe_file_index(
     """
     cfg = cfg or FileIndexConfig()
     g = mix_with_seed(as_u64(np.asarray(probe_hashes)), cfg.seed + 0x5EED)
+    want_seed = cfg.seed & 0xFFFFFFFFFFFFFFFF
 
     def probe(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            n_maybe = [
-                int(_contains_in_state(bytes(s), g).sum()) for s in pdf["state"]
-            ]
+            n_maybe = []
+            for s in pdf["state"]:
+                blob = bytes(s)
+                # a probe under the wrong seed would return silent
+                # false negatives — the one failure an AMQ must never
+                # have; the header carries the build seed, so check it
+                state_seed = _state_header_seed(blob)
+                if state_seed != want_seed:
+                    raise ValueError(
+                        f"file-index state built with seed {state_seed} "
+                        f"probed with cfg.seed {want_seed}"
+                    )
+                n_maybe.append(int(_contains_in_state(blob, g).sum()))
             yield pd.DataFrame({"file": pdf["file"], "n_maybe": n_maybe})
 
     return index_df.mapInPandas(probe, schema="file string, n_maybe long")
@@ -287,6 +305,9 @@ def pruned_read(
     files = prune_files(index_df, hashes, cfg)
     if not files:
         any_file = index_df.select("file").first()
+        if any_file is None:
+            raise ValueError("pruned_read over an EMPTY index: build or "
+                             "update the index before probing")
         schema = spark.read.parquet(any_file["file"]).schema
         return spark.createDataFrame([], schema).filter(
             F.col(key_col).isin(keys)
@@ -370,7 +391,7 @@ def append_index_updates(
     try:
         known = spark.read.parquet(index_path).select("file")
         fresh = tagged.join(known, "file", "left_anti")
-    except Exception:  # no index yet — first run
+    except AnalysisException:  # no index yet — first run
         fresh = tagged
     new_states = _build_from_tagged(fresh, cfg)
     n_new = new_states.count()

@@ -228,3 +228,12 @@ def test_string_key_index_zero_fn(spark, tmp_path):
         for r in df.filter(F.col("doc_id").isin(keys)).collect()
     )
     assert got == want and len(got) == 20
+
+
+def test_probe_rejects_wrong_seed(spark, index):
+    """Wrong-seed probes would be silent false negatives — refuse."""
+    import numpy as np
+
+    bad = FileIndexConfig(bits_per_key=12, expected_keys_per_file=4096, seed=99)
+    with pytest.raises(Exception, match="seed"):
+        probe_file_index(index, np.array([1], dtype=np.uint64), bad).collect()
