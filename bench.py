@@ -872,6 +872,29 @@ def main() -> None:
             tp_his.append(tp)
             pr_his.append(pr)
             st_his.append(st)
+        # steal-aware retries: if EVERY trial at a level saw hypervisor
+        # steal above the threshold, the level measured the neighbors,
+        # not the job (measured: 4.7% steal during an 8-way trial
+        # clipped probe throughput 7.9 -> 5.3 Mkeys/s while the 2-way
+        # level, with idle cores to absorb the neighbor load, was
+        # unaffected — which reads as a fake efficiency collapse).
+        # Retry the contaminated level a bounded number of times and
+        # keep everything: the recorded trial/steal arrays stay the
+        # full evidence, best-of picks the cleanest window.
+        steal_ok = float(os.environ.get("SPARK_GRAFT_SCALE_STEAL_OK", 1.5))
+        max_retries = int(os.environ.get("SPARK_GRAFT_SCALE_RETRIES", 2))
+        for cores, tps, prs, sts in (
+            (lo_cores, tp_los, pr_los, st_los),
+            (hi_cores, tp_his, pr_his, st_his),
+        ):
+            retries = 0
+            while min(sts) > steal_ok and retries < max_retries:
+                time.sleep(10)
+                tp, pr, st = _scaling_trial(cores)
+                tps.append(tp)
+                prs.append(pr)
+                sts.append(st)
+                retries += 1
         tp_lo = max(tp_los)
         tp_hi = max(tp_his)
         pr_lo = max(pr_los)
