@@ -50,6 +50,10 @@ _TRIALS: dict[str, list[float]] = {}
 
 
 _BENCH_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", 5))
+# the reference's ROUNDS=9 (smart_tests.hpp:20) for the headline filter
+# build/probe rows — affordable now the per-row warmup absorbs the
+# first-shape spike and each of these rows is sub-3s
+_FILTER_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_FILTER_TRIALS", 9))
 _HEAVY_CUTOFF_S = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_S", 3.0))
 
 
@@ -76,6 +80,9 @@ def _gc_nudge() -> None:
         pass
 
 
+_WARMUPS: dict[str, float] = {}
+
+
 def _timed_best(fn, repeats: int | None = None, name: str | None = None):
     """MEDIAN-of-N (round-4; the reference medians ROUNDS=9 full runs,
     smart_tests.hpp:20 + Generate-median-csv.py:176-186): N = 5 by
@@ -83,11 +90,24 @@ def _timed_best(fn, repeats: int | None = None, name: str | None = None):
     rows (median of first 3 >= 3s) so the full bench stays inside the
     driver's run window. All raw trials are recorded in _TRIALS and
     land in BENCH/last_run.json, so best-of and spread stay readable;
-    the headline `queries` values are the medians."""
+    the headline `queries` values are the medians.
+
+    Round 5: one UNTIMED warmup execution of the row's own query shape
+    precedes the timed trials. First-execution of a new plan shape pays
+    JVM codegen + Python-worker fork + broadcast ship — fixed costs a
+    long-lived cluster amortizes across thousands of runs, and the
+    round-4 evidence regression (`minhash_lsh_dedup` trials
+    [7.09, 5.28, 2.28] — trial 1 at 3.1x the warm band) was exactly
+    this spike landing inside the median. The warmup wall time is still
+    recorded (BENCH/last_run.json `warmup_s`) so the cold-start cost
+    stays readable rather than hidden."""
     import statistics
 
     reps = _BENCH_TRIALS if repeats is None else repeats
     _gc_nudge()
+    w = _timed(fn)  # untimed-for-the-median shape warmup
+    if name is not None:
+        _WARMUPS[name] = round(w, 3)
     ts = [_timed(fn) for _ in range(min(3, reps))]
     if reps > 3 and statistics.median(ts) < _HEAVY_CUTOFF_S:
         ts += [_timed(fn) for _ in range(reps - 3)]
@@ -139,7 +159,7 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     # writes the others don't pay, and each repeat would leak a pinned
     # copy). The probe handles are collected afterwards, untimed.
     times["pf_build"] = _timed_best(
-        lambda: pfm.build_prefix_filter(keys, "key", pf_cfg).count(), name="pf_build"
+        lambda: pfm.build_prefix_filter(keys, "key", pf_cfg).count(), name="pf_build", repeats=_FILTER_TRIALS
     )
     handle = pfm.ShardedPrefixFilter.from_df(
         pf_cfg, pfm.build_prefix_filter(keys, "key", pf_cfg)
@@ -151,11 +171,11 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
     # a long-lived cluster pays once), then best-of like the builds
     uniform.limit(10_000).where(fn("key")).count()
     times["pf_probe_uniform"] = _timed_best(
-        lambda: uniform.where(fn("key")).count(), name="pf_probe_uniform"
+        lambda: uniform.where(fn("key")).count(), name="pf_probe_uniform", repeats=_FILTER_TRIALS
     )
     yes = keys.sample(False, N_PROBES / N_KEYS, seed=7).cache()
     n_yes = yes.count()
-    times["pf_probe_yes"] = _timed_best(lambda: yes.where(fn("key")).count(), name="pf_probe_yes")
+    times["pf_probe_yes"] = _timed_best(lambda: yes.where(fn("key")).count(), name="pf_probe_yes", repeats=_FILTER_TRIALS)
 
     # TrivialFilter control (reference wrappers.hpp:54-125): an
     # always-true vectorized probe over the same hashed-key column —
@@ -179,13 +199,13 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
         n_capacity=N_KEYS, bits_per_key=12, num_shards=shards, seed=42
     )
     times["bloom_build"] = _timed_best(
-        lambda: bloom.build_bloom(keys, "key", bl_cfg).count(), name="bloom_build"
+        lambda: bloom.build_bloom(keys, "key", bl_cfg).count(), name="bloom_build", repeats=_FILTER_TRIALS
     )
     bh = bloom.ShardedBloom.from_df(bl_cfg, bloom.build_bloom(keys, "key", bl_cfg))
     bfn = register_contains_udf(spark, "bench_bf", bh, bl_cfg.seed)
     uniform.limit(10_000).where(bfn("key")).count()
     times["bloom_probe_uniform"] = _timed_best(
-        lambda: uniform.where(bfn("key")).count(), name="bloom_probe_uniform"
+        lambda: uniform.where(bfn("key")).count(), name="bloom_probe_uniform", repeats=_FILTER_TRIALS
     )
 
     # companion filters (reference §2.3 family)
@@ -211,7 +231,7 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
 
     xr_cfg = xorm.XorConfig(n_capacity=N_KEYS, fingerprint_bits=8, num_shards=shards, seed=42)
     times["xor_build"] = _timed_best(
-        lambda: xorm.build_xor(keys, "key", xr_cfg).count(), name="xor_build"
+        lambda: xorm.build_xor(keys, "key", xr_cfg).count(), name="xor_build", repeats=_FILTER_TRIALS
     )
     from prefix_filter_spark.sketches import bfuse as bfm
 
@@ -231,31 +251,31 @@ def bench_filters(spark, cores: int) -> dict[str, float]:
         n_capacity=N_KEYS, fingerprint_bits=8, num_shards=max(cores, 16), seed=42
     )
     times["ribbon_build"] = _timed_best(
-        lambda: rbm.build_ribbon(keys, "key", rb_cfg).count(), name="ribbon_build"
+        lambda: rbm.build_ribbon(keys, "key", rb_cfg).count(), name="ribbon_build", repeats=_FILTER_TRIALS
     )
     rh = rbm.ShardedRibbon.from_df(rb_cfg, rbm.build_ribbon(keys, "key", rb_cfg))
     rfn = register_contains_udf(spark, "bench_ribbon", rh, rb_cfg.seed)
     uniform.limit(10_000).where(rfn("key")).count()
     times["ribbon_probe_uniform"] = _timed_best(
-        lambda: uniform.where(rfn("key")).count(), name="ribbon_probe_uniform"
+        lambda: uniform.where(rfn("key")).count(), name="ribbon_probe_uniform", repeats=_FILTER_TRIALS
     )
     from prefix_filter_spark.sketches import quotient as qfm
 
     qf_cfg = qfm.QuotientFilterConfig(n_capacity=N_KEYS, num_shards=shards, seed=42)
     times["qf_build"] = _timed_best(
-        lambda: qfm.build_quotient(keys, "key", qf_cfg).count(), name="qf_build"
+        lambda: qfm.build_quotient(keys, "key", qf_cfg).count(), name="qf_build", repeats=_FILTER_TRIALS
     )
     qh = qfm.ShardedQuotient.from_df(qf_cfg, qfm.build_quotient(keys, "key", qf_cfg))
     qfn = register_contains_udf(spark, "bench_qf", qh, qf_cfg.seed)
     uniform.limit(10_000).where(qfn("key")).count()
     times["qf_probe_uniform"] = _timed_best(
-        lambda: uniform.where(qfn("key")).count(), name="qf_probe_uniform"
+        lambda: uniform.where(qfn("key")).count(), name="qf_probe_uniform", repeats=_FILTER_TRIALS
     )
     xh = xorm.ShardedXor.from_df(xr_cfg, xorm.build_xor(keys, "key", xr_cfg))
     xfn = register_contains_udf(spark, "bench_xor", xh, xr_cfg.seed)
     uniform.limit(10_000).where(xfn("key")).count()
     times["xor_probe_uniform"] = _timed_best(
-        lambda: uniform.where(xfn("key")).count(), name="xor_probe_uniform"
+        lambda: uniform.where(xfn("key")).count(), name="xor_probe_uniform", repeats=_FILTER_TRIALS
     )
 
     # value sketches over the same stream
@@ -477,11 +497,10 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         # 4.7] s — pure interference). Unpersist exactly the RDDs this
         # trial created, leaving the bench's own caches alone.
         before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
-        # shuffle width sized to the PAIR SET (200k edges), not the
-        # session's corpus-sized 128 — see the num_shuffle_partitions
-        # doc in components.py (~5 exchanges/round x ~8 rounds of
-        # 1.5k-row tasks otherwise)
-        connected_components(edges, num_shuffle_partitions=32).count()
+        # operator's own default config (round-5 gate): "auto" measures
+        # the edge count and sizes the round shuffles itself — the r4
+        # bench pinned 32 manually after the 128-vs-32 A/B
+        connected_components(edges).count()
         after = sc._jsc.getPersistentRDDs()
         for k in after.keySet().toArray():
             if int(k) not in before:
@@ -833,6 +852,9 @@ def main() -> None:
         "queries_best": {k: round(min(v), 3) for k, v in _TRIALS.items()},
         "trial_counts": {k: len(v) for k, v in _TRIALS.items()},
         "trials": dict(_TRIALS),
+        # untimed per-row shape warmup (round 5): cold-start cost per
+        # row, excluded from the medians but kept readable
+        "warmup_s": dict(_WARMUPS),
         "sf": sf_dir,
         "throughput": throughput,
     }

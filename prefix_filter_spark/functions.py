@@ -108,8 +108,20 @@ class ContainsFunction:
         # pinning every generation on the executors
         self.broadcast = broadcast
 
-    def __call__(self, key: Column | str) -> Column:
-        """contains(raw key column) — composes the JVM-side xxhash64."""
+    def __call__(self, key: Column | str, df=None) -> Column:
+        """contains(raw key column) — composes the JVM-side xxhash64.
+
+        Builds hash integral keys at bigint width (``plans.sharding
+        .widen_key_col``); pass ``df`` (the frame the key column
+        resolves against) so an int/smallint/tinyint probe column is
+        widened the same way — without it a narrow integral column
+        takes the JVM 4-byte hash kernel and every probe is a silent
+        false negative. bigint and string probe columns need no df.
+        """
+        if df is not None:
+            from prefix_filter_spark.plans.sharding import widen_key_col
+
+            key = widen_key_col(df, key)
         return self.udf(hashed_key_col(key, self.seed))
 
 
@@ -305,9 +317,11 @@ def probe_keys_local(handle, keys) -> "pd.Series":
 
     keys = list(keys)
     seed = handle.cfg.seed
-    if keys and all(isinstance(k, (int, np.integer)) for k in keys):
+    if not keys:
+        return pd.Series(np.empty(0, dtype=bool), index=[])
+    if all(isinstance(k, (int, np.integer)) for k in keys):
         h = spark_xxhash64_long(np.array(keys, dtype=np.int64), seed)
-    elif keys and all(isinstance(k, str) for k in keys):
+    elif all(isinstance(k, str) for k in keys):
         h = spark_xxhash64_str(keys, seed)
     else:
         raise TypeError(

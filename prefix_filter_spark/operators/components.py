@@ -138,13 +138,30 @@ def _small_star(half: DataFrame) -> DataFrame:
     ).select("e.u", "e.v")
 
 
+def _auto_round_width(spark, n_edges: int) -> int:
+    """Shuffle width for the CC rounds from the measured edge count:
+    ~8k canonical edges per task (pow2-rounded), floored at the
+    session's core count (below it, cores idle) and capped at the
+    session's configured shuffle width (never WIDER than the caller
+    asked for anywhere else). The r4 bench A/B that motivates this:
+    200k edges at the session's corpus-sized 128 -> 1.5k-row tasks of
+    pure overhead, 27% slower than 32."""
+    import math
+
+    target = max(1, -(-n_edges // 8192))
+    pow2 = 1 << math.ceil(math.log2(target))
+    cores = spark.sparkContext.defaultParallelism
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(8, min(session, max(cores, pow2)))
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
-    num_shuffle_partitions: int | None = None,
+    num_shuffle_partitions: int | None | str = "auto",
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = the
     smallest node id reachable from it. Raises if ``max_iter`` rounds
@@ -173,36 +190,23 @@ def connected_components(
     inputs (the common case) save that job every call.
 
     ``num_shuffle_partitions``: width of every per-round exchange
-    (groupBy-min, join, distinct). The rounds inherit the session's
-    ``spark.sql.shuffle.partitions`` by default — sized for the
-    CORPUS, not for the pair set, which is orders of magnitude
-    smaller (dup pairs, not documents) and shrinks every round; an
-    iterative job pays that mismatch ~5 exchanges x rounds times.
-    Size it to the edge count (~50k-500k edges/task): the gate-scale
-    graph (200k edges) at the bench session's 128 -> 1.5k rows/task
-    of pure task overhead vs 32. Scoped via a conf set/restore around
-    the loop (the value is read at each round's plan time), so
-    concurrent queries on the session should not rely on the session
-    width while a CC call is in flight — same caveat the per-query
-    conf overrides in bench.py already document."""
+    (groupBy-min, join, distinct). Default ``"auto"`` (round 5):
+    canonicalize + measure the edge count with one action (which also
+    materializes the round-0 checkpoint, so nothing runs twice), then
+    size the rounds via ``_auto_round_width`` — the session's
+    ``spark.sql.shuffle.partitions`` is sized for the CORPUS, not for
+    the pair set, which is orders of magnitude smaller (dup pairs, not
+    documents) and shrinks every round, and an iterative job pays that
+    mismatch ~5 exchanges x rounds times (measured: 200k edges at the
+    bench session's 128 -> 27% slower than 32). Pass an int to pin the
+    width, or ``None`` to inherit the session width unchanged. Scoped
+    via a conf set/restore around the loop (the value is read at each
+    round's plan time), so concurrent queries on the session should
+    not rely on the session width while a CC call is in flight — same
+    caveat the per-query conf overrides in bench.py already document."""
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
-    if num_shuffle_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(num_shuffle_partitions)
-        )
-        try:
-            out = connected_components(
-                pairs, src, dst, max_iter, checkpoint_dir, None
-            )
-            # the returned plan is rooted at the final round's
-            # checkpointed RDD, so its partitioning is already fixed —
-            # restoring the session width here cannot widen it
-            return out
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     def _truncate(df: DataFrame) -> DataFrame:
         # lazy: the per-round star-forest check is the materializing
@@ -211,10 +215,44 @@ def connected_components(
             return df.checkpoint(eager=False)
         return df.localCheckpoint(eager=False)
 
-    canon = _truncate(
-        _canon(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    )
+    canon_src = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    canon: DataFrame | None = None
+    if isinstance(num_shuffle_partitions, str):
+        if num_shuffle_partitions != "auto":
+            raise ValueError(
+                "num_shuffle_partitions must be an int, None, or 'auto'"
+            )
+        # round 0 runs under the session width (the edge count is not
+        # known before it); the count materializes the checkpoint, so
+        # the rounds read round 0's result rather than re-running the
+        # (possibly expensive) upstream pair generation
+        canon = _truncate(_canon(canon_src))
+        num_shuffle_partitions = _auto_round_width(spark, canon.count())
 
+    if num_shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(num_shuffle_partitions)
+        )
+        try:
+            if canon is None:
+                canon = _truncate(_canon(canon_src))
+            # the returned plan is rooted at the final round's
+            # checkpointed RDD, so its partitioning is already fixed —
+            # restoring the session width here cannot widen it
+            return _cc_rounds(canon, _truncate, checkpoint_dir, max_iter)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if canon is None:
+        canon = _truncate(_canon(canon_src))
+    return _cc_rounds(canon, _truncate, checkpoint_dir, max_iter)
+
+
+def _cc_rounds(
+    canon: DataFrame, _truncate, checkpoint_dir: str | None, max_iter: int
+) -> DataFrame:
+    """The alternating star loop + final star-forest projection (split
+    from connected_components so the width-scoping wrapper stays flat)."""
     pinned: list[DataFrame] = []
 
     def _alternate(c: DataFrame) -> DataFrame:

@@ -344,6 +344,66 @@ def word_viterbi_scores(
     )
 
 
+def unigram_code_table(
+    df: DataFrame, pieces: list[tuple[str, float]], text_col: str = "text"
+) -> DataFrame:
+    """(w, pcs array<string>): every DISTINCT corpus word Viterbi-
+    segmented exactly once, distributedly — the bounded table the
+    corpus-scale encode broadcast-joins back (same shape and same OOV
+    single-char fallback as the per-batch path)."""
+    from prefix_filter_spark.sources.tokenizer import words_col
+
+    dw = df.select(F.explode(words_col(text_col)).alias("w")).distinct()
+    max_len = max((len(p) for p, _ in pieces), default=1)
+    bc = df.sparkSession.sparkContext.broadcast(dict(pieces))
+
+    @F.pandas_udf("array<string>")
+    def _enc(w: pd.Series) -> pd.Series:
+        lp = bc.value
+        out = []
+        for word in w:
+            try:
+                out.append(viterbi_encode_word(word, lp, max_len))
+            except ValueError:
+                out.append(list(word))
+        return pd.Series(out)
+
+    return dw.select("w", _enc("w").alias("pcs"))
+
+
+def encode_unigram_join(
+    df: DataFrame,
+    pieces: list[tuple[str, float]],
+    text_col: str = "text",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """``encode_unigram``'s corpus-scale twin (output-identical,
+    pytest-pinned): encode the distinct-word table once
+    (``unigram_code_table``), broadcast-join onto the posexploded word
+    stream, reassemble per doc ordered by word position. The Viterbi
+    DP runs once per distinct word in the WHOLE corpus instead of once
+    per distinct word per Arrow batch — the win on duplicate-heavy
+    corpora; the price is the distinct shuffle + one corpus regroup.
+    Keeps every input column (join back on doc_id) like the
+    withColumn of the batch path."""
+    from prefix_filter_spark.sources.tokenizer import words_col
+
+    table = unigram_code_table(df, pieces, text_col)
+    exploded = df.select(
+        "doc_id", F.posexplode(words_col(text_col)).alias("pos", "w")
+    )
+    packed = (
+        exploded.join(F.broadcast(table), "w")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "pcs"))).alias("srt"))
+        .select("doc_id", F.col("srt").getField("pcs").alias(out_col))
+    )
+    return df.join(packed, "doc_id", "left").withColumn(
+        out_col,
+        F.coalesce(out_col, F.array().cast("array<array<string>>")),
+    )
+
+
 def encode_unigram(
     df: DataFrame,
     pieces: list[tuple[str, float]],

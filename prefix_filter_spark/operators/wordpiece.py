@@ -267,13 +267,83 @@ def encode_udf(vocab: list[str], spark):
     return _encode
 
 
-def encode_wordpiece(
+def wordpiece_code_table(
     docs: DataFrame, vocab: list[str], text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, wp_tokens array<string>, n_wp int) — map-only."""
+    """(w, toks array<string>): every DISTINCT corpus word MaxMatch-
+    encoded exactly once, distributedly. Bounded output by word Zipf
+    (~1e6-1e8 distinct words against a 1e12-word corpus), so the table
+    broadcasts — the corpus-scale encode joins it back instead of
+    re-running the DP per batch."""
+    from prefix_filter_spark.sources.tokenizer import words_col
+
+    dw = docs.select(F.explode(words_col(text_col)).alias("w")).distinct()
+    bc = docs.sparkSession.sparkContext.broadcast((set(vocab), _max_cover(vocab)))
+
+    @F.pandas_udf("array<string>")
+    def _enc(w: pd.Series) -> pd.Series:
+        vset, cover = bc.value
+        return pd.Series([maxmatch_word(x, vset, cover) for x in w])
+
+    return dw.select("w", _enc("w").alias("toks"))
+
+
+def encode_wordpiece(
+    docs: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    strategy: str = "batch",
+) -> DataFrame:
+    """(doc_id, wp_tokens array<string>, n_wp int).
+
+    ``strategy="batch"`` (default): map-only pandas UDF, per-batch
+    distinct-word memoization — zero shuffle, the small/medium-corpus
+    path, but the MaxMatch DP re-runs for the same word in every Arrow
+    batch that sees it.
+
+    ``strategy="join"`` (the corpus-scale path the module docstring
+    documents): encode the DISTINCT-word table once
+    (``wordpiece_code_table``), broadcast-join the codes onto the
+    posexploded word stream, reassemble per doc (array_sort by word
+    position, flatten). Costs the distinct-word shuffle plus one
+    corpus regroup, and in exchange the DP runs once per distinct word
+    in the WHOLE corpus — on a duplicate-heavy corpus (crawl dumps,
+    boilerplate) that is the difference between O(distinct) and
+    O(distinct x batches) Python work. Both strategies are
+    output-identical (pytest-pinned).
+    """
     spark = docs.sparkSession
-    enc = encode_udf(vocab, spark)
-    return docs.select(
-        "doc_id",
-        enc(F.col(text_col)).alias("wp_tokens"),
-    ).withColumn("n_wp", F.size("wp_tokens"))
+    if strategy == "batch":
+        enc = encode_udf(vocab, spark)
+        return docs.select(
+            "doc_id",
+            enc(F.col(text_col)).alias("wp_tokens"),
+        ).withColumn("n_wp", F.size("wp_tokens"))
+    if strategy != "join":
+        raise ValueError(f"strategy must be 'batch' or 'join', got {strategy!r}")
+    from prefix_filter_spark.sources.tokenizer import words_col
+
+    table = wordpiece_code_table(docs, vocab, text_col)
+    exploded = docs.select(
+        "doc_id", F.posexplode(words_col(text_col)).alias("pos", "w")
+    )
+    packed = (
+        exploded.join(F.broadcast(table), "w")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "toks"))).alias("srt"))
+        .select(
+            "doc_id", F.flatten(F.col("srt").getField("toks")).alias("wp_tokens")
+        )
+    )
+    # empty-text docs vanish in posexplode; restore them with []
+    return (
+        docs.select("doc_id")
+        .join(packed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "wp_tokens", F.array().cast("array<string>")
+            ).alias("wp_tokens"),
+        )
+        .withColumn("n_wp", F.size("wp_tokens"))
+    )

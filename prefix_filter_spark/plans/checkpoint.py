@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col
+from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col, widen_key_col
 
 
 def save_shards(shards_df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -55,7 +55,7 @@ def build_or_resume(
     done_ids = [r["shard_id"] for r in existing.select("shard_id").distinct().collect()]
     if len(done_ids) >= num_shards:
         return existing
-    h = hashed_key_col(key_col, seed)
+    h = hashed_key_col(widen_key_col(df, key_col), seed)
     remaining = df.where(~shard_col(h, num_shards).isin(done_ids))
     rebuilt = build_fn(remaining, key_col)
     save_shards(rebuilt, checkpoint_path, mode="append")

@@ -33,6 +33,30 @@ def hashed_key_col(key: Column | str, seed: int) -> Column:
     return F.xxhash64(col, F.lit(int(seed)))
 
 
+def widen_key_col(df, key: Column | str) -> Column:
+    """Pin integral key columns to the 8-byte hash path.
+
+    ``F.xxhash64`` dispatches on the column's STORAGE width — an
+    int/smallint/tinyint column takes the JVM's 4-byte ``hashInt``
+    kernel while the driver-side NumPy twins (``hashing
+    .spark_xxhash64_long``, used by ``probe_keys_local`` /
+    ``hash_probe_keys``) implement the 8-byte ``hashLong`` path. A
+    filter built over a narrow integral column would therefore answer
+    every driver-side probe with a silent false negative. Resolving the
+    expression's dataType against ``df`` (analysis-only — no job) and
+    widening integral types to bigint makes every build/probe/delete
+    path hash integral keys at one canonical width. Non-integral types
+    (string, binary, ...) pass through untouched.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, ShortType
+
+    col = F.col(key) if isinstance(key, str) else key
+    dt = df.select(col).schema[0].dataType
+    if isinstance(dt, (ByteType, ShortType, IntegerType)):
+        return col.cast("bigint")
+    return col  # bigint already canonical; other types keep their own kernel
+
+
 def shard_col(h: Column, num_shards: int) -> Column:
     """fastrange32(hi32(h), S) as a Catalyst expression.
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from prefix_filter_spark.hashing import as_u64
-from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col
+from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col, widen_key_col
 
 SHARD_SCHEMA = (
     "sketch string, shard_id int, state binary, "
@@ -118,7 +118,10 @@ def build_sharded(
     """
     from prefix_filter_spark.hashing import shard_of
 
-    h = hashed_key_col(key_col, seed)
+    # integral keys hash at bigint width on every path (widen_key_col) —
+    # a narrow int column would otherwise take the JVM 4-byte kernel and
+    # break the driver-side probe twins' zero-FN contract
+    h = hashed_key_col(widen_key_col(df, key_col), seed)
     # group by the shard EXPRESSION: the grouping key is evaluated
     # JVM-side but not shipped through Arrow — the Python worker sees
     # only the 8-byte hash column (33% less pipe volume) and recomputes
@@ -254,7 +257,7 @@ def remove_keys_sharded(
     partials — an upper bound that can overstate materially once the
     merge dedupes overlapping partials and the delete removes pairs.
     """
-    h = hashed_key_col(key_col, seed)
+    h = hashed_key_col(widen_key_col(df, key_col), seed)
     keyed = df.select(h.alias("h"), shard_col(h, num_shards).alias("shard_id"))
 
     def apply_removals(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

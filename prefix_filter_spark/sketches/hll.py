@@ -47,6 +47,13 @@ class HllConfig:
     seed: int = 42
     sparse: bool = False
 
+    def __post_init__(self):
+        if not 4 <= self.p <= 24:
+            # the sparse u32 entry packs idx << 8 | rank — a register
+            # index needs <= 24 bits, and p > 24 (16M+ registers) is
+            # past any useful accuracy/size tradeoff anyway
+            raise ValueError(f"HllConfig.p must be in [4, 24], got {self.p}")
+
     @property
     def m(self) -> int:
         return 1 << self.p

@@ -98,6 +98,15 @@ def _theta_raw(k: int, vals: np.ndarray) -> int:
     return int(vals[k - 1]) + 1
 
 
+def retained_values(state: bytes) -> np.ndarray:
+    """The sketch's retained bottom-k hash sample (sorted u64). Public
+    because pair-pruning (operators/overlap.py) needs the raw samples:
+    two sketches' intersection estimate is nonzero iff their retained
+    sets share a value, so an inverted index over these arrays finds
+    every nonzero pair without the quadratic estimate pass."""
+    return _parse_state(state)[2]
+
+
 def estimate(state: bytes) -> float:
     k, _, vals = _parse_state(state)
     if len(vals) < k:

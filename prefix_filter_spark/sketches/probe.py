@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from prefix_filter_spark.hashing import as_u64
-from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col
+from prefix_filter_spark.plans.sharding import hashed_key_col, shard_col, widen_key_col
 
 # probe_fn(state_bytes, shard_id, h_u64_array) -> bool array
 ProbeFn = Callable[[bytes, int, np.ndarray], np.ndarray]
@@ -48,7 +48,7 @@ def probe_via_join(
     row).
     """
     id_cols = id_cols or []
-    h = hashed_key_col(key_col, seed)
+    h = hashed_key_col(widen_key_col(probes, key_col), seed)
     keyed = probes.select(
         *id_cols, h.alias("h"), shard_col(h, num_shards).alias("shard_id")
     )

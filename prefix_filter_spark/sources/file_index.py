@@ -71,6 +71,19 @@ INDEX_SCHEMA = (
 )
 
 
+def _decode_file_uri(name: str) -> str:
+    """Undo ``input_file_name()``'s URI percent-encoding before feeding
+    a file name back into ``spark.read``: the scan tags files as
+    encoded URIs (space -> ``%20``), and a reader given the encoded
+    string treats the escapes as literal path characters and
+    mis-resolves any path containing spaces or ``%`` sequences. Index
+    rows keep the encoded form (it is the anti-join/compare key the
+    scan itself produces); decoding happens only at read-back."""
+    from urllib.parse import unquote
+
+    return unquote(name)
+
+
 @dataclass(frozen=True)
 class FileIndexConfig:
     """Sizing for the per-file states.
@@ -219,16 +232,25 @@ def hash_probe_keys(spark: SparkSession, keys: list, seed: int = 42) -> np.ndarr
     ZERO Spark jobs, which is what keeps a needle probe metadata-cheap
     (the createDataFrame/collect round-trip measured ~4 s of fixed
     Python-RDD overhead per call in this image). Other key types fall
-    back to one JVM literal-row projection (no Python-RDD scan)."""
-    if keys and all(isinstance(k, (int, np.integer)) for k in keys):
+    back to one JVM literal-row projection (no Python-RDD scan); int
+    literals in that fallback are cast bigint so a mixed key list hashes
+    its ints at the same 8-byte width as the build expression."""
+    if not keys:
+        return np.empty(0, dtype=np.uint64)
+    if all(isinstance(k, (int, np.integer)) for k in keys):
         return spark_xxhash64_long(np.array(keys, dtype=np.int64), seed)
-    if keys and all(isinstance(k, str) for k in keys):
+    if all(isinstance(k, str) for k in keys):
         return spark_xxhash64_str(keys, seed)
+
+    def _lit(k):
+        lit = F.lit(int(k) if isinstance(k, np.integer) else k)
+        return lit.cast("bigint") if isinstance(k, (int, np.integer)) else lit
+
     row = (
         spark.range(1)
         .select(
             *[
-                hashed_key_col(F.lit(k), seed).alias(f"h{i}")
+                hashed_key_col(_lit(k), seed).alias(f"h{i}")
                 for i, k in enumerate(keys)
             ]
         )
@@ -308,11 +330,13 @@ def pruned_read(
         if any_file is None:
             raise ValueError("pruned_read over an EMPTY index: build or "
                              "update the index before probing")
-        schema = spark.read.parquet(any_file["file"]).schema
+        schema = spark.read.parquet(_decode_file_uri(any_file["file"])).schema
         return spark.createDataFrame([], schema).filter(
             F.col(key_col).isin(keys)
         )
-    return spark.read.parquet(*files).filter(F.col(key_col).isin(keys))
+    return spark.read.parquet(*[_decode_file_uri(f) for f in files]).filter(
+        F.col(key_col).isin(keys)
+    )
 
 
 def skip_report(
@@ -344,11 +368,17 @@ def update_file_index(
     """Incremental maintenance: index ONLY files not already indexed.
 
     Parquet files are immutable once written, so an existing state row
-    stays valid forever; new ingest batches add files, and this scans
-    just those (anti-join on file name prunes at the source — at
-    100 TB the daily update touches the day's files, not the corpus).
-    Returns old index UNION new states — same schema, so persisting
-    the index is a plain parquet write and resume is a plain read.
+    stays valid forever; new ingest batches add files, and only those
+    produce new states. Scan-cost caveat: the anti-join on file name
+    discards already-indexed rows AFTER the scan — Spark cannot push a
+    join through to the file listing, so this still reads the whole
+    table's key column every run. It exists for callers that only hold
+    a DataFrame; the maintenance job to run at scale is
+    ``append_index_updates``, which subtracts indexed files from the
+    driver-side file LISTING and reads none of the already-covered
+    bytes. Returns old index UNION new states — same schema, so
+    persisting the index is a plain parquet write and resume is a
+    plain read.
     """
     cfg = cfg or FileIndexConfig()
     # tag BEFORE joining: input_file_name() only resolves while the
@@ -359,6 +389,27 @@ def update_file_index(
     )
     new_states = _build_from_tagged(fresh, cfg)
     return index_df.unionByName(new_states)
+
+
+def unindexed_files(
+    spark: SparkSession, data_path: str, index_path: str
+) -> list[str]:
+    """Files of the table at ``data_path`` with no index row yet —
+    computed from the driver-side file LISTING (``DataFrame
+    .inputFiles()``, metadata-only) minus the index's file column, both
+    percent-decoded (``inputFiles()`` and ``input_file_name()`` do not
+    always agree on URI encoding). This is what lets the incremental
+    update scan only new bytes: the subtraction happens before any
+    read, not as a post-scan anti-join."""
+    all_files = spark.read.parquet(data_path).inputFiles()
+    try:
+        known = {
+            _decode_file_uri(r["file"])
+            for r in spark.read.parquet(index_path).select("file").collect()
+        }
+    except AnalysisException:  # no index yet — first run
+        known = set()
+    return sorted(f for f in all_files if _decode_file_uri(f) not in known)
 
 
 def append_index_updates(
@@ -384,16 +435,22 @@ def append_index_updates(
     a probe with a stale index simply cannot prune the newest files —
     callers wanting zero-FN pruning over the WHOLE table should run
     this first and read the index after it returns.
+
+    The already-indexed files are subtracted from the driver-side file
+    LISTING (``DataFrame.inputFiles()`` — metadata-only, no scan) and
+    the build reads ONLY the unindexed files, so a daily update over a
+    100 TB table scans the day's new bytes, not the corpus (a plain
+    anti-join on ``input_file_name()`` cannot prune the scan — Spark
+    discards indexed rows only after reading them). File names are
+    compared percent-decoded: ``inputFiles()`` and
+    ``input_file_name()`` do not always agree on URI encoding.
     """
     cfg = cfg or FileIndexConfig()
-    data = spark.read.parquet(data_path)
-    tagged = _tagged_keys(data, key_col, cfg.seed)
-    try:
-        known = spark.read.parquet(index_path).select("file")
-        fresh = tagged.join(known, "file", "left_anti")
-    except AnalysisException:  # no index yet — first run
-        fresh = tagged
-    new_states = _build_from_tagged(fresh, cfg)
+    new_files = unindexed_files(spark, data_path, index_path)
+    if not new_files:
+        return 0
+    fresh = spark.read.parquet(*[_decode_file_uri(f) for f in new_files])
+    new_states = _build_from_tagged(_tagged_keys(fresh, key_col, cfg.seed), cfg)
     n_new = new_states.count()
     if n_new:
         new_states.write.mode("append").parquet(index_path)

@@ -52,3 +52,180 @@ def read_sequences(spark: SparkSession, source: str) -> DataFrame:
             f"{iceberg_session_conf()} — or pass a parquet path."
         )
     return spark.read.table(source)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-STYLE snapshot table layout (round 5). The Iceberg runtime
+# jars are absent in this image, so the format's load-bearing ideas are
+# re-derived over plain parquet + a JSON manifest, the way the rest of
+# the library re-derives engine infrastructure:
+#
+#   - immutable data files, grouped per snapshot under
+#     ``<path>/data/snap-<id>/`` (an append never rewrites history);
+#   - a metadata manifest ``<path>/metadata/snapshots.json`` listing
+#     every snapshot's files — readers and maintenance jobs plan from
+#     METADATA, never from a filesystem listing;
+#   - snapshot-aware incremental index maintenance
+#     (``update_table_index``): the file-index job records the last
+#     indexed snapshot id and indexes exactly the snapshots after it —
+#     the scan set comes from the manifest delta, so a daily update
+#     reads the day's bytes even if the listing API is slow, eventually
+#     consistent, or the table holds 10^6 files.
+#
+# On a real cluster with the Iceberg runtime, ``read_sequences`` above
+# reads the catalog table and the same maintenance logic keys off
+# Iceberg's own snapshot ids; this layout is the sandbox-faithful twin
+# with identical semantics.
+# ---------------------------------------------------------------------------
+
+import json
+import os
+import time
+
+
+def _manifest_path(table_path: str) -> str:
+    return os.path.join(table_path, "metadata", "snapshots.json")
+
+
+def load_manifest(table_path: str) -> list[dict]:
+    """[{snapshot_id, operation, ts, files: [...]}, ...] oldest first;
+    [] for a table that does not exist yet."""
+    try:
+        with open(_manifest_path(table_path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return []
+
+
+def write_table(
+    df: DataFrame,
+    table_path: str,
+    *,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as a new SNAPSHOT of the table at ``table_path``;
+    returns the new snapshot id (1-based, monotone).
+
+    ``mode="append"`` adds a snapshot; ``mode="overwrite"`` starts a
+    new table history (snapshot 1). Data files are immutable: each
+    snapshot writes into its own ``data/snap-<id>/`` directory and the
+    manifest records the file list, so concurrent readers of an older
+    snapshot never observe a partial write — the manifest flips last.
+    ``partition_by`` forwards to the parquet writer (hive-style
+    directory partitioning within the snapshot dir)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
+    prior = load_manifest(table_path)
+    # snapshot ids stay monotone ACROSS an overwrite (data files are
+    # immutable — the old history's snap dirs still exist on disk, so a
+    # reused id would collide with them; monotone ids also keep an
+    # index's recorded last-indexed id meaningful after an overwrite)
+    snap_id = (prior[-1]["snapshot_id"] + 1) if prior else 1
+    manifest = [] if mode == "overwrite" else prior
+    snap_dir = os.path.join(table_path, "data", f"snap-{snap_id}")
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(snap_dir)
+    files = sorted(df.sparkSession.read.parquet(snap_dir).inputFiles())
+    manifest.append(
+        {
+            "snapshot_id": snap_id,
+            "operation": mode,
+            "ts": time.time(),
+            "files": files,
+        }
+    )
+    os.makedirs(os.path.dirname(_manifest_path(table_path)), exist_ok=True)
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _manifest_path(table_path))  # atomic manifest flip
+    return snap_id
+
+
+def table_files(table_path: str, *, after_snapshot: int = 0) -> list[str]:
+    """Every data file of snapshots with id > ``after_snapshot`` —
+    planned from the manifest, no filesystem listing."""
+    out: list[str] = []
+    for snap in load_manifest(table_path):
+        if snap["snapshot_id"] > after_snapshot:
+            out.extend(snap["files"])
+    return out
+
+
+def read_table(
+    spark: SparkSession, table_path: str, *, snapshot_id: int | None = None
+) -> DataFrame:
+    """The table's rows as of ``snapshot_id`` (default: latest) — time
+    travel by reading only the manifest-listed files of snapshots up to
+    the requested id."""
+    manifest = load_manifest(table_path)
+    if not manifest:
+        raise FileNotFoundError(f"no table at {table_path}")
+    if snapshot_id is None:
+        snapshot_id = manifest[-1]["snapshot_id"]
+    files = [
+        f
+        for snap in manifest
+        if snap["snapshot_id"] <= snapshot_id
+        for f in snap["files"]
+    ]
+    if not files:
+        raise ValueError(f"snapshot {snapshot_id} has no files")
+    return spark.read.option("basePath", os.path.join(table_path, "data")).parquet(
+        *files
+    )
+
+
+def update_table_index(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    key_col: str,
+    cfg=None,
+) -> int:
+    """Snapshot-aware incremental file-index maintenance: bring the
+    membership index at ``index_path`` up to date with the table's
+    manifest, scanning ONLY the files of snapshots added since the last
+    run (the last indexed snapshot id is recorded next to the index).
+    Idempotent: a replay indexes zero files. Returns newly indexed
+    file count.
+
+    This is the Iceberg-native shape of ``sources.file_index
+    .append_index_updates``: there the new-file set comes from a
+    listing subtraction; here it comes from the manifest delta — O(1)
+    metadata instead of an O(n_files) listing, and immune to
+    eventually-consistent listings."""
+    from prefix_filter_spark.sources import file_index as fidx
+
+    cfg = cfg or fidx.FileIndexConfig()
+    manifest = load_manifest(table_path)
+    if not manifest:
+        raise FileNotFoundError(f"no table at {table_path}")
+    latest = manifest[-1]["snapshot_id"]
+    meta_path = os.path.join(index_path, "_indexed_snapshot.json")
+    try:
+        with open(meta_path) as f:
+            done = json.load(f)["snapshot_id"]
+    except FileNotFoundError:
+        done = 0
+    fresh_files = table_files(table_path, after_snapshot=done)
+    n_new = 0
+    if fresh_files:
+        fresh = spark.read.option(
+            "basePath", os.path.join(table_path, "data")
+        ).parquet(*fresh_files)
+        states = fidx._build_from_tagged(
+            fidx._tagged_keys(fresh, key_col, cfg.seed), cfg
+        )
+        n_new = states.count()
+        if n_new:
+            states.write.mode("append").parquet(index_path)
+    os.makedirs(index_path, exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"snapshot_id": latest}, f)
+    os.replace(tmp, meta_path)
+    return n_new

@@ -36,7 +36,11 @@ def built(spark, keys_df):
 
 
 def _hashes(spark, df, col, seed):
-    pdf = df.select(hashed_key_col(col, seed).alias("h")).toPandas()
+    # canonical hash width: integral keys widen to bigint (the same
+    # widen_key_col the build/probe paths apply)
+    from prefix_filter_spark.plans.sharding import widen_key_col
+
+    pdf = df.select(hashed_key_col(widen_key_col(df, col), seed).alias("h")).toPandas()
     return pdf["h"].to_numpy()
 
 

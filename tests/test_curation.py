@@ -159,3 +159,51 @@ def test_map_only_prefix_has_no_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_equals_manual_chain(spark):
+    """VERDICT r4 item 8 gate: the funnel re-implements stage WIRING,
+    not stage semantics — running the same config as individually
+    chained operator calls must produce bit-identical survivors
+    (doc_id, text, lang). A future edit to any stage cannot silently
+    fork funnel vs standalone behavior without tripping this."""
+    from prefix_filter_spark.operators.boilerplate import drop_boilerplate_lines
+    from prefix_filter_spark.operators.components import connected_components
+    from prefix_filter_spark.operators.decontaminate import contaminated_docs
+    from prefix_filter_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+    )
+    from prefix_filter_spark.operators.pii import redact_pii
+    from prefix_filter_spark.operators.text import quality_exprs
+
+    docs = _corpus(spark)
+    bench = _benchmark(spark)
+    got, _ = curate_corpus(docs, _CFG, benchmark=bench)
+
+    # the same funnel, hand-chained from the public operators
+    cur = docs.where(F.col("lang").isin("en"))
+    cur = cur.where(quality_exprs("text")["quality"] >= F.lit(0.4))
+    cur = redact_pii(cur, "text")
+    cur = drop_boilerplate_lines(cur, "text", min_docs=3).select(*docs.columns)
+    dup_drop = (
+        exact_duplicates(cur)
+        .select(F.explode("members").alias("doc_id"), "keep_doc_id")
+        .where(F.col("doc_id") != F.col("keep_doc_id"))
+        .select("doc_id")
+    )
+    cur = cur.join(dup_drop, "doc_id", "left_anti")
+    pairs = minhash_lsh_pairs(
+        cur, threshold=0.7, num_perm=128, bands=32, n=3, seed=42
+    ).select("d1", "d2")
+    comp = connected_components(pairs, "d1", "d2")
+    drop = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    cur = cur.join(drop, "doc_id", "left_anti")
+    bad = contaminated_docs(spark, cur, bench, n=3, min_hits=1).select("doc_id")
+    want = cur.join(bad, "doc_id", "left_anti")
+
+    a = sorted(map(tuple, got.select("doc_id", "text", "lang").collect()))
+    b = sorted(map(tuple, want.select("doc_id", "text", "lang").collect()))
+    assert a == b and len(a) > 0

@@ -237,3 +237,64 @@ def test_probe_rejects_wrong_seed(spark, index):
     bad = FileIndexConfig(bits_per_key=12, expected_keys_per_file=4096, seed=99)
     with pytest.raises(Exception, match="seed"):
         probe_file_index(index, np.array([1], dtype=np.uint64), bad).collect()
+
+
+def test_space_in_path_roundtrip(spark, tmp_path):
+    """input_file_name() URI-encodes (space -> %20); pruned_read must
+    decode before feeding names back to spark.read (round-5 ADVICE)."""
+    path = str(tmp_path / "dir with space" / "tbl")
+    (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .repartitionByRange(4, "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path)
+    cfg2 = FileIndexConfig(bits_per_key=12, expected_keys_per_file=4096)
+    idx = build_file_index(df, "l_orderkey", cfg2).cache()
+    assert idx.count() == 4
+    # the stored names really are encoded (else this test is vacuous)
+    assert any("%20" in r["file"] for r in idx.select("file").collect())
+    keys = [r[0] for r in df.select("l_orderkey").distinct().limit(5).collect()]
+    keys = [int(k) for k in keys]
+    got = pruned_read(spark, idx, "l_orderkey", keys, cfg2).count()
+    want = df.filter(F.col("l_orderkey").isin(keys)).count()
+    assert got == want and got > 0
+    idx.unpersist()
+
+
+def test_unindexed_files_prunes_listing(spark, tmp_path):
+    """The incremental update's scan set comes from a listing-level
+    subtraction, not a post-scan anti-join: after indexing, only newly
+    ingested files appear in the scan list (round-5 ADVICE, medium)."""
+    from prefix_filter_spark.sources.file_index import (
+        append_index_updates,
+        unindexed_files,
+    )
+
+    data = str(tmp_path / "tbl")
+    idx_path = str(tmp_path / "idx")
+    cfg2 = FileIndexConfig(bits_per_key=12, expected_keys_per_file=4096)
+    (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .repartitionByRange(6, "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(data)
+    )
+    assert len(unindexed_files(spark, data, idx_path)) == 6  # no index yet
+    assert append_index_updates(spark, data, idx_path, "l_orderkey", cfg2) == 6
+    assert unindexed_files(spark, data, idx_path) == []  # fully covered
+
+    # ingest: two new files -> exactly those two are in the scan list
+    (
+        spark.read.parquet(data)
+        .limit(50)
+        .withColumn("l_orderkey", F.col("l_orderkey") + 10**9)
+        .repartition(2)
+        .write.mode("append")
+        .parquet(data)
+    )
+    fresh = unindexed_files(spark, data, idx_path)
+    assert len(fresh) == 2
+    assert append_index_updates(spark, data, idx_path, "l_orderkey", cfg2) == 2
+    assert unindexed_files(spark, data, idx_path) == []

@@ -349,3 +349,25 @@ def test_word_viterbi_scores_distributed(spark):
         }
         assert got == want
     assert "wide" not in want and "low" in want
+
+
+def test_join_encode_equals_batch(spark):
+    """VERDICT r4 item 3 gate (unigram twin): encode_unigram_join ==
+    encode_unigram on a duplicate-heavy corpus, empty docs included."""
+    from prefix_filter_spark.operators.unigram import encode_unigram_join
+
+    base = _corpus_df(spark, 3)
+    pieces = train_unigram(base, vocab_size=15, seed_size=30)
+    rows = [(i, line) for i, line in enumerate(CORPUS * 4 + [""])]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(5)
+    batch = {
+        r["doc_id"]: [list(p) for p in r["pieces"]]
+        for r in encode_unigram(docs, pieces).collect()
+    }
+    join = {
+        r["doc_id"]: [list(p) for p in r["pieces"]]
+        for r in encode_unigram_join(docs, pieces).collect()
+    }
+    assert batch == join and len(batch) == len(rows)

@@ -175,3 +175,33 @@ def test_unk_on_unseen_alphabet(spark):
     toks = encode_wordpiece(probe, vocab).collect()[0]["wp_tokens"]
     assert UNK in toks
     assert toks[0] != UNK and toks[-1] != UNK  # known words still encode
+
+
+def test_join_encode_equals_batch(spark):
+    """VERDICT r4 item 3 gate: the corpus-scale join path (encode the
+    distinct-word table once, broadcast-join back, reassemble by word
+    position) is output-identical to the per-batch memoized encoder —
+    including docs with empty text."""
+    texts = TEXTS * 5 + [""]
+    docs = _corpus(spark, texts).repartition(5)
+    merges = train_wordpiece(_corpus(spark, TEXTS), num_merges=12)
+    vocab = wordpiece_vocab(_corpus(spark, TEXTS), merges)
+    batch = {
+        r["doc_id"]: (list(r["wp_tokens"]), r["n_wp"])
+        for r in encode_wordpiece(docs, vocab).collect()
+    }
+    join = {
+        r["doc_id"]: (list(r["wp_tokens"]), r["n_wp"])
+        for r in encode_wordpiece(docs, vocab, strategy="join").collect()
+    }
+    assert batch == join and len(batch) == len(texts)
+
+
+def test_encode_strategy_rejects_unknown(spark):
+    docs = _corpus(spark, TEXTS)
+    merges = train_wordpiece(docs, num_merges=3)
+    vocab = wordpiece_vocab(docs, merges)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="strategy"):
+        encode_wordpiece(docs, vocab, strategy="nope")

@@ -54,7 +54,9 @@ def main() -> None:
     handle = pfm.ShardedPrefixFilter.from_df(cfg, shards)
     fn = register_contains_udf(spark, "pf_contains", handle, cfg.seed)
     members = tokens.select("token").distinct()
-    found = members.where(fn("token")).count()
+    # token is int32: pass df so the probe widens to the same bigint
+    # hash path the build used (plans.sharding.widen_key_col)
+    found = members.where(fn("token", df=members)).count()
     print(
         json.dumps(
             {
