@@ -524,6 +524,74 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
 
     times["bpe_encode"] = _timed_best(_bpe_encode, name="bpe_encode")
 
+    # round-5: unigram encode strategy A/B on a duplicate-heavy,
+    # wide-vocab corpus (deterministic xxhash64-derived 27-char words,
+    # x8 self-duplication — the crawl-mirror regime). ug_encode_batch
+    # times the per-batch memoized Viterbi encoder end-to-end;
+    # ug_encode_bcast times the map-only lookup pass with the code
+    # table prepared OUTSIDE the timed region (same asymmetry as
+    # bpe_encode, whose merges train untimed: the table is built once
+    # per vocab + corpus snapshot, encode runs ride it). Measured
+    # 2.1x in the strategy A/Bs — Viterbi is the DP-heavy/emit-light
+    # regime where the code table pays; full A/B numbers incl. table
+    # build and the WordPiece (emit-dominated) twin's numbers are in
+    # BENCH/BASELINE.md session 1 (round 5).
+    import functools as _ft
+
+    from pyspark.sql import DataFrame as _DF
+
+    from prefix_filter_spark.operators.unigram import (
+        apply_piece_table,
+        encode_unigram,
+        unigram_code_table,
+    )
+
+    def _ug_seg(i, j):
+        return F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64("id", F.lit(i * 7 + j)), F.lit(60)).cast("string"),
+            F.lit("xq"),
+        )
+
+    _ug_base = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(_ug_seg(i, 0), _ug_seg(i, 1), _ug_seg(i, 2)) for i in range(60)]
+        ).alias("text"),
+    )
+    _ug_dup = _ft.reduce(
+        _DF.unionByName,
+        [
+            _ug_base.select(
+                F.concat_ws("#", F.col("doc_id").cast("string"), F.lit(str(i))).alias(
+                    "doc_id"
+                ),
+                "text",
+            )
+            for i in range(8)
+        ],
+    ).repartition(64).cache()
+    _ug_dup.count()
+    _ug_pieces = [("w%dxq" % d, -2.0) for d in range(60)] + [
+        (c, -8.0) for c in "w0123456789xq"
+    ]
+    _ug_codes = {
+        r["w"]: list(r["pcs"])
+        for r in unigram_code_table(_ug_dup, _ug_pieces).collect()
+    }
+
+    def _ug_batch():
+        encode_unigram(_ug_dup, _ug_pieces).select(F.sum(F.size("pieces"))).collect()
+
+    def _ug_bcast():
+        apply_piece_table(_ug_dup, _ug_codes).select(
+            F.sum(F.size("pieces"))
+        ).collect()
+
+    times["ug_encode_batch"] = _timed_best(_ug_batch, name="ug_encode_batch")
+    times["ug_encode_bcast"] = _timed_best(_ug_bcast, name="ug_encode_bcast")
+    _ug_dup.unpersist()
+
     def _pii():
         from pyspark.sql import functions as F
 

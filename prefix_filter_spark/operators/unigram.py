@@ -371,6 +371,56 @@ def unigram_code_table(
     return dw.select("w", _enc("w").alias("pcs"))
 
 
+def apply_piece_table(
+    df: DataFrame,
+    codes: dict,
+    text_col: str = "text",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Map-only lookup pass from a prepared ``{word: [pieces]}`` table
+    (``unigram_code_table`` collected): one broadcast, zero shuffle,
+    ~1us/word. This is where the code-table strategy actually WINS at
+    gate scale (bench rows ``ug_encode_batch`` vs ``ug_encode_bcast``,
+    measured 2.1x): Viterbi's DP cost (O(len x max_piece_len) dict
+    probes per word) is an order of magnitude above a dict lookup,
+    while its output is a handful of pieces — so replacing per-batch
+    re-derivation with lookups pays. (The WordPiece MaxMatch twin
+    ``wordpiece.apply_code_table`` is output-identical too, but its
+    emit cost dominates its DP at sandbox scale, so its win only
+    appears at larger batch counts — measured numbers in
+    BENCH/BASELINE.md.) Raises KeyError for a word absent from the
+    table: build it over the same corpus + normalization."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(codes)
+
+    @F.pandas_udf("array<array<string>>")
+    def _lookup(text: pd.Series) -> pd.Series:
+        m = bc.value
+        return pd.Series(
+            [[m[w] for w in (t or "").lower().split(" ") if w] for t in text]
+        )
+
+    return df.withColumn(out_col, _lookup(F.col(text_col)))
+
+
+def encode_unigram_bcast(
+    df: DataFrame,
+    pieces: list[tuple[str, float]],
+    text_col: str = "text",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Corpus-scale encode: Viterbi the distinct-word table once
+    (``unigram_code_table``), collect + broadcast it, lookup-apply
+    (``apply_piece_table``). Output-identical to ``encode_unigram``
+    (pytest-pinned); the DP runs once per distinct word in the corpus
+    instead of once per distinct word per Arrow batch."""
+    codes = {
+        r["w"]: list(r["pcs"])
+        for r in unigram_code_table(df, pieces, text_col).collect()
+    }
+    return apply_piece_table(df, codes, text_col, out_col)
+
+
 def encode_unigram_join(
     df: DataFrame,
     pieces: list[tuple[str, float]],

@@ -371,3 +371,23 @@ def test_join_encode_equals_batch(spark):
         for r in encode_unigram_join(docs, pieces).collect()
     }
     assert batch == join and len(batch) == len(rows)
+
+
+def test_bcast_encode_equals_batch(spark):
+    """encode_unigram_bcast (distinct-word Viterbi once -> broadcast
+    dict -> map-only lookup) == encode_unigram, empty docs included."""
+    from prefix_filter_spark.operators.unigram import encode_unigram_bcast
+
+    base = _corpus_df(spark, 3)
+    pieces = train_unigram(base, vocab_size=15, seed_size=30)
+    rows = [(i, line) for i, line in enumerate(CORPUS * 4 + [""])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    batch = {
+        r["doc_id"]: [list(p) for p in r["pieces"]]
+        for r in encode_unigram(docs, pieces).collect()
+    }
+    bcast = {
+        r["doc_id"]: [list(p) for p in r["pieces"]]
+        for r in encode_unigram_bcast(docs, pieces).collect()
+    }
+    assert batch == bcast and len(batch) == len(rows)

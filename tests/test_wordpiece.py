@@ -205,3 +205,60 @@ def test_encode_strategy_rejects_unknown(spark):
 
     with _pt.raises(ValueError, match="strategy"):
         encode_wordpiece(docs, vocab, strategy="nope")
+
+
+def test_broadcast_encode_equals_batch(spark):
+    """strategy='broadcast' (distinct-word table -> one dict broadcast
+    -> map-only lookup) is output-identical to the per-batch path."""
+    texts = TEXTS * 5 + [""]
+    docs = _corpus(spark, texts).repartition(5)
+    merges = train_wordpiece(_corpus(spark, TEXTS), num_merges=12)
+    vocab = wordpiece_vocab(_corpus(spark, TEXTS), merges)
+    batch = {
+        r["doc_id"]: (list(r["wp_tokens"]), r["n_wp"])
+        for r in encode_wordpiece(docs, vocab).collect()
+    }
+    bcast = {
+        r["doc_id"]: (list(r["wp_tokens"]), r["n_wp"])
+        for r in encode_wordpiece(docs, vocab, strategy="broadcast").collect()
+    }
+    assert batch == bcast and len(batch) == len(texts)
+
+
+def test_batch_path_repeats_dp_work_join_path_does_not(spark):
+    """Scale-free evidence for the corpus-scale strategies: on a
+    duplicate-heavy corpus the per-batch memoized encoder re-runs its
+    DP once per distinct word PER BATCH, while the code-table paths
+    run it once per distinct word in the corpus. Measured directly:
+    sum over Arrow batches of per-batch distinct-word counts vs the
+    global distinct count (>= 5x here; grows with batch count at real
+    scale — the asymmetry the broadcast strategy exists for)."""
+    from pyspark.sql import functions as F
+
+    texts = TEXTS * 40
+    docs = _corpus(spark, texts).repartition(8)
+
+    def batch_distinct(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            words = {
+                w
+                for t in pdf["text"]
+                for w in (t or "").lower().split(" ")
+                if w
+            }
+            yield pd.DataFrame({"n": [len(words)]})
+
+    per_batch = (
+        docs.mapInPandas(batch_distinct, schema="n long")
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    global_distinct = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+        .count()
+    )
+    assert per_batch >= 5 * global_distinct
