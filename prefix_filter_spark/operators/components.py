@@ -97,16 +97,20 @@ def _sym(canon: DataFrame) -> DataFrame:
 
 
 def _large_star(canon: DataFrame) -> DataFrame:
+    # m(u) as a WINDOW min over partitionBy(u) — ONE exchange of sym
+    # per star (round 5; was groupBy-min + join back = the same full
+    # sym shuffle for the join PLUS the agg exchange). Skew analysis:
+    # the join path already co-located all of a hot node's sym rows in
+    # one task for the join, so the window's per-key task shape is no
+    # worse, and total shuffled bytes strictly drop (the agg exchange
+    # disappears). Measured at the 200k-edge gate: 4.0 -> 2.8 s
+    # median for the full CC call.
+    from pyspark.sql.window import Window
+
     sym = _sym(canon)
-    mins = sym.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m")
-    )
-    # join first, filter after: the groupBy side is one row per node
-    # (AQE broadcasts it at small scale, SMJ co-shuffles at large), and
-    # the unfiltered sym keeps the join input identical to the agg
-    # input rather than a third derivation
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", m)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
@@ -115,14 +119,14 @@ def _large_star(canon: DataFrame) -> DataFrame:
 def _small_star(half: DataFrame) -> DataFrame:
     # orient every edge toward its larger endpoint b; Γ(b) here is b's
     # smaller neighborhood, so m = min over it (always < b since every
-    # input row has s < b). Attach rows and the per-b self row (b, m)
-    # are emitted in ONE pass over the join output — the self row rides
-    # the (unique-per-b) row whose s equals m — instead of a union with
-    # a second derivation of the mins subtree (same plan-duplication
-    # problem as _sym; duplicates from upstream just re-emit selfs,
+    # input row has s < b) — same single-exchange window shape as
+    # _large_star. Attach rows and the per-b self row (b, m) are
+    # emitted in ONE pass — the self row rides the (unique-per-b) row
+    # whose s equals m (duplicates from upstream just re-emit selfs,
     # which the round's final distinct removes).
-    mins = half.groupBy("b").agg(F.min("s").alias("m"))
-    joined = half.join(mins, "b")
+    from pyspark.sql.window import Window
+
+    joined = half.withColumn("m", F.min("s").over(Window.partitionBy("b")))
     return joined.select(
         F.explode(
             F.when(
@@ -140,19 +144,21 @@ def _small_star(half: DataFrame) -> DataFrame:
 
 def _auto_round_width(spark, n_edges: int) -> int:
     """Shuffle width for the CC rounds from the measured edge count:
-    ~8k canonical edges per task (pow2-rounded), floored at the
-    session's core count (below it, cores idle) and capped at the
-    session's configured shuffle width (never WIDER than the caller
-    asked for anywhere else). The r4 bench A/B that motivates this:
-    200k edges at the session's corpus-sized 128 -> 1.5k-row tasks of
-    pure overhead, 27% slower than 32."""
+    ~16k canonical edges per task (pow2-rounded), floored at 8 and
+    capped at the session's configured shuffle width (never WIDER than
+    the caller asked for anywhere else). The r4 bench A/B that
+    motivates sizing down: 200k edges at the session's corpus-sized
+    128 -> 1.5k-row tasks of pure overhead, 27% slower than 32; the
+    round-5 sweep then put 16 ahead of 32 on the same gate."""
     import math
 
-    target = max(1, -(-n_edges // 8192))
+    target = max(1, -(-n_edges // 16384))
     pow2 = 1 << math.ceil(math.log2(target))
-    cores = spark.sparkContext.defaultParallelism
     session = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return max(8, min(session, max(cores, pow2)))
+    # no core-count floor: each round's exchanges are latency-bound at
+    # gate scale and a 16-wide round beat 32 on a 32-core session in
+    # the width sweep; large edge counts widen via the edges/task term
+    return max(8, min(session, pow2))
 
 
 def connected_components(
@@ -222,12 +228,21 @@ def connected_components(
             raise ValueError(
                 "num_shuffle_partitions must be an int, None, or 'auto'"
             )
-        # round 0 runs under the session width (the edge count is not
-        # known before it); the count materializes the checkpoint, so
-        # the rounds read round 0's result rather than re-running the
-        # (possibly expensive) upstream pair generation
-        canon = _truncate(_canon(canon_src))
-        num_shuffle_partitions = _auto_round_width(spark, canon.count())
+        # the canonicalizing distinct runs BEFORE the edge count exists,
+        # so it cannot use the measured width — run it at a provisional
+        # min(session, parallelism) (the pair set never needs more than
+        # the corpus-sized session width; measured 1.5 -> 0.8 s at the
+        # gate). The count materializes the checkpoint, so the rounds
+        # read round 0's result rather than re-running the (possibly
+        # expensive) upstream pair generation.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        provisional = min(int(prev_parts), max(8, spark.sparkContext.defaultParallelism))
+        spark.conf.set("spark.sql.shuffle.partitions", str(provisional))
+        try:
+            canon = _truncate(_canon(canon_src))
+            num_shuffle_partitions = _auto_round_width(spark, canon.count())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     if num_shuffle_partitions is not None:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
