@@ -107,22 +107,20 @@ def write_table(
     """Write ``df`` as a new SNAPSHOT of the table at ``table_path``;
     returns the new snapshot id (1-based, monotone).
 
-    ``mode="append"`` adds a snapshot; ``mode="overwrite"`` starts a
-    new table history (snapshot 1). Data files are immutable: each
-    snapshot writes into its own ``data/snap-<id>/`` directory and the
-    manifest records the file list, so concurrent readers of an older
-    snapshot never observe a partial write — the manifest flips last.
-    ``partition_by`` forwards to the parquet writer (hive-style
-    directory partitioning within the snapshot dir)."""
+    ``mode="append"`` adds a snapshot; ``mode="overwrite"`` starts the
+    table content over (prior snapshots REMAIN in the manifest and stay
+    time-travelable — reads resolve content from the latest
+    overwrite/replace boundary at or before the requested snapshot).
+    Data files are immutable: each snapshot writes into its own
+    ``data/snap-<id>/`` directory and the manifest records the file
+    list, so concurrent readers of an older snapshot never observe a
+    partial write — the manifest flips last. ``partition_by`` forwards
+    to the parquet writer (hive-style directory partitioning within the
+    snapshot dir)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
-    prior = load_manifest(table_path)
-    # snapshot ids stay monotone ACROSS an overwrite (data files are
-    # immutable — the old history's snap dirs still exist on disk, so a
-    # reused id would collide with them; monotone ids also keep an
-    # index's recorded last-indexed id meaningful after an overwrite)
-    snap_id = (prior[-1]["snapshot_id"] + 1) if prior else 1
-    manifest = [] if mode == "overwrite" else prior
+    manifest = load_manifest(table_path)
+    snap_id = (manifest[-1]["snapshot_id"] + 1) if manifest else 1
     snap_dir = os.path.join(table_path, "data", f"snap-{snap_id}")
     writer = df.write.mode("errorifexists")
     if partition_by:
@@ -155,28 +153,94 @@ def table_files(table_path: str, *, after_snapshot: int = 0) -> list[str]:
     return out
 
 
-def read_table(
-    spark: SparkSession, table_path: str, *, snapshot_id: int | None = None
-) -> DataFrame:
-    """The table's rows as of ``snapshot_id`` (default: latest) — time
-    travel by reading only the manifest-listed files of snapshots up to
-    the requested id."""
+def content_files(table_path: str, snapshot_id: int | None = None) -> list[str]:
+    """The data files that make up the table CONTENT as of
+    ``snapshot_id`` (default latest): files of every snapshot from the
+    most recent overwrite/replace boundary at or before the requested
+    id through the requested id (an append adds files; an overwrite or
+    a compaction's replace snapshot supersedes everything before it —
+    older snapshots stay on disk and time-travelable)."""
     manifest = load_manifest(table_path)
     if not manifest:
         raise FileNotFoundError(f"no table at {table_path}")
     if snapshot_id is None:
         snapshot_id = manifest[-1]["snapshot_id"]
-    files = [
-        f
-        for snap in manifest
-        if snap["snapshot_id"] <= snapshot_id
-        for f in snap["files"]
-    ]
+    window = [s for s in manifest if s["snapshot_id"] <= snapshot_id]
+    if not window:
+        raise ValueError(f"no snapshot <= {snapshot_id}")
+    start = 0
+    for i, s in enumerate(window):
+        if s["operation"] in ("overwrite", "replace"):
+            start = i
+    return [f for s in window[start:] for f in s["files"]]
+
+
+def read_table(
+    spark: SparkSession, table_path: str, *, snapshot_id: int | None = None
+) -> DataFrame:
+    """The table's rows as of ``snapshot_id`` (default: latest) — time
+    travel by reading only that snapshot's ``content_files``."""
+    files = content_files(table_path, snapshot_id)
     if not files:
         raise ValueError(f"snapshot {snapshot_id} has no files")
     return spark.read.option("basePath", os.path.join(table_path, "data")).parquet(
         *files
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    num_files: int | None = None,
+    zorder_cols: list[str] | None = None,
+    zorder_modes: list[str] | None = None,
+) -> int:
+    """Table-maintenance rewrite (Iceberg's rewrite_data_files /
+    OPTIMIZE): read the current content, rewrite it as ONE new
+    ``replace`` snapshot — either coalesced to ``num_files`` (default:
+    one file per ~128 MB of current content, minimum 1) or z-order
+    clustered on ``zorder_cols`` (``sources.zorder.zorder_layout``, the
+    OPTIMIZE ZORDER BY analogue — data-skipping stats get tight on
+    every z-dimension). Older snapshots stay time-travelable; readers
+    at the new snapshot see only the compacted files. Returns the new
+    snapshot id."""
+    cur = content_files(table_path)
+    df = read_table(spark, table_path)
+    if num_files is None:
+        total = sum(os.path.getsize(_local(f)) for f in cur)
+        num_files = max(1, total // (128 << 20))
+    if zorder_cols is not None:
+        from prefix_filter_spark.sources.zorder import zorder_layout
+
+        out = zorder_layout(df, zorder_cols, int(num_files), modes=zorder_modes)
+    else:
+        out = df.coalesce(int(num_files))
+    manifest = load_manifest(table_path)
+    snap_id = manifest[-1]["snapshot_id"] + 1
+    snap_dir = os.path.join(table_path, "data", f"snap-{snap_id}")
+    out.write.mode("errorifexists").parquet(snap_dir)
+    files = sorted(spark.read.parquet(snap_dir).inputFiles())
+    manifest.append(
+        {
+            "snapshot_id": snap_id,
+            "operation": "replace",
+            "ts": time.time(),
+            "files": files,
+        }
+    )
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _manifest_path(table_path))
+    return snap_id
+
+
+def _local(file_uri: str) -> str:
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(file_uri)
+    return unquote(p.path) if p.scheme in ("file", "") else unquote(file_uri)
 
 
 def update_table_index(
@@ -211,7 +275,19 @@ def update_table_index(
             done = json.load(f)["snapshot_id"]
     except FileNotFoundError:
         done = 0
-    fresh_files = table_files(table_path, after_snapshot=done)
+    newer = [s for s in manifest if s["snapshot_id"] > done]
+    boundary_moved = any(s["operation"] != "append" for s in newer)
+    if done == 0 or boundary_moved:
+        # first run, or an overwrite/compaction superseded files the
+        # index lists — stale rows would prune reads to files outside
+        # the table content. (Re)build over the CURRENT content set
+        # (still manifest-planned, no listing); the write replaces the
+        # index.
+        fresh_files = content_files(table_path)
+        write_mode = "overwrite"
+    else:
+        fresh_files = table_files(table_path, after_snapshot=done)
+        write_mode = "append"
     n_new = 0
     if fresh_files:
         fresh = spark.read.option(
@@ -222,7 +298,7 @@ def update_table_index(
         )
         n_new = states.count()
         if n_new:
-            states.write.mode("append").parquet(index_path)
+            states.write.mode(write_mode).parquet(index_path)
     os.makedirs(index_path, exist_ok=True)
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:

@@ -225,3 +225,63 @@ def test_skipping_read_empty_when_all_pruned(spark, zlayout, zidx, zstats):
         cfg=cfg,
     )
     assert got.count() == 0
+
+
+def test_compact_table_replace_snapshot(spark, li, tmp_path):
+    """Compaction rewrites the content as one 'replace' snapshot:
+    fewer files, identical rows, prior snapshots still time-travelable."""
+    tbl = str(tmp_path / "tbl")
+    ice.write_table(li.limit(900).repartition(6), tbl, mode="overwrite")
+    ice.write_table(
+        li.limit(300)
+        .withColumn("l_orderkey", F.col("l_orderkey") + 10**9)
+        .repartition(3),
+        tbl,
+    )
+    before = ice.read_table(spark, tbl)
+    rows_before = sorted(r["l_orderkey"] for r in before.select("l_orderkey").collect())
+    assert len(ice.content_files(tbl)) == 9
+    s3 = ice.compact_table(spark, tbl, num_files=2)
+    assert s3 == 3
+    assert len(ice.content_files(tbl)) == 2
+    after = sorted(
+        r["l_orderkey"]
+        for r in ice.read_table(spark, tbl).select("l_orderkey").collect()
+    )
+    assert after == rows_before
+    # time travel to the pre-compaction snapshot still sees 9 files
+    assert len(ice.content_files(tbl, snapshot_id=2)) == 9
+    assert ice.read_table(spark, tbl, snapshot_id=1).count() == 900
+
+
+def test_compact_table_zorder(spark, li, tmp_path):
+    tbl = str(tmp_path / "tblz")
+    ice.write_table(li.limit(2000).repartition(5), tbl, mode="overwrite")
+    ice.compact_table(spark, tbl, num_files=4, zorder_cols=["l_orderkey", "l_partkey"])
+    assert len(ice.content_files(tbl)) == 4
+    assert ice.read_table(spark, tbl).count() == 2000
+
+
+def test_index_rebuilds_after_compaction(spark, li, tmp_path):
+    """A replace snapshot supersedes indexed files — the next index
+    update must REBUILD over the current content (stale rows would
+    prune reads to files outside the table), and pruned reads stay
+    exact afterwards."""
+    from prefix_filter_spark.sources.file_index import pruned_read
+
+    tbl = str(tmp_path / "tbl")
+    idx_path = str(tmp_path / "idx")
+    cfg = FileIndexConfig(bits_per_key=12, expected_keys_per_file=4096)
+    ice.write_table(li.limit(1500).repartition(5), tbl, mode="overwrite")
+    assert ice.update_table_index(spark, tbl, idx_path, "l_orderkey", cfg) == 5
+    ice.compact_table(spark, tbl, num_files=2)
+    assert ice.update_table_index(spark, tbl, idx_path, "l_orderkey", cfg) == 2
+    idx = spark.read.parquet(idx_path)
+    # the index lists exactly the current content files, nothing stale
+    assert sorted(r["file"] for r in idx.select("file").collect()) == sorted(
+        ice.content_files(tbl)
+    )
+    key = int(ice.read_table(spark, tbl).agg(F.min("l_orderkey")).first()[0])
+    got = pruned_read(spark, idx, "l_orderkey", [key], cfg).count()
+    want = ice.read_table(spark, tbl).where(F.col("l_orderkey") == key).count()
+    assert got == want > 0
