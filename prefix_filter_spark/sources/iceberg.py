@@ -103,6 +103,7 @@ def write_table(
     *,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Write ``df`` as a new SNAPSHOT of the table at ``table_path``;
     returns the new snapshot id (1-based, monotone).
@@ -116,7 +117,11 @@ def write_table(
     list, so concurrent readers of an older snapshot never observe a
     partial write — the manifest flips last. ``partition_by`` forwards
     to the parquet writer (hive-style directory partitioning within the
-    snapshot dir)."""
+    snapshot dir). ``properties``: free-form metadata recorded ON the
+    snapshot entry — it commits in the same atomic manifest flip as the
+    file list, which is what lets the streaming sink make
+    snapshot-commit + epoch-marker one atomic step (Iceberg snapshot
+    summary properties play the same role)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     manifest = load_manifest(table_path)
@@ -133,6 +138,7 @@ def write_table(
             "operation": mode,
             "ts": time.time(),
             "files": files,
+            "properties": properties or {},
         }
     )
     os.makedirs(os.path.dirname(_manifest_path(table_path)), exist_ok=True)
@@ -227,6 +233,7 @@ def compact_table(
             "operation": "replace",
             "ts": time.time(),
             "files": files,
+            "properties": {},
         }
     )
     tmp = _manifest_path(table_path) + ".tmp"
