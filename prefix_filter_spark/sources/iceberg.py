@@ -131,7 +131,14 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(snap_dir)
-    files = sorted(df.sparkSession.read.parquet(snap_dir).inputFiles())
+    try:
+        files = sorted(df.sparkSession.read.parquet(snap_dir).inputFiles())
+    except Exception:
+        # an empty df can write a part-less directory (only _SUCCESS)
+        # that the reader cannot infer a schema from — record an empty
+        # snapshot rather than crash (streaming sinks see empty
+        # micro-batches; the epoch marker must still commit)
+        files = []
     manifest.append(
         {
             "snapshot_id": snap_id,
