@@ -457,6 +457,106 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_against(
+    docs: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    seed: int = 42,
+    bucket_cap: int | None = 1024,
+    handles: list | None = None,
+) -> DataFrame:
+    """Cross-corpus near-dup: rows of ``docs`` whose shingle Jaccard
+    against some ``reference`` row reaches ``threshold`` — the "dedup
+    the new crawl against the existing training set" stage, which the
+    self-join ``minhash_lsh_pairs`` does not cover (running it on the
+    union would also emit within-corpus pairs as ANSWERS; here they
+    are filtered before the verification joins).
+
+    -> (doc_id, ref_id, shared, n1, n2, jaccard): doc_id always from
+    ``docs``, ref_id always from ``reference``.
+
+    Same plan bones as minhash_lsh_pairs (one per-doc aggregation
+    feeding banding + verification, grid-decomposed hot buckets,
+    measured-size broadcast for the candidate attach): sides ride a
+    one-character id prefix through the shared bucket machinery, and
+    same-side candidate pairs are dropped BEFORE the exact-Jaccard
+    verification joins, so the waste of the union trick is confined to
+    candidate emission. Run each corpus through self-dedup first (the
+    standard pipeline order) to keep same-side buckets small.
+    """
+    rows_per_band = num_perm // bands
+    tag = lambda df, t: df.select(  # noqa: E731
+        F.concat(F.lit(t), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    both = tag(docs, "L:").unionByName(tag(reference, "R:"))
+    sh = _shingle_hashes(both, n, seed, distinct=False)
+    aggs = [_min_perm_expr(i, seed) for i in range(num_perm)]
+    per_doc = sh.groupBy("doc_id").agg(
+        F.expr("sort_array(collect_set(h))").alias("hs"),
+        *aggs,
+    )
+    band_cols = [
+        F.expr(
+            "xxhash64("
+            + ",".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+            + f", {b})"
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = per_doc.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.expr(
+            "explode(array("
+            + ",".join(f"struct({b} as band, band{b} as h)" for b in range(bands))
+            + "))"
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    cross = (
+        _bucket_candidate_pairs(stacked, ["band", "h"], "doc_id", cap=bucket_cap)
+        .where(F.substring("d1", 1, 2) != F.substring("d2", 1, 2))
+        .distinct()
+        .persist()
+    )
+    n_cand = cross.count()
+    if handles is not None:
+        handles.append(cross)
+    postings = per_doc.select("doc_id", F.size("hs").alias("n_sh"), "hs")
+    attach = F.broadcast(cross) if n_cand <= 10_000_000 else cross
+    p1 = postings.join(attach, F.col("doc_id") == F.col("d1")).select(
+        "d1", "d2", F.col("n_sh").alias("na"), F.col("hs").alias("hsa")
+    )
+    shared = F.size(F.array_intersect(F.col("hsa"), F.col("hs")))
+    verified = (
+        postings.join(p1, F.col("doc_id") == F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            shared.alias("shared"),
+            F.col("na").alias("nd1"),
+            F.col("n_sh").alias("nd2"),
+            (shared / (F.col("na") + F.col("n_sh") - shared)).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    # untag + orient: the docs-side id first, whatever least/greatest
+    # did to the pair ordering ("L:" < "R:" lexically, so d1 is the
+    # docs side — asserted by construction, not assumed: d1/d2 sides
+    # differ and least() put the L id first)
+    return verified.select(
+        F.expr("substring(d1, 3)").alias("doc_id"),
+        F.expr("substring(d2, 3)").alias("ref_id"),
+        "shared",
+        F.col("nd1").alias("n1"),
+        F.col("nd2").alias("n2"),
+        "jaccard",
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8, seed: int = 42) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into 4x16-bit
     chunks (any pair within Hamming<=3 shares a chunk; wider distances

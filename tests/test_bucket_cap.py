@@ -202,3 +202,63 @@ def test_capped_equals_uncapped_property(spark):
         }
         assert got == want, (case, sizes, cap)
         assert len(want) == sum(s * (s - 1) // 2 for s in sizes.values())
+
+
+def test_cross_corpus_lsh_against(spark):
+    """minhash_lsh_pairs_against: planted cross-corpus near-dups are
+    found with exact Jaccard, within-corpus dups are NOT answers, and
+    the exact scores match a brute-force cross oracle."""
+    from prefix_filter_spark.operators.dedup import (
+        _shingle_hashes,
+        minhash_lsh_pairs_against,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old mill "
+        "by the river where children play on warm summer afternoons"
+    )
+    other = (
+        "completely different content about ships and storms on the "
+        "open sea told by sailors under bright northern stars at night"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base + " alpha"),          # near-dup of ref 101
+            (2, base + " alpha"),          # exact dup of doc 1 (same side!)
+            (3, other),                    # matches nothing in ref
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [
+            (101, base + " beta"),
+            (102, "unrelated reference text about cooking bread and " 
+                  "silent winter mornings in a small mountain village"),
+            (103, "unrelated reference text about cooking bread and "
+                  "silent winter mornings in a small mountain village"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["ref_id"]): r["jaccard"]
+        for r in minhash_lsh_pairs_against(
+            docs, ref, threshold=0.5, num_perm=64, bands=32
+        ).collect()
+    }
+    # both same-side dup pairs (1,2) and (102,103) must be absent
+    assert all(k[0] in ("1", "2") and k[1] == "101" for k in got)
+    assert set(got) == {("1", "101"), ("2", "101")}
+    # exact-oracle check: brute-force cross jaccard over shingle hashes
+    a = {
+        r["doc_id"]: set()
+        for r in docs.select("doc_id").collect()
+    }
+    for r in _shingle_hashes(docs.selectExpr("cast(doc_id as string) doc_id", "text"), 3, 42, True).collect():
+        a[int(r["doc_id"])] = a.get(int(r["doc_id"]), set())
+        a[int(r["doc_id"])].add(r["h"])
+    b = {}
+    for r in _shingle_hashes(ref.selectExpr("cast(doc_id as string) doc_id", "text"), 3, 42, True).collect():
+        b.setdefault(int(r["doc_id"]), set()).add(r["h"])
+    for (d, rf), j in got.items():
+        A, B = a[int(d)], b[int(rf)]
+        assert abs(j - len(A & B) / len(A | B)) < 1e-9
