@@ -51,14 +51,25 @@ from prefix_filter_spark.sources.file_index import (
 STATS_SCHEMA = "file string, col string, vmin double, vmax double"
 
 
+def _resolve_files(spark: SparkSession, src) -> list[str]:
+    """A directory path, an explicit file list, or a snapshot table's
+    content — every skipping entry point takes any of the three (pass
+    ``iceberg.content_files(table)`` to skip over a snapshot table)."""
+    if isinstance(src, (list, tuple)):
+        return sorted(src)
+    return sorted(spark.read.parquet(src).inputFiles())
+
+
 def file_minmax_stats(
-    spark: SparkSession, path: str, cols: list[str]
+    spark: SparkSession, path, cols: list[str]
 ) -> DataFrame:
     """(file, col, vmin, vmax) per data file from parquet footers —
     metadata-only (no data pages), distributed one task per file chunk.
     Min/max are rounded OUTWARD (floor/ceil to the containing float)
-    so pruning stays conservative for integers beyond 2^53."""
-    files = sorted(spark.read.parquet(path).inputFiles())
+    so pruning stays conservative for integers beyond 2^53.
+    ``path``: directory, file list, or a snapshot table's
+    ``content_files`` (see ``_resolve_files``)."""
+    files = _resolve_files(spark, path)
     want = list(cols)
 
     def scan(batches):
@@ -136,7 +147,7 @@ def range_prune(
 
 def skipping_read(
     spark: SparkSession,
-    path: str,
+    path,
     key_col: str | None = None,
     keys: list | None = None,
     ranges: dict[str, tuple[float, float]] | None = None,
@@ -158,7 +169,7 @@ def skipping_read(
     are independent: survivors multiply, P(both) ~ P(point)*P(range).
     """
     cfg = cfg or FileIndexConfig()
-    all_files = sorted(spark.read.parquet(path).inputFiles())
+    all_files = _resolve_files(spark, path)
     survivors = {_decode_file_uri(f) for f in all_files}
     if index_df is not None and key_col is not None and keys:
         hashes = hash_probe_keys(spark, keys, cfg.seed)
@@ -178,14 +189,14 @@ def skipping_read(
         raise ValueError("skipping_read needs keys and/or ranges")
 
     if not survivors:
-        schema = spark.read.parquet(path).schema
+        schema = spark.read.parquet(*_resolve_files(spark, path)[:1] or [path]).schema
         return spark.createDataFrame([], schema).where(pred)
     return spark.read.parquet(*sorted(survivors)).where(pred)
 
 
 def skip_ratios(
     spark: SparkSession,
-    path: str,
+    path,
     key_col: str,
     keys: list,
     ranges: dict[str, tuple[float, float]],
@@ -197,7 +208,7 @@ def skip_ratios(
     of files SKIPPED by each pruner alone and by their intersection
     (the gate artifact: combined >= max(point, range))."""
     cfg = cfg or FileIndexConfig()
-    all_files = {_decode_file_uri(f) for f in spark.read.parquet(path).inputFiles()}
+    all_files = {_decode_file_uri(f) for f in _resolve_files(spark, path)}
     n = len(all_files)
     hashes = hash_probe_keys(spark, keys, cfg.seed)
     point = {_decode_file_uri(f) for f in prune_files(index_df, np.asarray(hashes), cfg)}

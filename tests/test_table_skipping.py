@@ -344,3 +344,50 @@ def test_north_rule_end_to_end_sequences_table(spark, tmp_path):
     fn = register_contains_udf(spark, "nr_bf", handle, cfg.seed)
     members = stream.select("token").distinct()
     assert members.where(fn("token", df=members)).count() == n
+
+
+def test_skipping_read_over_snapshot_table(spark, li, tmp_path):
+    """The whole table story composed: snapshot writes -> z-order
+    compaction -> membership index + footer stats over the CONTENT
+    file list -> skipping_read == read_table filter."""
+    from prefix_filter_spark.sources.skipping import (
+        file_minmax_stats as stats_fn,
+        skipping_read,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    cfg = FileIndexConfig(bits_per_key=14, expected_keys_per_file=4096)
+    ice.write_table(li.limit(1200).repartition(3), tbl, mode="overwrite")
+    ice.write_table(
+        li.limit(800).withColumn("l_orderkey", F.col("l_orderkey") + 10**7), tbl
+    )
+    ice.compact_table(
+        spark, tbl, num_files=8, zorder_cols=["l_orderkey", "l_partkey"]
+    )
+    files = ice.content_files(tbl)
+    idx = build_file_index(
+        spark.read.option("basePath", tbl + "/data").parquet(*files),
+        "l_orderkey",
+        cfg,
+    ).cache()
+    idx.count()
+    st = stats_fn(spark, files, ["l_partkey"]).cache()
+    st.count()
+    some = ice.read_table(spark, tbl).select("l_orderkey", "l_partkey").first()
+    keys = [int(some["l_orderkey"])]
+    pk = int(some["l_partkey"])
+    got = skipping_read(
+        spark,
+        files,
+        "l_orderkey",
+        keys,
+        {"l_partkey": (pk - 30, pk + 30)},
+        index_df=idx,
+        stats_df=st,
+        cfg=cfg,
+    )
+    want = ice.read_table(spark, tbl).where(
+        F.col("l_orderkey").isin(keys) & F.col("l_partkey").between(pk - 30, pk + 30)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    idx.unpersist(); st.unpersist()
