@@ -199,6 +199,20 @@ def register_sketch_sql(spark: SparkSession) -> None:
     tdigest_quantile = F.pandas_udf(T.DoubleType())(_grouped_quantile(_td_cached))
     dds_quantile = F.pandas_udf(T.DoubleType())(_grouped_quantile(_dds_cached))
 
+    @F.pandas_udf(T.DoubleType())
+    def kll_rank(state: pd.Series, v: pd.Series) -> pd.Series:
+        """Approximate CDF: fraction of sketched values <= v (rank
+        error +-eps like the quantile direction). The selectivity
+        estimator behind range-scan planning: P(lo <= x <= hi) =
+        kll_rank(state, hi) - kll_rank(state, lo-)."""
+        out = []
+        for s, x in zip(state, v):
+            if s is None or x is None:
+                out.append(None)
+            else:
+                out.append(float(_kll_cached(bytes(s)).rank(float(x))))
+        return pd.Series(out, dtype=object)
+
     from prefix_filter_spark.sketches import kmv
 
     @F.pandas_udf(T.DoubleType())
@@ -256,6 +270,7 @@ def register_sketch_sql(spark: SparkSession) -> None:
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("cms_point", cms_point)
     spark.udf.register("kll_quantile", kll_quantile)
+    spark.udf.register("kll_rank", kll_rank)
     spark.udf.register("tdigest_quantile", tdigest_quantile)
     spark.udf.register("dds_quantile", dds_quantile)
     spark.udf.register("kmv_estimate", kmv_estimate)

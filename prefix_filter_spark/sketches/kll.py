@@ -186,6 +186,20 @@ class KllSketch(base.Accumulator):
         return out
 
 
+def range_fraction(state: bytes, lo: float, hi: float) -> float:
+    """Estimated fraction of sketched values in [lo, hi] — the range
+    selectivity a scan planner wants before touching data: rank(hi) -
+    rank(lo-), each side within the sketch's rank_eps. ``lo-`` is the
+    open left bound (values strictly below lo), realized via
+    np.nextafter so integer-valued data at exactly ``lo`` counts."""
+    import numpy as np
+
+    sk = KllSketch.from_bytes(state)
+    if hi < lo:
+        return 0.0
+    return max(0.0, sk.rank(hi) - sk.rank(float(np.nextafter(lo, -np.inf))))
+
+
 def merge_states(states: list[bytes]) -> bytes:
     sk = KllSketch.from_bytes(states[0])
     for s in states[1:]:

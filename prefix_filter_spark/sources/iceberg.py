@@ -319,3 +319,34 @@ def update_table_index(
         json.dump({"snapshot_id": latest}, f)
     os.replace(tmp, meta_path)
     return n_new
+
+
+def table_health(table_path: str, *, small_file_bytes: int = 32 << 20) -> dict:
+    """Maintenance diagnostics from the manifest + file sizes (driver-
+    side metadata only — no Spark job): snapshot counts by operation,
+    content file count/bytes, small-file ratio, and a compaction
+    recommendation (the check an ops loop runs before deciding to pay
+    ``compact_table``'s rewrite). Streaming sinks create one snapshot
+    per micro-batch, so small-file buildup is the expected failure
+    mode this watches for."""
+    manifest = load_manifest(table_path)
+    if not manifest:
+        raise FileNotFoundError(f"no table at {table_path}")
+    files = content_files(table_path)
+    sizes = [os.path.getsize(_local(f)) for f in files]
+    n_small = sum(1 for s in sizes if s < small_file_bytes)
+    ops: dict[str, int] = {}
+    for s in manifest:
+        ops[s["operation"]] = ops.get(s["operation"], 0) + 1
+    total = sum(sizes)
+    return {
+        "latest_snapshot": manifest[-1]["snapshot_id"],
+        "n_snapshots": len(manifest),
+        "ops": ops,
+        "n_content_files": len(files),
+        "content_bytes": total,
+        "mean_file_bytes": total // max(len(files), 1),
+        "small_file_ratio": n_small / max(len(files), 1),
+        "recommend_compaction": len(files) > 4
+        and n_small / max(len(files), 1) > 0.5,
+    }

@@ -111,3 +111,35 @@ def test_spark_quantiles_vs_exact(spark):
     td = tdigest.TDigest.from_bytes(bytes(row["state"]))
     for q in (0.25, 0.5, 0.9):
         assert abs(_true_rank(exact, td.quantile(q)) - q) <= 0.03
+
+
+def test_kll_rank_and_range_fraction(spark):
+    """kll_rank SQL UDF and kll.range_fraction: CDF within rank_eps of
+    exact, range selectivity matches the exact in-range fraction."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from prefix_filter_spark.functions import register_sketch_sql
+    from prefix_filter_spark.sketches import kll
+
+    n = 20_000
+    df = spark.range(n).select((F.col("id") % 1000).alias("v"))
+    cfg = kll.KllConfig(k=200, seed=1)
+    state = bytes(
+        kll.build_kll(df, "v", cfg).select("state").collect()[0]["state"]
+    )
+    eps = cfg.rank_eps() + 0.01
+    sk = kll.KllSketch.from_bytes(state)
+    for v, exact in ((99, 0.1), (499, 0.5), (999, 1.0)):
+        assert abs(sk.rank(v) - exact) <= eps
+    # range selectivity vs exact
+    for lo, hi, exact in ((100, 299, 0.2), (0, 999, 1.0), (500, 499, 0.0)):
+        assert abs(kll.range_fraction(state, lo, hi) - exact) <= 2 * eps
+    # SQL surface
+    register_sketch_sql(spark)
+    sdf = spark.createDataFrame([(state,)], "state binary")
+    sdf.createOrReplaceTempView("kll_states_t")
+    got = spark.sql(
+        "SELECT kll_rank(state, 499.0) AS r FROM kll_states_t"
+    ).first()["r"]
+    assert abs(got - 0.5) <= eps

@@ -391,3 +391,17 @@ def test_skipping_read_over_snapshot_table(spark, li, tmp_path):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     idx.unpersist(); st.unpersist()
+
+
+def test_table_health_recommends_compaction(spark, li, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    ice.write_table(li.limit(600).repartition(6), tbl, mode="overwrite")
+    ice.write_table(li.limit(200).repartition(2), tbl)
+    h = ice.table_health(tbl)
+    assert h["n_content_files"] == 8 and h["n_snapshots"] == 2
+    assert h["ops"] == {"overwrite": 1, "append": 1}
+    assert h["small_file_ratio"] == 1.0 and h["recommend_compaction"]
+    ice.compact_table(spark, tbl, num_files=1)
+    h2 = ice.table_health(tbl)
+    assert h2["n_content_files"] == 1 and not h2["recommend_compaction"]
+    assert h2["ops"]["replace"] == 1
