@@ -189,16 +189,24 @@ def content_files(table_path: str, snapshot_id: int | None = None) -> list[str]:
 
 
 def read_table(
-    spark: SparkSession, table_path: str, *, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    *,
+    snapshot_id: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The table's rows as of ``snapshot_id`` (default: latest) — time
-    travel by reading only that snapshot's ``content_files``."""
+    travel by reading only that snapshot's ``content_files``.
+    ``merge_schema=True`` unions schemas across snapshots (columns
+    added by later appends read as NULL in older files — the standard
+    additive schema-evolution contract)."""
     files = content_files(table_path, snapshot_id)
     if not files:
         raise ValueError(f"snapshot {snapshot_id} has no files")
-    return spark.read.option("basePath", os.path.join(table_path, "data")).parquet(
-        *files
-    )
+    reader = spark.read.option("basePath", os.path.join(table_path, "data"))
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def compact_table(
@@ -349,4 +357,73 @@ def table_health(table_path: str, *, small_file_bytes: int = 32 << 20) -> dict:
         "small_file_ratio": n_small / max(len(files), 1),
         "recommend_compaction": len(files) > 4
         and n_small / max(len(files), 1) > 0.5,
+    }
+
+
+def expire_snapshots(table_path: str, *, keep_last: int = 1) -> dict:
+    """VACUUM: drop history beyond the last ``keep_last`` snapshots and
+    delete data files no retained snapshot can reach (Iceberg's
+    expire_snapshots + remove_orphan_files in one step for this
+    layout). The retained window keeps time travel working for every
+    remaining id; the CURRENT content is never touched (a content file
+    of the latest snapshot is always reachable). Returns {"expired":
+    [ids], "deleted_files": n, "kept": [ids]}.
+
+    Safety shape: the manifest flips FIRST (atomically) so a crash
+    between the flip and the file deletions only leaves orphans (re-run
+    to finish), never a manifest pointing at deleted files."""
+    import shutil
+
+    manifest = load_manifest(table_path)
+    if not manifest:
+        raise FileNotFoundError(f"no table at {table_path}")
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    # the retention window is anchored at the CONTENT BOUNDARY of its
+    # oldest requested snapshot: an append's content reaches back to
+    # the latest overwrite/replace at or before it, so truncating the
+    # manifest mid-window would silently drop reachable files from
+    # every later read. Extend keep_last backward to that boundary.
+    start = max(0, len(manifest) - keep_last)
+    anchor = 0
+    for i, s in enumerate(manifest[: start + 1]):
+        if s["operation"] in ("overwrite", "replace"):
+            anchor = i
+    kept = manifest[anchor:]
+    expired = manifest[:anchor]
+    if not expired:
+        return {
+            "expired": [],
+            "deleted_files": 0,
+            "kept": [s["snapshot_id"] for s in kept],
+        }
+    # expired snapshots sit strictly before the kept window's boundary,
+    # so no kept snapshot's content can reach them — their files are
+    # dead unless a kept snapshot re-lists the same file name
+    reachable = {f for s in kept for f in s["files"]}
+    dead = [f for s in expired for f in s["files"] if f not in reachable]
+    # manifest first (atomic), deletions second — see docstring
+    tmp = _manifest_path(table_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(kept, f, indent=1)
+    os.replace(tmp, _manifest_path(table_path))
+    n_del = 0
+    for f in dead:
+        p = _local(f)
+        if os.path.exists(p):
+            os.remove(p)
+            n_del += 1
+    # sweep now-empty snapshot dirs
+    data_dir = os.path.join(table_path, "data")
+    if os.path.isdir(data_dir):
+        for d in os.listdir(data_dir):
+            full = os.path.join(data_dir, d)
+            if os.path.isdir(full) and not any(
+                name.endswith(".parquet") for name in os.listdir(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+    return {
+        "expired": [s["snapshot_id"] for s in expired],
+        "deleted_files": n_del,
+        "kept": [s["snapshot_id"] for s in kept],
     }

@@ -405,3 +405,47 @@ def test_table_health_recommends_compaction(spark, li, tmp_path):
     h2 = ice.table_health(tbl)
     assert h2["n_content_files"] == 1 and not h2["recommend_compaction"]
     assert h2["ops"]["replace"] == 1
+
+
+def test_expire_snapshots_vacuum(spark, li, tmp_path):
+    """Expiry drops unreachable history + files but NEVER a file any
+    retained snapshot's content can reach — including the append whose
+    content window anchors before the requested cut."""
+    import os
+
+    tbl = str(tmp_path / "tbl")
+    ice.write_table(li.limit(300).repartition(2), tbl, mode="overwrite")   # s1
+    ice.write_table(li.limit(100).repartition(1), tbl)                     # s2
+    ice.compact_table(spark, tbl, num_files=1)                             # s3 replace
+    ice.write_table(li.limit(50).repartition(1), tbl)                      # s4 append
+    before_rows = ice.read_table(spark, tbl).count()
+    s1_files = [ice._local(f) for f in ice.load_manifest(tbl)[0]["files"]]
+
+    # keep_last=1 anchors back to the replace (s3): s1+s2 expire
+    out = ice.expire_snapshots(tbl, keep_last=1)
+    assert out["expired"] == [1, 2] and out["kept"] == [3, 4]
+    assert out["deleted_files"] == 3  # s1's 2 files + s2's 1
+    assert all(not os.path.exists(p) for p in s1_files)
+    # content intact, time travel works within the kept window
+    assert ice.read_table(spark, tbl).count() == before_rows
+    assert ice.read_table(spark, tbl, snapshot_id=3).count() == 400
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ice.read_table(spark, tbl, snapshot_id=1)
+    # appends continue with monotone ids
+    assert ice.write_table(li.limit(10), tbl) == 5
+    # all-append history: nothing before the boundary -> no-op
+    assert ice.expire_snapshots(tbl, keep_last=10)["expired"] == []
+
+
+def test_schema_evolution_merge_schema(spark, li, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    ice.write_table(li.limit(100).select("l_orderkey"), tbl, mode="overwrite")
+    ice.write_table(
+        li.limit(50).select("l_orderkey", F.lit("en").alias("lang")), tbl
+    )
+    got = ice.read_table(spark, tbl, merge_schema=True)
+    assert set(got.columns) == {"l_orderkey", "lang"}
+    assert got.count() == 150
+    assert got.where(F.col("lang").isNull()).count() == 100
