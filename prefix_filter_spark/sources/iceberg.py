@@ -76,6 +76,17 @@ def read_sequences(spark: SparkSession, source: str) -> DataFrame:
 # reads the catalog table and the same maintenance logic keys off
 # Iceberg's own snapshot ids; this layout is the sandbox-faithful twin
 # with identical semantics.
+#
+# Maintenance loop order (the one that keeps every invariant):
+#   1. compact_table        (replace snapshot supersedes small files)
+#   2. update_table_index   (boundary moved -> index rebuilds over the
+#                            new content; stale rows never linger)
+#   3. expire_snapshots     (only AFTER the index rebuild: expiry
+#                            deletes superseded files, and an index
+#                            still listing them would prune reads onto
+#                            deleted paths — a loud error, not silent
+#                            wrongness, but the ordering avoids it)
+# table_health tells an ops loop when step 1 is worth paying.
 # ---------------------------------------------------------------------------
 
 import json
